@@ -1,0 +1,268 @@
+"""Deterministic synthetic `pages` table generator (seed 42).
+
+Produces the north-rule input table ``(url, warc_ts, html, text, lang)`` where
+``html`` is a GPB1 blob encoding a complete nested-entity world per page —
+the analog of the reference's London PBF test corpus
+(/root/reference/gosmonaut_test.go:14-25). Properties (per FIXTURES.md §1):
+
+* 50% of blobs zlib-compressed, 50% raw (the raw/zlib branch of
+  /root/reference/decode.go:491-515);
+* ~5% of way refs point to nodes on *other* pages — forces a genuine
+  shuffle join during way assembly;
+* ~1% of ways carry a dangling node ref (missing-entity semantics,
+  /root/reference/gosmonaut.go:379-387) — disable with ``dangling=False``
+  for strict-mode fixtures;
+* occasional sub-relation members (dropped with a warning,
+  /root/reference/gosmonaut.go:459-462) and dangling relation members
+  (dropped, /root/reference/gosmonaut.go:441-465);
+* a few pages use negative entity ids (/root/reference/osm_types_test.go:10);
+* pages cluster around 20 skew-weighted "cities" so high-resolution tile
+  aggregation sees genuinely hot cells (exercises salting, B10);
+* ~30% of ways are closed convex rings (polygons) for the PIP engine.
+
+Everything is a pure function of (seed, n_pages, flags): re-running the
+generator yields byte-identical blobs.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from ..format.gpb import (
+    NODE_TYPE,
+    RELATION_TYPE,
+    WAY_TYPE,
+    DecodedPage,
+    PageNodes,
+    PageRels,
+    PageWays,
+    deg_to_unit,
+    encode_page,
+)
+
+EPOCH = _dt.datetime(2026, 1, 1, tzinfo=_dt.timezone.utc)
+
+_WORDS = (
+    "river bridge market square harbor garden tower station museum castle "
+    "north south east west old new upper lower grand little stone iron glass "
+    "street road lane avenue plaza crossing terrace quay walk gate"
+).split()
+
+_LANGS = ["en", "de", "fr", "es", "pt", "und"]
+
+_NODE_AMENITIES = ["cafe", "bank", "school", "pharmacy", "library", "fuel"]
+_HIGHWAYS = ["residential", "primary", "secondary", "footway", "service"]
+_REL_TYPES = ["multipolygon", "restriction", "route", "boundary"]
+_ROLES = ["outer", "inner", "via", "from", "to", ""]
+
+N_CITIES = 20
+
+
+def city_centers() -> np.ndarray:
+    """20 deterministic city centers, lat in [-60, 60], lon in [-170, 170]."""
+    rng = np.random.default_rng(4242)
+    lats = rng.uniform(-60, 60, N_CITIES)
+    lons = rng.uniform(-170, 170, N_CITIES)
+    return np.stack([lats, lons], axis=1)
+
+
+def city_weights() -> np.ndarray:
+    w = 1.0 / np.power(np.arange(1, N_CITIES + 1), 1.5)
+    return w / w.sum()
+
+
+@dataclass
+class PageSpec:
+    """One generated page plus its ground-truth decode."""
+
+    url: str
+    warc_ts: _dt.datetime
+    html: bytes
+    text: str
+    lang: str
+    truth: DecodedPage
+
+
+def _page_text(rng: np.random.Generator, url: str) -> str:
+    n = int(rng.integers(20, 60))
+    words = rng.choice(_WORDS, n)
+    return f"{url} :: " + " ".join(words.tolist())
+
+
+def generate_page(page_idx: int, seed: int = 42, *, dangling: bool = True) -> PageSpec:
+    rng = np.random.default_rng((seed, page_idx))
+    centers = city_centers()
+    city = int(rng.choice(N_CITIES, p=city_weights()))
+    clat, clon = centers[city]
+
+    url = f"https://synth.example/{city:04d}/{page_idx:06d}"
+    ts = EPOCH + _dt.timedelta(seconds=int(page_idx) * 7)
+    lang = str(rng.choice(_LANGS))
+    text = _page_text(rng, url)
+
+    negative = page_idx % 97 == 3
+    base = (page_idx + 1) * 100_000
+
+    page = DecodedPage(text=text.encode("utf-8"))
+
+    # --- scatter point nodes around the city center
+    n_pts = int(rng.poisson(40))
+    lats = clat + rng.normal(0, 0.05, n_pts)
+    lons = clon + rng.normal(0, 0.05, n_pts)
+    ids = base + np.arange(n_pts)
+    if negative:
+        ids = -ids
+    nodes = PageNodes()
+    nodes.ids = ids.tolist()
+    nodes.lat_units = [deg_to_unit(v) for v in lats]
+    nodes.lon_units = [deg_to_unit(v) for v in lons]
+    for i in range(n_pts):
+        tags: dict[str, str] = {}
+        r = rng.random()
+        if r < 0.15:
+            tags["addr:housenumber"] = str(int(rng.integers(1, 300)))
+            tags["addr:street"] = f"{rng.choice(_WORDS)} street"
+        elif r < 0.40:
+            tags["amenity"] = str(rng.choice(_NODE_AMENITIES))
+        if rng.random() < 0.10:
+            tags["name"] = f"{rng.choice(_WORDS)} {rng.choice(_WORDS)}"
+        nodes.tags.append(tags)
+    page.nodes = nodes
+
+    next_local = n_pts  # next node offset within this page's id block
+
+    # --- ways: open polylines + closed convex rings (polygons)
+    ways = PageWays()
+    n_ways = max(1, int(rng.poisson(6)))
+    way_base = 10_000_000_000 + page_idx * 100
+    for j in range(n_ways):
+        wid = way_base + j
+        closed = rng.random() < 0.30
+        wtags: dict[str, str] = {}
+        if closed and n_pts > 0:
+            # dedicated ring vertices: convex polygon around a sub-center
+            k = int(rng.integers(4, 9))
+            rlat = clat + rng.normal(0, 0.04)
+            rlon = clon + rng.normal(0, 0.04)
+            radius = rng.uniform(0.002, 0.02)
+            angles = np.sort(rng.uniform(0, 2 * np.pi, k))
+            vlats = rlat + radius * np.sin(angles)
+            vlons = rlon + radius * np.cos(angles) / max(np.cos(np.radians(rlat)), 0.2)
+            vids = base + next_local + np.arange(k)
+            if negative:
+                vids = -vids
+            next_local += k
+            nodes.ids.extend(vids.tolist())
+            nodes.lat_units.extend(deg_to_unit(v) for v in vlats)
+            nodes.lon_units.extend(deg_to_unit(v) for v in vlons)
+            nodes.tags.extend({} for _ in range(k))
+            refs = vids.tolist() + [int(vids[0])]  # ring closure
+            wtags["building"] = "yes" if rng.random() < 0.5 else "industrial"
+        else:
+            k = int(rng.integers(3, 13))
+            k = min(k, max(n_pts, 1))
+            pick = rng.choice(max(n_pts, 1), size=k, replace=False) if n_pts else np.array([], int)
+            refs = [int(nodes.ids[p]) for p in pick]
+            wtags["highway"] = str(rng.choice(_HIGHWAYS))
+            if rng.random() < 0.2:
+                wtags["name"] = f"{rng.choice(_WORDS)} road"
+        if rng.random() < 0.1:
+            wtags["addr:housenumber"] = str(int(rng.integers(1, 300)))
+        # ~5% cross-page ref: borrow a node from the previous page
+        if page_idx > 0 and rng.random() < 0.05 and refs:
+            prev_base = page_idx * 100_000
+            prev_neg = (page_idx - 1) % 97 == 3
+            borrow = prev_base + int(rng.integers(0, 20))
+            refs[len(refs) // 2] = -borrow if prev_neg else borrow
+        # ~1% dangling ref (strict mode must fail; skip mode drops the node)
+        if dangling and rng.random() < 0.01 and refs:
+            refs.append(888_888_888_888 + page_idx)
+        ways.ids.append(wid)
+        ways.refs.append(refs)
+        ways.tags.append(wtags)
+    page.ways = ways
+
+    # --- relations
+    rels = PageRels()
+    if rng.random() < 0.8:
+        rid = 20_000_000_000 + page_idx * 10
+        rtags = {"type": str(rng.choice(_REL_TYPES))}
+        if rng.random() < 0.1:
+            rtags["addr:housenumber"] = str(int(rng.integers(1, 300)))
+        n_mem = int(rng.integers(2, 7))
+        mids: list[int] = []
+        mtypes: list[int] = []
+        mroles: list[str] = []
+        for _ in range(n_mem):
+            r = rng.random()
+            if r < 0.55 and ways.ids:
+                mids.append(int(rng.choice(ways.ids)))
+                mtypes.append(WAY_TYPE)
+            elif r < 0.90 and nodes.ids:
+                mids.append(int(rng.choice(nodes.ids)))
+                mtypes.append(NODE_TYPE)
+            elif r < 0.95:
+                mids.append(30_000_000_000 + page_idx)  # sub-relation: dropped
+                mtypes.append(RELATION_TYPE)
+            else:
+                mids.append(int(ways.ids[0]) + 7_777)  # dangling member: dropped
+                mtypes.append(WAY_TYPE)
+            mroles.append(str(rng.choice(_ROLES)))
+        rels.ids.append(rid)
+        rels.member_ids.append(mids)
+        rels.member_types.append(mtypes)
+        rels.member_roles.append(mroles)
+        rels.tags.append(rtags)
+    page.rels = rels
+
+    compress = page_idx % 2 == 0
+    html = encode_page(page, compress=compress)
+    return PageSpec(url=url, warc_ts=ts, html=html, text=text, lang=lang, truth=page)
+
+
+def generate_pages(n_pages: int, seed: int = 42, *, dangling: bool = True) -> list[PageSpec]:
+    return [generate_page(i, seed, dangling=dangling) for i in range(n_pages)]
+
+
+def pages_arrow_table(n_pages: int, seed: int = 42, *, dangling: bool = True) -> pa.Table:
+    specs = generate_pages(n_pages, seed, dangling=dangling)
+    return pa.table(
+        {
+            "url": pa.array([s.url for s in specs], pa.string()),
+            "warc_ts": pa.array([s.warc_ts.replace(tzinfo=None) for s in specs], pa.timestamp("us")),
+            "html": pa.array([s.html for s in specs], pa.binary()),
+            "text": pa.array([s.text for s in specs], pa.string()),
+            "lang": pa.array([s.lang for s in specs], pa.string()),
+        }
+    )
+
+
+def write_pages_parquet(path: str, n_pages: int, seed: int = 42, *, dangling: bool = True) -> str:
+    """Write the pages table as parquet; returns the path."""
+    import pyarrow.parquet as pq
+
+    tbl = pages_arrow_table(n_pages, seed, dangling=dangling)
+    pq.write_table(tbl, path, compression="zstd")
+    return path
+
+
+# Scale profiles (FIXTURES.md §4): t1 smoke / t2 correctness / bench.
+PROFILES = {"t1": 500, "t2": 5_000, "bench": 50_000}
+
+
+def ensure_pages_parquet(profile: str, cache_dir: str = "/tmp/gosmonaut_pages") -> str:
+    """Generate-once cache of the pages parquet for a named profile."""
+    import os
+
+    n = PROFILES[profile]
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"pages_{profile}_{n}.parquet")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        write_pages_parquet(tmp, n)
+        os.replace(tmp, path)
+    return path

@@ -12,7 +12,11 @@ Layout (all integers are LEB128 unsigned varints; "zz" = zigzag-signed)::
 
     blob   := magic b"GPB1" | flags u8 | body
     flags  := bit0 set -> body is zlib-compressed
-    body   := strtab | text | nodes | ways | rels
+    body   := dir | strtab | text | nodes | ways | rels
+    dir    := 5 varints: byte length of each following section — a
+              payload-level zone map, the analog of the reference's blob
+              position index (/root/reference/decode.go:341-383): typed
+              extraction passes seek straight to the section they need
     strtab := n | n * (len | utf8-bytes)          # index 0 MUST be ""
     text   := len | utf8-bytes                     # the page's extracted text
     nodes  := n | n*zz-delta(id) | n*zz-delta(lat_unit) | n*zz-delta(lon_unit)
@@ -192,20 +196,7 @@ def encode_page(page: DecodedPage, *, compress: bool) -> bytes:
         for r in roles:
             st.add(r)
 
-    body = bytearray()
-
-    # strtab
-    write_varint(body, len(st.strings))
-    for s in st.strings:
-        b = s.encode("utf-8")
-        write_varint(body, len(b))
-        body.extend(b)
-
-    # text
-    write_varint(body, len(page.text))
-    body.extend(page.text)
-
-    def write_keyvals(groups: list[dict[str, str]]) -> None:
+    def write_keyvals(body: bytearray, groups: list[dict[str, str]]) -> None:
         for tags in groups:
             for k, v in tags.items():
                 if not k:
@@ -214,46 +205,68 @@ def encode_page(page: DecodedPage, *, compress: bool) -> bytes:
                 write_varint(body, st.add(v) + 1)  # off-by-one: 0 = delimiter
             write_varint(body, 0)
 
-    def write_delta_zz(values: list[int]) -> None:
+    def write_delta_zz(body: bytearray, values: list[int]) -> None:
         prev = 0
         for v in values:
             write_varint(body, zigzag_encode(v - prev))
             prev = v
 
-    # nodes
+    # nodes section
+    nodes_sec = bytearray()
     n = page.nodes
-    write_varint(body, len(n.ids))
-    write_delta_zz(n.ids)
-    write_delta_zz(n.lat_units)
-    write_delta_zz(n.lon_units)
-    write_keyvals(n.tags)
+    write_varint(nodes_sec, len(n.ids))
+    write_delta_zz(nodes_sec, n.ids)
+    write_delta_zz(nodes_sec, n.lat_units)
+    write_delta_zz(nodes_sec, n.lon_units)
+    write_keyvals(nodes_sec, n.tags)
 
-    # ways
+    # ways section
+    ways_sec = bytearray()
     w = page.ways
-    write_varint(body, len(w.ids))
-    write_delta_zz(w.ids)
+    write_varint(ways_sec, len(w.ids))
+    write_delta_zz(ways_sec, w.ids)
     for refs in w.refs:
-        write_varint(body, len(refs))
+        write_varint(ways_sec, len(refs))
     for refs in w.refs:
-        write_delta_zz(refs)  # delta resets per way (first value absolute)
-    write_keyvals(w.tags)
+        write_delta_zz(ways_sec, refs)  # delta resets per way (first = absolute)
+    write_keyvals(ways_sec, w.tags)
 
-    # rels
+    # rels section
+    rels_sec = bytearray()
     r = page.rels
-    write_varint(body, len(r.ids))
-    write_delta_zz(r.ids)
+    write_varint(rels_sec, len(r.ids))
+    write_delta_zz(rels_sec, r.ids)
     for mids in r.member_ids:
-        write_varint(body, len(mids))
+        write_varint(rels_sec, len(mids))
     for mids in r.member_ids:
-        write_delta_zz(mids)
+        write_delta_zz(rels_sec, mids)
     for mtypes in r.member_types:
         for t in mtypes:
-            write_varint(body, t)
+            write_varint(rels_sec, t)
     for roles in r.member_roles:
         for role in roles:
-            write_varint(body, st.add(role))
-    write_keyvals(r.tags)
+            write_varint(rels_sec, st.add(role))
+    write_keyvals(rels_sec, r.tags)
 
+    # strtab section — written last (interning may have grown the table)
+    strtab_sec = bytearray()
+    write_varint(strtab_sec, len(st.strings))
+    for s in st.strings:
+        b = s.encode("utf-8")
+        write_varint(strtab_sec, len(b))
+        strtab_sec.extend(b)
+
+    # text section
+    text_sec = bytearray()
+    write_varint(text_sec, len(page.text))
+    text_sec.extend(page.text)
+
+    sections = [strtab_sec, text_sec, nodes_sec, ways_sec, rels_sec]
+    body = bytearray()
+    for sec in sections:
+        write_varint(body, len(sec))  # section directory (zone map)
+    for sec in sections:
+        body.extend(sec)
     payload = bytes(body)
     flags = 0
     if compress:
@@ -278,6 +291,11 @@ def decode_page(blob: bytes) -> DecodedPage:
     if flags & FLAG_ZLIB:
         body = zlib.decompress(body)
     rd = Reader(body)
+
+    # section directory: [strtab, text, nodes, ways, rels] byte lengths
+    sec_lens = [rd.varint() for _ in range(5)]
+    if rd.pos + sum(sec_lens) != len(body):
+        raise ValueError("section directory does not cover the body")
 
     n_str = rd.varint()
     strings: list[str] = []

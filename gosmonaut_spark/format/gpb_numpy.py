@@ -188,8 +188,18 @@ def _tags_from_pairs(
     return out
 
 
-def decode_page_np(blob: bytes) -> NumpyPage:
-    """Decode one GPB1 blob with the vectorized path."""
+_ALL_SECTIONS = ("text", "nodes", "ways", "rels")
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
+
+
+def decode_page_np(blob: bytes, want: tuple[str, ...] = _ALL_SECTIONS) -> NumpyPage:
+    """Decode one GPB1 blob with the vectorized path.
+
+    ``want`` selects sections; unwanted ones are *seeked over* via the
+    section directory — the payload-level analog of the reference's typed
+    scan selection (/root/reference/fast_blob_decoder.go:74-129) and blob
+    index replay (/root/reference/decode.go:341-383).
+    """
     if blob[:4] != MAGIC:
         raise ValueError("bad magic")
     flags = blob[4]
@@ -199,46 +209,76 @@ def decode_page_np(blob: bytes) -> NumpyPage:
     buf = np.frombuffer(body, dtype=np.uint8)
     cur = _Cursor(buf)
 
-    # string table: framing is sequential, payload slices are bulk
-    n_str = cur.varint()
-    strings: list[str] = []
-    for _ in range(n_str):
-        ln = cur.varint()
-        strings.append(cur.take_bytes(ln).decode("utf-8"))
-    if not strings or strings[0] != "":
-        raise ValueError("string table index 0 must be empty")
+    sec_lens = [cur.varint() for _ in range(5)]
+    if cur.pos + sum(sec_lens) != buf.size:
+        raise ValueError("section directory does not cover the body")
+    want_entities = bool({"nodes", "ways", "rels"} & set(want))
 
-    text = cur.take_bytes(cur.varint())
+    # string table: framing is sequential, payload slices are bulk
+    strings: list[str] = [""]
+    if want_entities:
+        n_str = cur.varint()
+        strings = []
+        for _ in range(n_str):
+            ln = cur.varint()
+            strings.append(cur.take_bytes(ln).decode("utf-8"))
+        if not strings or strings[0] != "":
+            raise ValueError("string table index 0 must be empty")
+    else:
+        cur.pos += sec_lens[0]
+
+    text = b""
+    if "text" in want:
+        text = cur.take_bytes(cur.varint())
+    else:
+        cur.pos += sec_lens[1]
 
     # nodes
-    nn = cur.varint()
-    node_ids = np.cumsum(zigzag_decode_arr(cur.take_varints(nn)))
-    node_lats = np.cumsum(zigzag_decode_arr(cur.take_varints(nn)))
-    node_lons = np.cumsum(zigzag_decode_arr(cur.take_varints(nn)))
-    node_tags = _tags_from_pairs(nn, *cur.take_keyval_stream(nn), strings)
+    nn = 0
+    node_ids = node_lats = node_lons = _EMPTY_I64
+    node_tags: list[dict[str, str]] = []
+    if "nodes" in want:
+        nn = cur.varint()
+        node_ids = np.cumsum(zigzag_decode_arr(cur.take_varints(nn)))
+        node_lats = np.cumsum(zigzag_decode_arr(cur.take_varints(nn)))
+        node_lons = np.cumsum(zigzag_decode_arr(cur.take_varints(nn)))
+        node_tags = _tags_from_pairs(nn, *cur.take_keyval_stream(nn), strings)
+    else:
+        cur.pos += sec_lens[2]
 
     # ways
-    nw = cur.varint()
-    way_ids = np.cumsum(zigzag_decode_arr(cur.take_varints(nw)))
-    way_nrefs = cur.take_varints(nw)
-    total_refs = int(way_nrefs.sum())
-    ref_deltas = zigzag_decode_arr(cur.take_varints(total_refs))
-    group_starts = np.concatenate(([0], np.cumsum(way_nrefs)[:-1])).astype(np.int64)
-    way_refs = grouped_delta_cumsum(ref_deltas, group_starts, way_nrefs)
-    way_tags = _tags_from_pairs(nw, *cur.take_keyval_stream(nw), strings)
+    way_ids = way_nrefs = way_refs = _EMPTY_I64
+    way_tags: list[dict[str, str]] = []
+    if "ways" in want:
+        nw = cur.varint()
+        way_ids = np.cumsum(zigzag_decode_arr(cur.take_varints(nw)))
+        way_nrefs = cur.take_varints(nw)
+        total_refs = int(way_nrefs.sum())
+        ref_deltas = zigzag_decode_arr(cur.take_varints(total_refs))
+        group_starts = np.concatenate(([0], np.cumsum(way_nrefs)[:-1])).astype(np.int64)
+        way_refs = grouped_delta_cumsum(ref_deltas, group_starts, way_nrefs)
+        way_tags = _tags_from_pairs(nw, *cur.take_keyval_stream(nw), strings)
+    else:
+        cur.pos += sec_lens[3]
 
     # relations
-    nr = cur.varint()
-    rel_ids = np.cumsum(zigzag_decode_arr(cur.take_varints(nr)))
-    rel_nmem = cur.take_varints(nr)
-    total_mem = int(rel_nmem.sum())
-    mem_deltas = zigzag_decode_arr(cur.take_varints(total_mem))
-    mem_starts = np.concatenate(([0], np.cumsum(rel_nmem)[:-1])).astype(np.int64)
-    rel_member_ids = grouped_delta_cumsum(mem_deltas, mem_starts, rel_nmem)
-    rel_member_types = cur.take_varints(total_mem)
-    role_idx = cur.take_varints(total_mem)
-    rel_member_roles = [strings[i] for i in role_idx.tolist()]
-    rel_tags = _tags_from_pairs(nr, *cur.take_keyval_stream(nr), strings)
+    rel_ids = rel_nmem = rel_member_ids = rel_member_types = _EMPTY_I64
+    rel_member_roles: list[str] = []
+    rel_tags: list[dict[str, str]] = []
+    if "rels" in want:
+        nr = cur.varint()
+        rel_ids = np.cumsum(zigzag_decode_arr(cur.take_varints(nr)))
+        rel_nmem = cur.take_varints(nr)
+        total_mem = int(rel_nmem.sum())
+        mem_deltas = zigzag_decode_arr(cur.take_varints(total_mem))
+        mem_starts = np.concatenate(([0], np.cumsum(rel_nmem)[:-1])).astype(np.int64)
+        rel_member_ids = grouped_delta_cumsum(mem_deltas, mem_starts, rel_nmem)
+        rel_member_types = cur.take_varints(total_mem)
+        role_idx = cur.take_varints(total_mem)
+        rel_member_roles = [strings[i] for i in role_idx.tolist()]
+        rel_tags = _tags_from_pairs(nr, *cur.take_keyval_stream(nr), strings)
+    else:
+        cur.pos += sec_lens[4]
 
     if cur.pos != buf.size:
         raise ValueError(f"trailing bytes: {buf.size - cur.pos}")

@@ -1,0 +1,56 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Defaults are sized for local[N] testing but every knob is the one that
+matters on a 1000-executor cluster: AQE on (runtime re-plan + skew-join
+splitting), coalescing of tiny shuffle partitions, Arrow batches for all
+pandas UDF stages, and a runtime Bloom-filter join (the engine analog of the
+reference's paged bitset trackers, /root/reference/id_tracker.go:59-138).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    master: str | None = None,
+    app_name: str = "gosmonaut_spark",
+    shuffle_partitions: int | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local: ~1x cores; on a real cluster this is overridden upward
+        shuffle_partitions = max(cpus, 8)
+
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8000")
+        # 8000 = the reference's entities-per-block constant
+        # (/root/reference/decode.go:42-43): keeps Arrow batches block-sized
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.log.level", "WARN")
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def get_or_create(master: str | None = None, **kw) -> SparkSession:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    return build_session(master, **kw)

@@ -1,0 +1,210 @@
+"""Pass 0 — pages-table scan and typed entity extraction.
+
+The Spark recast of the reference's parallel blob decode
+(/root/reference/decode.go:155-249): Spark's task scheduler replaces the
+hand-rolled goroutine pool; each ``mapInPandas`` batch is the analog of one
+PrimitiveBlock (Arrow batch size pinned to 8000, the reference's block
+constant). Extraction is *typed* (one pass materializes one entity kind,
+/root/reference/fast_blob_decoder.go:74-129): the GPB1 section directory lets
+the decoder seek over sections it does not need, and Catalyst's column
+pruning means a pass reads only ``(url, html)`` from parquet.
+
+Output schemas (FIXTURES.md §2):
+
+* ``nodes(url, id, lat, lon, tags)``
+* ``ways_raw(url, id, tags, refs array<long>)`` — ``way_refs`` via posexplode
+* ``relations_raw(url, id, tags, member_ids, member_types, member_roles)``
+* ``texts(url, text_extracted)`` — byte-identity invariant surface
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..format.gpb import COORD_SCALE, TYPE_NAMES
+
+NODES_SCHEMA = (
+    "url string, id long, lat double, lon double, tags map<string,string>"
+)
+WAYS_RAW_SCHEMA = "url string, id long, tags map<string,string>, refs array<long>"
+RELS_RAW_SCHEMA = (
+    "url string, id long, tags map<string,string>, "
+    "member_ids array<long>, member_types array<int>, member_roles array<string>"
+)
+TEXTS_SCHEMA = "url string, text_extracted string"
+
+
+def read_pages(spark: SparkSession, path: str) -> DataFrame:
+    """Scan the pages table. Parquet layout stands in for Iceberg in the
+    sandbox (no Iceberg runtime jar); the reader is isolated here so a real
+    ``spark.read.table`` swap is one line."""
+    return spark.read.parquet(path)
+
+
+def _decode_batches(
+    want: tuple[str, ...], emit: Callable[[str, "object"], dict]
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """Build a mapInPandas function: decode each (url, html) batch with the
+    vectorized numpy decoder and emit rows via ``emit(url, page)``."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # import inside the task so only workers pay the import
+        import numpy as np
+
+        from ..format.gpb_numpy import decode_page_np
+
+        for pdf in batches:
+            # accumulate per-page columns, build ONE frame per Arrow batch
+            acc: dict[str, list] = {}
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                page = decode_page_np(bytes(blob), want=want)
+                for k, v in emit(url, page).items():
+                    acc.setdefault(k, []).append(v)
+            if not acc:
+                continue
+            cols = {}
+            for k, chunks in acc.items():
+                if chunks and isinstance(chunks[0], np.ndarray):
+                    cols[k] = np.concatenate(chunks)
+                else:
+                    merged: list = []
+                    for c in chunks:
+                        merged.extend(c)
+                    cols[k] = merged
+            yield pd.DataFrame(cols)
+
+    return fn
+
+
+def extract_nodes(pages: DataFrame) -> DataFrame:
+    """Decode the nodes section of every page → flat nodes DataFrame.
+
+    Coordinate projection per the reference (/root/reference/decode.go:517-519):
+    ``deg = 1e-9 * granularity * unit`` — applied vectorized in numpy.
+    """
+
+    def emit(url, page):
+        n = len(page.node_ids)
+        return {
+            "url": [url] * n,
+            "id": page.node_ids,
+            "lat": page.node_lat_units * COORD_SCALE,
+            "lon": page.node_lon_units * COORD_SCALE,
+            "tags": page.node_tags,
+        }
+
+    return pages.select("url", "html").mapInPandas(
+        _decode_batches(("nodes",), emit), NODES_SCHEMA
+    )
+
+
+def extract_ways_raw(pages: DataFrame) -> DataFrame:
+    """Decode the ways section → one row per way, refs as an ordered array."""
+
+    def emit(url, page):
+        import numpy as np
+
+        nw = len(page.way_ids)
+        bounds = np.cumsum(page.way_nrefs)[:-1] if nw else []
+        refs = [a.tolist() for a in np.split(page.way_refs, bounds)] if nw else []
+        return {
+            "url": [url] * nw,
+            "id": page.way_ids,
+            "tags": page.way_tags,
+            "refs": refs,
+        }
+
+    return pages.select("url", "html").mapInPandas(
+        _decode_batches(("ways",), emit), WAYS_RAW_SCHEMA
+    )
+
+
+def extract_relations_raw(pages: DataFrame) -> DataFrame:
+    """Decode the relations section → one row per relation, parallel member
+    arrays preserved in input order (/root/reference/gosmonaut.go:427-440)."""
+
+    def emit(url, page):
+        import numpy as np
+
+        nr = len(page.rel_ids)
+        bounds = np.cumsum(page.rel_nmembers)[:-1] if nr else []
+        mids = [a.tolist() for a in np.split(page.rel_member_ids, bounds)] if nr else []
+        mtypes = (
+            [a.astype("int32").tolist() for a in np.split(page.rel_member_types, bounds)]
+            if nr
+            else []
+        )
+        roles: list[list[str]] = []
+        if nr:
+            off = 0
+            for c in page.rel_nmembers.tolist():
+                roles.append(page.rel_member_roles[off : off + c])
+                off += c
+        return {
+            "url": [url] * nr,
+            "id": page.rel_ids,
+            "tags": page.rel_tags,
+            "member_ids": mids,
+            "member_types": mtypes,
+            "member_roles": roles,
+        }
+
+    return pages.select("url", "html").mapInPandas(
+        _decode_batches(("rels",), emit), RELS_RAW_SCHEMA
+    )
+
+
+def extract_texts(pages: DataFrame) -> DataFrame:
+    """Decode only the text section — the byte-identity invariant surface
+    (north rule: byte-identical extracted text per url)."""
+
+    def emit(url, page):
+        return {"url": [url], "text_extracted": [page.text.decode("utf-8")]}
+
+    return pages.select("url", "html").mapInPandas(
+        _decode_batches(("text",), emit), TEXTS_SCHEMA
+    )
+
+
+def way_refs(ways_raw: DataFrame) -> DataFrame:
+    """``way_refs(way_id, pos, node_id)`` — ref order is data, not shuffle
+    order (the reference's ordered stitch, /root/reference/gosmonaut.go:371-390)."""
+    return ways_raw.select(
+        F.col("id").alias("way_id"),
+        F.posexplode("refs").alias("pos", "node_id"),
+    )
+
+
+def rel_members(relations_raw: DataFrame) -> DataFrame:
+    """``rel_members(rel_id, pos, member_id, member_type, role)`` — zip of the
+    parallel arrays (/root/reference/gosmonaut.go:427-440)."""
+    zipped = relations_raw.select(
+        F.col("id").alias("rel_id"),
+        F.posexplode(
+            F.arrays_zip(
+                F.col("member_ids").alias("member_id"),
+                F.col("member_types").alias("member_type"),
+                F.col("member_roles").alias("role"),
+            )
+        ).alias("pos", "m"),
+    )
+    return zipped.select(
+        "rel_id",
+        "pos",
+        F.col("m.member_id").alias("member_id"),
+        F.col("m.member_type").alias("member_type"),
+        F.col("m.role").alias("role"),
+    )
+
+
+def member_type_name(col):
+    """int member type → name, matching /root/reference/osm_types.go:10-17."""
+    m = F.create_map(
+        *[x for k, v in TYPE_NAMES.items() for x in (F.lit(k), F.lit(v))]
+    )
+    return m[col]

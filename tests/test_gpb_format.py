@@ -148,3 +148,16 @@ def test_bad_magic_rejected():
         decode_page(b"XXXX\x00")
     with pytest.raises(ValueError):
         decode_page_np(b"XXXX\x00")
+
+
+def test_selective_section_decode():
+    """Typed extraction seeks over unwanted sections via the directory."""
+    spec = generate_page(3, seed=42)
+    full = decode_page_np(spec.html)
+    w = decode_page_np(spec.html, want=("ways",))
+    assert w.way_ids.tolist() == full.way_ids.tolist()
+    assert w.way_refs.tolist() == full.way_refs.tolist()
+    assert w.way_tags == full.way_tags
+    assert w.node_ids.size == 0 and w.text == b""
+    t = decode_page_np(spec.html, want=("text",))
+    assert t.text == full.text and t.way_ids.size == 0

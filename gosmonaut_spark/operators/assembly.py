@@ -1,0 +1,246 @@
+"""Dependency + assembly passes — the gosmonaut core, as relational algebra.
+
+Pass structure mirrors /root/reference/gosmonaut.go:118-217 (5-pass plan):
+
+1. relation dependencies  -> needed way ids / node-member ids
+   (reference: bitset trackers, gosmonaut.go:245-288; here: LEFT SEMI joins,
+   with Spark's runtime Bloom-filter join as the bitset analog)
+2. way dependencies       -> needed node ids (gosmonaut.go:290-318)
+3. node scan              -> emit nodes passing the predicate
+4. way assembly           -> order-preserving stitch (gosmonaut.go:350-403)
+5. relation assembly      -> typed member resolve (gosmonaut.go:405-472)
+
+Scale notes: the ref->node join shuffles on node_id (both sides hash
+partitioned — sort-merge join at scale, broadcast-hash when the semi-joined
+node side is small enough for AQE to flip it). Ref order is carried as an
+explicit ``pos`` column and restored with ``array_sort`` — never shuffle
+order (the reference's ordered fan-in, decode.go:251-275, is a *property of
+the data* here, not of the scheduler).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..format.gpb import NODE_TYPE, RELATION_TYPE, WAY_TYPE
+
+NODE_STRUCT = "struct<id:bigint,lat:double,lon:double,tags:map<string,string>>"
+
+STRICT = "strict"
+SKIP_MISSING = "skip_missing"
+
+
+def _pos_cmp(l: Column, r: Column) -> Column:
+    return (
+        F.when(l["pos"] < r["pos"], F.lit(-1))
+        .when(l["pos"] > r["pos"], F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
+def ordered_collect(pos: str, value: Column, out_field: str = "v") -> Column:
+    """collect_list + array_sort-by-pos + project — the ordered re-agg used
+    after every assembly shuffle. A comparator lambda is required because
+    structs containing maps are not natively orderable."""
+    paired = F.collect_list(F.struct(F.col(pos).alias("pos"), value.alias(out_field)))
+    return F.transform(F.array_sort(paired, _pos_cmp), lambda s: s[out_field])
+
+
+@dataclass
+class AssemblyMetrics:
+    """Warn counters, the analog of the reference's printWarning
+    (/root/reference/gosmonaut.go:504-530). Filled only when the caller
+    runs the returned check actions (they cost one job each)."""
+
+    missing_way_nodes: int = 0
+    dropped_rel_members: int = 0
+    dropped_sub_relations: int = 0
+    extra: dict = field(default_factory=dict)
+
+
+# ---------------------------------------------------------------------------
+# dependency passes (A13)
+# ---------------------------------------------------------------------------
+
+
+def needed_way_ids(needed_rels_members: DataFrame) -> DataFrame:
+    """Way ids referenced by needed relations (pass 1,
+    /root/reference/gosmonaut.go:262-270). Returns one column ``id``."""
+    return (
+        needed_rels_members.filter(F.col("member_type") == WAY_TYPE)
+        .select(F.col("member_id").alias("id"))
+        .distinct()
+    )
+
+
+def needed_node_ids_from_rels(needed_rels_members: DataFrame) -> DataFrame:
+    return (
+        needed_rels_members.filter(F.col("member_type") == NODE_TYPE)
+        .select(F.col("member_id").alias("id"))
+        .distinct()
+    )
+
+
+def ways_to_assemble(
+    ways_raw: DataFrame, predicate: Column, want_ways: bool, rel_way_ids: DataFrame | None
+) -> DataFrame:
+    """Ways that must be assembled: requested-and-matching ∪ referenced by a
+    needed relation (reference: tracked-or-needed, gosmonaut.go:367-369).
+    The union stays distinct on id because both branches come from the same
+    ways_raw rows (left-semi keeps one row per way)."""
+    parts = []
+    if want_ways:
+        parts.append(ways_raw.filter(predicate))
+    if rel_way_ids is not None:
+        parts.append(ways_raw.join(rel_way_ids, "id", "left_semi"))
+    if not parts:
+        return ways_raw.limit(0)
+    if len(parts) == 1:
+        return parts[0]
+    return parts[0].unionByName(parts[1]).dropDuplicates(["id"])
+
+
+# ---------------------------------------------------------------------------
+# way assembly (A15): order-preserving fetch join
+# ---------------------------------------------------------------------------
+
+
+def assemble_ways(
+    ways_sel: DataFrame,
+    nodes: DataFrame,
+    mode: str = STRICT,
+    metrics: AssemblyMetrics | None = None,
+) -> DataFrame:
+    """Stitch each selected way's refs into a full node array, order
+    preserved (reference scanWays, /root/reference/gosmonaut.go:350-403).
+
+    ``mode=STRICT``: a dangling ref raises (reference hard error,
+    gosmonaut.go:383-386) — detected deterministically with an anti-join,
+    not by task order. ``mode=SKIP_MISSING``: dangling refs are dropped and
+    counted (Config.SkipMissingNodes, gosmonaut.go:35-37).
+
+    Returns ``(id, tags, url, nodes array<struct<id,lat,lon,tags>>)``.
+    """
+    refs = ways_sel.select(
+        F.col("id").alias("way_id"), F.posexplode_outer("refs").alias("pos", "node_id")
+    )
+    node_side = nodes.select(
+        F.col("id").alias("node_id"),
+        F.struct(
+            F.col("id"), F.col("lat"), F.col("lon"), F.col("tags")
+        ).alias("node"),
+    )
+
+    if mode == STRICT:
+        missing = (
+            refs.filter(F.col("node_id").isNotNull())
+            .join(node_side, "node_id", "left_anti")
+        )
+        n_missing = missing.count()
+        if n_missing:
+            sample = [r.node_id for r in missing.select("node_id").limit(5).collect()]
+            raise ValueError(
+                f"way assembly: {n_missing} dangling node refs (e.g. {sample}); "
+                f"use mode='skip_missing' to drop them"
+            )
+    elif mode != SKIP_MISSING:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    joined = refs.join(node_side, "node_id", "inner")
+    if metrics is not None and mode == SKIP_MISSING:
+        total_refs = refs.filter(F.col("node_id").isNotNull()).count()
+        matched = joined.count()
+        metrics.missing_way_nodes = total_refs - matched
+
+    stitched = joined.groupBy("way_id").agg(
+        ordered_collect("pos", F.col("node")).alias("nodes")
+    )
+    # left join keeps zero-ref ways (empty array, not null) — the reference
+    # emits them too (a way with no surviving nodes still appears in skip
+    # mode, gosmonaut.go:388-397)
+    return (
+        ways_sel.select("id", "tags", "url")
+        .join(stitched.withColumnRenamed("way_id", "id"), "id", "left")
+        .withColumn("nodes", F.coalesce(F.col("nodes"), F.array().cast(f"array<{NODE_STRUCT}>")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# relation assembly (A16): typed fetch join
+# ---------------------------------------------------------------------------
+
+
+def assemble_relations(
+    rels_sel: DataFrame,
+    members: DataFrame,
+    assembled_ways: DataFrame,
+    nodes: DataFrame,
+    metrics: AssemblyMetrics | None = None,
+) -> DataFrame:
+    """Resolve each needed relation's members against assembled ways and
+    nodes (reference scanRelations, /root/reference/gosmonaut.go:405-472).
+
+    Missing members and sub-relation members are *dropped* with a warn
+    count, never an error (gosmonaut.go:445-465). Member order is restored
+    from the carried ``pos``. Returns
+    ``(id, tags, url, members array<struct<role,type,node,way>>)``.
+    """
+    mem = members.join(
+        rels_sel.select(F.col("id").alias("rel_id")), "rel_id", "left_semi"
+    )
+
+    if metrics is not None:
+        metrics.dropped_sub_relations = mem.filter(
+            F.col("member_type") == RELATION_TYPE
+        ).count()
+
+    mem = mem.filter(F.col("member_type") != RELATION_TYPE)
+
+    way_side = assembled_ways.select(
+        F.col("id").alias("member_id"),
+        F.struct("id", "tags", "nodes").alias("way"),
+    )
+    node_side = nodes.select(
+        F.col("id").alias("member_id"),
+        F.struct("id", "lat", "lon", "tags").alias("node"),
+    )
+
+    w = (
+        mem.filter(F.col("member_type") == WAY_TYPE)
+        .join(way_side, "member_id", "inner")
+        .withColumn("node", F.lit(None).cast(NODE_STRUCT))
+    )
+    n = (
+        mem.filter(F.col("member_type") == NODE_TYPE)
+        .join(node_side, "member_id", "inner")
+        .withColumn("way", F.lit(None).cast(w.schema["way"].dataType.simpleString()))
+    )
+    resolved = w.select("rel_id", "pos", "role", "member_type", "node", "way").unionByName(
+        n.select("rel_id", "pos", "role", "member_type", "node", "way")
+    )
+
+    if metrics is not None:
+        wanted = mem.count()
+        got = resolved.count()
+        metrics.dropped_rel_members = wanted - got
+
+    member_struct = F.struct(
+        F.col("role"),
+        F.when(F.col("member_type") == WAY_TYPE, F.lit("way"))
+        .otherwise(F.lit("node"))
+        .alias("type"),
+        F.col("node"),
+        F.col("way"),
+    )
+    agg = resolved.groupBy("rel_id").agg(
+        ordered_collect("pos", member_struct).alias("members")
+    )
+    out = (
+        rels_sel.select("id", "tags", "url")
+        .join(agg.withColumnRenamed("rel_id", "id"), "id", "left")
+    )
+    empty = F.array().cast(agg.schema["members"].dataType.simpleString())
+    return out.withColumn("members", F.coalesce(F.col("members"), empty))

@@ -1,0 +1,104 @@
+"""Tiling engine — raster<->vector aggregation over the cell grid (B6/B9/B10).
+
+All operators are plain groupBys/joins over integer cell ids (see
+functions/cells.py), so Catalyst plans them like any relational workload:
+partial aggregation map-side, AQE coalesces small partitions, and the salted
+variants absorb dense-cell skew that AQE's skew-join handling doesn't cover
+(skewed *aggregation* keys, e.g. one metro cell holding 1e9 points at res 5
+over a 10^12-page corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.cells import cell_expr, cell_parent
+
+
+def points_to_tiles(
+    points: DataFrame,
+    res: int,
+    lat: str = "lat",
+    lon: str = "lon",
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Vector -> raster: aggregate points into tiles at ``res``.
+
+    Default aggregate is a count; pass extra aggs for weighted layers.
+    Output: ``(res int, cell long, n_points long, ...)``.
+    """
+    aggs = aggs or []
+    grouped = (
+        points.withColumn("cell", cell_expr(lat, lon, res))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_points"), *aggs)
+    )
+    return grouped.select(F.lit(res).alias("res"), *grouped.columns)
+
+
+def salted_points_to_tiles(
+    points: DataFrame,
+    res: int,
+    lat: str = "lat",
+    lon: str = "lon",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase salted count for skew-heavy resolutions (B10).
+
+    Phase 1 groups by (cell, salt) — the hot cell's rows spread over
+    ``n_salts`` reducers; phase 2 merges the partials. The extra shuffle is
+    tiny (one row per (cell, salt)). Salt is derived from a stable hash of
+    the row, not rand(), so re-runs are deterministic.
+    """
+    salted = points.withColumn("cell", cell_expr(lat, lon, res)).withColumn(
+        "salt", F.pmod(F.xxhash64(F.col(lat), F.col(lon)), F.lit(n_salts))
+    )
+    partial = salted.groupBy("cell", "salt").agg(F.count(F.lit(1)).alias("pc"))
+    return (
+        partial.groupBy("cell")
+        .agg(F.sum("pc").alias("n_points"))
+        .select(F.lit(res).alias("res"), "cell", "n_points")
+    )
+
+
+def rollup_tiles(tiles: DataFrame, res: int, parent_res: int) -> DataFrame:
+    """Raster roll-up: re-aggregate tiles at ``res`` to ``parent_res`` by
+    pure integer parent arithmetic (no re-scan of the points)."""
+    return (
+        tiles.withColumn("cell", cell_parent("cell", res, parent_res))
+        .groupBy("cell")
+        .agg(F.sum("n_points").alias("n_points"))
+        .select(F.lit(parent_res).alias("res"), "cell", "n_points")
+    )
+
+
+def tile_pyramid(
+    points: DataFrame,
+    min_res: int,
+    max_res: int,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Tiles for every resolution in [min_res, max_res]: one scan builds the
+    finest layer, coarser layers roll up from it (log-fan-in, the idiomatic
+    raster pyramid — never re-scan the base table per level)."""
+    finest = points_to_tiles(points, max_res, lat, lon)
+    layers = [finest]
+    cur = finest
+    for r in range(max_res, min_res, -1):
+        cur = rollup_tiles(cur, r, r - 1)
+        layers.append(cur)
+    out = layers[0]
+    for l in layers[1:]:
+        out = out.unionByName(l)
+    return out
+
+
+def write_tiles(tiles: DataFrame, path: str, n_buckets: int | None = None) -> None:
+    """Ordered tile write: range-partition by (res, cell) so each output
+    file covers a contiguous spatial extent (x-major cell ids are spatially
+    coherent along y-stripes) — the scale path for tile-server consumption.
+    """
+    writer = tiles.repartitionByRange("res", "cell").sortWithinPartitions("res", "cell")
+    writer.write.mode("overwrite").parquet(path)

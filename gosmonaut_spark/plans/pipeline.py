@@ -1,0 +1,181 @@
+"""The 5-pass nested-entity pipeline — gosmonaut's Start() as a DataFrame DAG.
+
+Pass plan (reference: /root/reference/gosmonaut.go:118-217):
+
+  R-dep  : needed relations -> member way ids            (skipped if no rels)
+  W-dep  : (implicit) the ref->node join itself performs the node-id
+           restriction the reference tracks in bitsets (gosmonaut.go:290-318)
+  N      : emit nodes passing predicate                  (skipped if unwanted)
+  W      : assemble tracked-or-needed ways; emit the needed subset
+  R      : assemble relations from assembled ways + nodes
+
+Conditional pass skipping (reference gosmonaut.go:147-211) is plan-time
+here: unrequested entity DataFrames are simply never constructed, so no
+stage or scan is scheduled for them — visible in the physical plan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import predicates as P
+from ..operators.assembly import (
+    STRICT,
+    AssemblyMetrics,
+    assemble_relations,
+    assemble_ways,
+    needed_way_ids,
+    ways_to_assemble,
+)
+from ..sources import pages as src
+
+
+@dataclass
+class PipelineResult:
+    nodes: DataFrame | None
+    ways: DataFrame | None
+    relations: DataFrame | None
+    metrics: AssemblyMetrics
+
+    def workload_counts(self) -> dict[str, int]:
+        """Entity totals *including nested children* — the reference's
+        counting rule (/root/reference/gosmonaut_test.go:138-181):
+        way members add their node counts, relations add member ways/nodes.
+        """
+        nc = wc = rc = 0
+        if self.nodes is not None:
+            nc += self.nodes.count()
+        if self.ways is not None:
+            agg = self.ways.agg(
+                F.count("*").alias("w"), F.coalesce(F.sum(F.size("nodes")), F.lit(0)).alias("n")
+            ).collect()[0]
+            wc += agg.w
+            nc += agg.n
+        if self.relations is not None:
+            agg = self.relations.select(
+                F.explode_outer("members").alias("m")
+            ).agg(
+                F.count(F.col("m")).alias("mem"),
+                F.coalesce(
+                    F.sum(F.when(F.col("m.type") == "node", 1).otherwise(0)), F.lit(0)
+                ).alias("n"),
+                F.coalesce(
+                    F.sum(F.when(F.col("m.type") == "way", 1).otherwise(0)), F.lit(0)
+                ).alias("w"),
+                F.coalesce(
+                    F.sum(F.when(F.col("m.type") == "way", F.size("m.way.nodes"))),
+                    F.lit(0),
+                ).alias("wn"),
+            ).collect()[0]
+            rc += self.relations.count()
+            nc += agg.n + agg.wn
+            wc += agg.w
+        return {"nodes": int(nc), "ways": int(wc), "relations": int(rc)}
+
+
+def run_pipeline(
+    pages: DataFrame,
+    types: frozenset[str] | set[str] = P.ALL_TYPES,
+    predicate: Column | None = None,
+    mode: str = STRICT,
+    collect_metrics: bool = False,
+) -> PipelineResult:
+    """Run the full nested-entity resolution over a pages DataFrame.
+
+    ``predicate`` is a boolean Column over the per-entity ``tags`` map
+    (the reference's funcEntityNeeded, gosmonaut.go:118-121); it is applied
+    uniformly to every entity type, as the reference does.
+    """
+    pred = predicate if predicate is not None else F.lit(True)
+    metrics = AssemblyMetrics()
+
+    want_nodes = P.NODE in types
+    want_ways = P.WAY in types
+    want_rels = P.RELATION in types
+
+    out_nodes = out_ways = out_rels = None
+
+    # Pass R-dep (gosmonaut.go:147-153)
+    rels_needed = members = rel_way_ids = None
+    if want_rels:
+        rels_raw = src.extract_relations_raw(pages)
+        rels_needed = rels_raw.filter(pred)
+        members = src.rel_members(rels_needed)
+        rel_way_ids = needed_way_ids(members)
+
+    # Nodes are extracted when anything needs them
+    nodes_all = None
+    if want_nodes or want_ways or want_rels:
+        nodes_all = src.extract_nodes(pages)
+
+    # Pass N (gosmonaut.go:164-180)
+    if want_nodes:
+        out_nodes = nodes_all.filter(pred)
+
+    # Pass W (gosmonaut.go:182-198): assemble tracked-or-needed ways
+    assembled = None
+    if want_ways or want_rels:
+        ways_raw = src.extract_ways_raw(pages)
+        ways_sel = ways_to_assemble(ways_raw, pred, want_ways, rel_way_ids)
+        assembled = assemble_ways(
+            ways_sel, nodes_all, mode=mode, metrics=metrics if collect_metrics else None
+        )
+        if want_ways:
+            out_ways = assembled.filter(pred)
+
+    # Pass R (gosmonaut.go:200-211)
+    if want_rels:
+        out_rels = assemble_relations(
+            rels_needed,
+            members,
+            assembled,
+            nodes_all,
+            metrics=metrics if collect_metrics else None,
+        )
+
+    return PipelineResult(out_nodes, out_ways, out_rels, metrics)
+
+
+def entities_union(result: PipelineResult) -> DataFrame:
+    """Single output stream with the reference's global type order
+    nodes -> ways -> relations (gosmonaut_test.go:130-134) as an explicit
+    ``type_rank`` ORDER BY — Spark never preserves order through shuffles,
+    so the order is data, not scheduling (cf. ordered fan-in decode.go:251-275).
+    """
+    parts = []
+    if result.nodes is not None:
+        parts.append(
+            result.nodes.select(
+                F.lit(1).alias("type_rank"),
+                F.lit("node").alias("type"),
+                "id",
+                F.to_json(F.struct("id", "lat", "lon", "tags")).alias("entity_json"),
+            )
+        )
+    if result.ways is not None:
+        parts.append(
+            result.ways.select(
+                F.lit(2).alias("type_rank"),
+                F.lit("way").alias("type"),
+                "id",
+                F.to_json(F.struct("id", "tags", "nodes")).alias("entity_json"),
+            )
+        )
+    if result.relations is not None:
+        parts.append(
+            result.relations.select(
+                F.lit(4).alias("type_rank"),
+                F.lit("relation").alias("type"),
+                "id",
+                F.to_json(F.struct("id", "tags", "members")).alias("entity_json"),
+            )
+        )
+    if not parts:
+        raise ValueError("empty result")
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df.orderBy("type_rank", "id")

@@ -1,0 +1,166 @@
+"""End-to-end pipeline tests vs an independent pure-Python oracle.
+
+Recast of the reference's golden workloads (/root/reference/gosmonaut_test.go:
+52-75: 'addresses' = has addr:housenumber over all types; 'restrictions' =
+type=restriction over relations only) with the counting rule of
+gosmonaut_test.go:138-181 (totals include nested children).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gosmonaut_spark.fixtures.pages import generate_pages
+from gosmonaut_spark.format.gpb import NODE_TYPE, RELATION_TYPE, WAY_TYPE
+from gosmonaut_spark.operators import predicates as P
+from gosmonaut_spark.operators.assembly import SKIP_MISSING, STRICT
+from gosmonaut_spark.plans.pipeline import entities_union, run_pipeline
+
+N_PAGES = 500
+
+
+class Oracle:
+    """Pure-Python reimplementation of the 5-pass semantics."""
+
+    def __init__(self, n_pages=N_PAGES, dangling=True):
+        self.nodes = {}   # id -> (lat_unit, lon_unit, tags)
+        self.ways = {}    # id -> (refs, tags)
+        self.rels = {}    # id -> (member_ids, member_types, member_roles, tags)
+        for spec in generate_pages(n_pages, seed=42, dangling=dangling):
+            t = spec.truth
+            for i, nid in enumerate(t.nodes.ids):
+                self.nodes[nid] = (t.nodes.lat_units[i], t.nodes.lon_units[i], t.nodes.tags[i])
+            for j, wid in enumerate(t.ways.ids):
+                self.ways[wid] = (t.ways.refs[j], t.ways.tags[j])
+            for j, rid in enumerate(t.rels.ids):
+                self.rels[rid] = (
+                    t.rels.member_ids[j],
+                    t.rels.member_types[j],
+                    t.rels.member_roles[j],
+                    t.rels.tags[j],
+                )
+
+    def run(self, types, pred):
+        """Returns (node_count, way_count, rel_count) including children,
+        plus the emitted way node-arrays for order checks."""
+        nc = wc = rc = 0
+        emitted_way_nodes = {}
+
+        if "node" in types:
+            nc += sum(1 for _, (_, _, tags) in self.nodes.items() if pred(tags))
+
+        def assemble(wid):
+            refs, _ = self.ways[wid]
+            return [r for r in refs if r in self.nodes]
+
+        if "way" in types:
+            for wid, (refs, tags) in self.ways.items():
+                if pred(tags):
+                    resolved = assemble(wid)
+                    wc += 1
+                    nc += len(resolved)
+                    emitted_way_nodes[wid] = resolved
+
+        if "relation" in types:
+            for rid, (mids, mtypes, _roles, tags) in self.rels.items():
+                if not pred(tags):
+                    continue
+                rc += 1
+                for mid, mt in zip(mids, mtypes):
+                    if mt == RELATION_TYPE:
+                        continue  # dropped sub-relation
+                    if mt == WAY_TYPE:
+                        if mid in self.ways:
+                            wc += 1
+                            nc += len(assemble(mid))
+                    elif mt == NODE_TYPE:
+                        if mid in self.nodes:
+                            nc += 1
+        return {"nodes": nc, "ways": wc, "relations": rc}, emitted_way_nodes
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return Oracle()
+
+
+def test_workload_addresses(spark, pages_t1, oracle):
+    """All types, has_tag('addr:housenumber') — counts incl. children."""
+    expected, way_nodes = oracle.run(
+        {"node", "way", "relation"}, lambda t: "addr:housenumber" in t
+    )
+    res = run_pipeline(
+        pages_t1, P.ALL_TYPES, P.has_tag("addr:housenumber"), mode=SKIP_MISSING
+    )
+    assert res.workload_counts() == expected
+    # order of resolved way nodes == ref order (minus dropped danglings)
+    got = {
+        r.id: [n.id for n in r.nodes]
+        for r in res.ways.select("id", "nodes").collect()
+    }
+    assert got == way_nodes
+
+
+def test_workload_restrictions(spark, pages_t1, oracle):
+    """Relations only, tag_equals('type','restriction')."""
+    expected, _ = oracle.run(
+        {"relation"}, lambda t: t.get("type") == "restriction"
+    )
+    res = run_pipeline(
+        pages_t1, {P.RELATION}, P.tag_equals("type", "restriction"), mode=SKIP_MISSING
+    )
+    assert res.nodes is None and res.ways is None
+    assert res.workload_counts() == expected
+
+
+def test_relation_member_semantics(spark, pages_t1, oracle):
+    """Sub-relations and dangling members are dropped; member order is the
+    input order of surviving members (gosmonaut.go:441-465)."""
+    res = run_pipeline(pages_t1, {P.RELATION}, None, mode=SKIP_MISSING)
+    got = {
+        r.id: [(m.type, (m.node.id if m.type == "node" else m.way.id), m.role) for m in r.members]
+        for r in res.relations.collect()
+    }
+    for rid, (mids, mtypes, roles, _tags) in oracle.rels.items():
+        exp = []
+        for mid, mt, role in zip(mids, mtypes, roles):
+            if mt == RELATION_TYPE:
+                continue
+            if mt == WAY_TYPE and mid in oracle.ways:
+                exp.append(("way", mid, role))
+            elif mt == NODE_TYPE and mid in oracle.nodes:
+                exp.append(("node", mid, role))
+        assert got[rid] == exp, f"relation {rid} member mismatch"
+
+
+def test_strict_mode_raises_on_dangling(spark, pages_t1):
+    with pytest.raises(ValueError, match="dangling"):
+        run_pipeline(pages_t1, {P.WAY}, None, mode=STRICT).ways.count()
+
+
+def test_strict_mode_clean_fixture(spark, tmp_path):
+    from gosmonaut_spark.fixtures.pages import write_pages_parquet
+    from gosmonaut_spark.sources.pages import read_pages
+
+    path = str(tmp_path / "clean.parquet")
+    write_pages_parquet(path, 120, seed=42, dangling=False)
+    pages = read_pages(spark, path)
+    res = run_pipeline(pages, P.ALL_TYPES, None, mode=STRICT)
+    assert res.ways.count() > 0
+
+
+def test_empty_predicate(spark, pages_t1):
+    """Always-false predicate -> 0/0/0, no errors (gosmonaut_test.go:77-95)."""
+    res = run_pipeline(pages_t1, P.ALL_TYPES, P.always_false(), mode=SKIP_MISSING)
+    assert res.workload_counts() == {"nodes": 0, "ways": 0, "relations": 0}
+
+
+def test_type_order_invariant(spark, pages_t1):
+    """Union stream is globally ordered nodes -> ways -> relations."""
+    res = run_pipeline(
+        pages_t1, P.ALL_TYPES, P.has_tag("addr:housenumber"), mode=SKIP_MISSING
+    )
+    ranks = [r.type_rank for r in entities_union(res).select("type_rank").collect()]
+    assert ranks == sorted(ranks)
+    assert set(ranks) == {1, 2, 4}

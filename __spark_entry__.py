@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship spatial pipeline on the sf0.001-scale synthetic
+pages world (decode -> assemble -> point-in-polygon -> per-polygon counts).
+``queries``/``oracle_sql`` expose every operator from SURVEY.md §2 over the
+driver-registered tables so DuckDB can verify them (see
+gosmonaut_spark/queries.py for the determinism rules); the gosmonaut-specific
+nested-entity passes additionally appear as rows-only entries whose strong
+oracles live in tests/ (pure-Python decoder + brute-force checks).
 """
 
 from __future__ import annotations
@@ -13,26 +15,40 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from gosmonaut_spark.queries import build_queries, build_rows_only_queries
+
+_QUERIES = build_queries()
+_ROWS_ONLY = build_rows_only_queries()
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: nested-entity resolution + PIP spatial join on the
+    synthetic pages table (sf0.001 profile), plus the driver tables for
+    the tiling layer — returns per-polygon point counts."""
+    import pyspark.sql.functions as F
+
+    from gosmonaut_spark.fixtures.pages import ensure_pages_parquet
+    from gosmonaut_spark.operators.assembly import SKIP_MISSING
+    from gosmonaut_spark.operators.pip import point_in_polygon_join, polygons_from_ways
+    from gosmonaut_spark.plans.pipeline import run_pipeline
+    from gosmonaut_spark.sources.pages import read_pages
+
+    pages = read_pages(spark, ensure_pages_parquet("t1"))
+    res = run_pipeline(pages, {"node", "way"}, None, mode=SKIP_MISSING)
+    polys = polygons_from_ways(res.ways)
+    hits = point_in_polygon_join(res.nodes.select("id", "lat", "lon"), polys, res=11)
+    return (
+        hits.groupBy("polygon_id")
+        .agg(F.count(F.lit(1)).alias("n_points_inside"))
+        .orderBy(F.col("n_points_inside").desc(), F.col("polygon_id").asc())
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = {name: fn for name, (fn, _sql) in _QUERIES.items()}
+    out.update(_ROWS_ONLY)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in _QUERIES.items()}

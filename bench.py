@@ -1,0 +1,187 @@
+#!/usr/bin/env python3
+"""Benchmark harness — headline queries at SPARK_GRAFT_SF_DIR on
+local[SPARK_GRAFT_CPUS]; prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra fields (informational, same line): rows_out per query, throughput
+rows/sec for the spatial headline, and — when --scaling is passed — a second
+run at 1/4 the cores with the measured N->4N scaling efficiency
+(BASELINE.json north rule: >= 0.8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return 0.1
+
+
+def _profile_for(sf: float) -> str:
+    return {0.001: "t1", 0.01: "t2"}.get(sf, "bench")
+
+
+def run_suite(cpus: int, sf_dir: str, pages_path: str) -> dict:
+    """One full benchmark pass on a fresh session with `cpus` cores."""
+    import pyspark.sql.functions as F
+
+    from gosmonaut_spark.operators.assembly import SKIP_MISSING
+    from gosmonaut_spark.operators.knn import knn_join
+    from gosmonaut_spark.operators.pip import point_in_polygon_join, polygons_from_ways
+    from gosmonaut_spark.operators.tiling import tile_pyramid
+    from gosmonaut_spark.plans.pipeline import run_pipeline
+    from gosmonaut_spark.queries import _pts, build_queries
+    from gosmonaut_spark.session import build_session
+    from gosmonaut_spark.sources.pages import read_pages
+
+    spark = build_session(master=f"local[{cpus}]", shuffle_partitions=max(cpus * 2, 8))
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        n = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = int(n)
+
+    pages = read_pages(spark, pages_path)
+
+    # 1. decode + full nested assembly (the gosmonaut core)
+    def _assemble():
+        res = run_pipeline(
+            pages, {"node", "way", "relation"}, None, mode=SKIP_MISSING
+        )
+        c = res.workload_counts()
+        # persist assembled ways for downstream passes in this suite
+        _assemble.ways = res.ways.persist()
+        _assemble.nodes = res.nodes.select("id", "lat", "lon").persist()
+        _assemble.ways.count()
+        _assemble.nodes.count()
+        return c["nodes"] + c["ways"] + c["relations"]
+
+    run("decode_assemble", _assemble)
+
+    # 2. spatial join: point-in-polygon over assembled polygons
+    def _pip():
+        polys = polygons_from_ways(_assemble.ways)
+        out = point_in_polygon_join(
+            _assemble.nodes, polys, res=13, engine="vectorized"
+        )
+        return out.count()
+
+    run("pip_join", _pip)
+
+    # 3. tile pyramid res 5..12 over extracted nodes
+    def _tiles():
+        return tile_pyramid(_assemble.nodes, 5, 12).count()
+
+    run("tile_pyramid", _tiles)
+
+    # 4. kNN ring join over derived points (driver events table)
+    def _knn():
+        pts = _pts(spark, sf_dir)
+        qs = pts.filter(F.col("id") % 11 == 0).select(
+            F.col("id").alias("query_id"), "lat", "lon"
+        )
+        ts = pts.select(F.col("id").alias("target_id"), "lat", "lon")
+        return knn_join(qs, ts, k=5, res=6, ring=1).count()
+
+    run("knn_ring", _knn)
+
+    # 5. minhash-LSH dedup over documents
+    def _dedup():
+        from gosmonaut_spark.functions.dedup import minhash_lsh_pairs
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        dup = d.select("doc_id", "text").withColumn(
+            "doc_id", F.col("doc_id") + F.lit(10_000_000)
+        )
+        return minhash_lsh_pairs(
+            d.select("doc_id", "text").unionByName(dup),
+            threshold=0.8,
+            n_hashes=16,
+            n_bands=4,
+        ).count()
+
+    run("dedup_minhash", _dedup)
+
+    # 6. ANN: LSH-bucketed cosine top-k over embeddings
+    def _ann():
+        from gosmonaut_spark.functions.similarity import cosine_topk_lsh
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qs = e.filter(F.col("vec_id") % 7 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        ts = e.select(F.col("vec_id").alias("target_id"), "embedding")
+        return cosine_topk_lsh(qs, ts, k=10, n_bits=4, n_tables=8, dim=64).count()
+
+    run("ann_topk_lsh", _ann)
+
+    total = round(sum(timings.values()), 3)
+    # headline throughput: resolved entities + pip rows + tiles per second
+    spatial_rows = rows["decode_assemble"] + rows["pip_join"] + rows["tile_pyramid"]
+    spatial_sec = (
+        timings["decode_assemble"] + timings["pip_join"] + timings["tile_pyramid"]
+    )
+    out = {
+        "cpus": cpus,
+        "total_sec": total,
+        "queries": timings,
+        "rows": rows,
+        "spatial_rows_per_sec": round(spatial_rows / spatial_sec, 1),
+    }
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sf = _sf_from_dir(sf_dir)
+
+    # generate the pages fixture BEFORE the JVM starts (fork-pool generator)
+    from gosmonaut_spark.fixtures.pages import ensure_pages_parquet
+
+    pages_path = ensure_pages_parquet(_profile_for(sf))
+
+    main_run = run_suite(cpus, sf_dir, pages_path)
+
+    result = {
+        "metric": "spatial_pipeline_total",
+        "value": main_run["total_sec"],
+        "unit": "sec",
+        "queries": main_run["queries"],
+        "sf": sf,
+        "cpus": cpus,
+        "rows": main_run["rows"],
+        "spatial_rows_per_sec": main_run["spatial_rows_per_sec"],
+    }
+
+    if "--scaling" in sys.argv:
+        small = max(cpus // 4, 1)
+        small_run = run_suite(small, sf_dir, pages_path)
+        thr_big = main_run["spatial_rows_per_sec"]
+        thr_small = small_run["spatial_rows_per_sec"]
+        eff = (thr_big / thr_small) / (cpus / small)
+        result["scaling"] = {
+            "cpus_small": small,
+            "cpus_big": cpus,
+            "rows_per_sec_small": thr_small,
+            "rows_per_sec_big": thr_big,
+            "efficiency": round(eff, 3),
+            "total_sec_small": small_run["total_sec"],
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

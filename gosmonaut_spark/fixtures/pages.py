@@ -172,8 +172,9 @@ def generate_page(page_idx: int, seed: int = 42, *, dangling: bool = True) -> Pa
                 wtags["name"] = f"{rng.choice(_WORDS)} road"
         if rng.random() < 0.1:
             wtags["addr:housenumber"] = str(int(rng.integers(1, 300)))
-        # ~5% cross-page ref: borrow a node from the previous page
-        if page_idx > 0 and rng.random() < 0.05 and refs:
+        # ~5% cross-page ref: borrow a node from the previous page (open
+        # polylines only — rings stay local so polygons remain simple)
+        if page_idx > 0 and rng.random() < 0.05 and refs and not closed:
             prev_base = page_idx * 100_000
             prev_neg = (page_idx - 1) % 97 == 3
             borrow = prev_base + int(rng.integers(0, 20))
@@ -250,11 +251,67 @@ def write_pages_parquet(path: str, n_pages: int, seed: int = 42, *, dangling: bo
     return path
 
 
+def _gen_chunk(args: tuple) -> bytes:
+    """Worker: generate [start, stop) pages, return a serialized Arrow IPC
+    batch (pickling Arrow tables across processes via IPC bytes)."""
+    import io
+
+    import pyarrow.ipc as ipc
+
+    start, stop, seed, dangling = args
+    specs = [generate_page(i, seed, dangling=dangling) for i in range(start, stop)]
+    tbl = pa.table(
+        {
+            "url": pa.array([s.url for s in specs], pa.string()),
+            "warc_ts": pa.array(
+                [s.warc_ts.replace(tzinfo=None) for s in specs], pa.timestamp("us")
+            ),
+            "html": pa.array([s.html for s in specs], pa.binary()),
+            "text": pa.array([s.text for s in specs], pa.string()),
+            "lang": pa.array([s.lang for s in specs], pa.string()),
+        }
+    )
+    sink = io.BytesIO()
+    with ipc.new_stream(sink, tbl.schema) as w:
+        w.write_table(tbl)
+    return sink.getvalue()
+
+
+def write_pages_parquet_parallel(
+    path: str, n_pages: int, seed: int = 42, *, dangling: bool = True, procs: int | None = None
+) -> str:
+    """Multiprocess generator for bench-scale fixtures (pages are pure
+    functions of (seed, idx), so the split is embarrassingly parallel and
+    byte-identical to the serial path)."""
+    import io
+    import multiprocessing as mp
+    import os
+
+    import pyarrow.ipc as ipc
+    import pyarrow.parquet as pq
+
+    procs = procs or min(os.cpu_count() or 8, 32)
+    chunk = max(250, (n_pages + procs - 1) // procs)
+    jobs = [
+        (lo, min(lo + chunk, n_pages), seed, dangling)
+        for lo in range(0, n_pages, chunk)
+    ]
+    # fork, not spawn: workers inherit the loaded interpreter (numpy etc.) —
+    # generate fixtures BEFORE starting the JVM/SparkSession in the process
+    with mp.get_context("fork").Pool(procs) as pool:
+        parts = pool.map(_gen_chunk, jobs)
+    tables = [ipc.open_stream(io.BytesIO(b)).read_all() for b in parts]
+    pq.write_table(pa.concat_tables(tables), path, compression="zstd")
+    return path
+
+
 # Scale profiles (FIXTURES.md §4): t1 smoke / t2 correctness / bench.
 PROFILES = {"t1": 500, "t2": 5_000, "bench": 50_000}
 
+DEFAULT_CACHE = "/root/repo/.cache/pages"
 
-def ensure_pages_parquet(profile: str, cache_dir: str = "/tmp/gosmonaut_pages") -> str:
+
+def ensure_pages_parquet(profile: str, cache_dir: str = DEFAULT_CACHE) -> str:
     """Generate-once cache of the pages parquet for a named profile."""
     import os
 
@@ -262,7 +319,10 @@ def ensure_pages_parquet(profile: str, cache_dir: str = "/tmp/gosmonaut_pages") 
     os.makedirs(cache_dir, exist_ok=True)
     path = os.path.join(cache_dir, f"pages_{profile}_{n}.parquet")
     if not os.path.exists(path):
-        tmp = path + ".tmp"
-        write_pages_parquet(tmp, n)
+        tmp = path + f".tmp{os.getpid()}"
+        if n >= 10_000:
+            write_pages_parquet_parallel(tmp, n)
+        else:
+            write_pages_parquet(tmp, n)
         os.replace(tmp, path)
     return path

@@ -1,0 +1,278 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, all expressed as relational plans (explode → equi-join →
+agg) so they scale like any shuffle workload and stay oracle-checkable:
+
+* exact         — groupBy content fingerprint (md5 of normalized text)
+* ngram-jaccard — shared-shingle candidate pairs + exact jaccard
+* minhash-LSH   — banded min-hash signatures; only band-collisions are
+                  verified (the 100TB path: candidate count ~linear)
+* simhash       — 64-bit sign-sum sketch + hamming-ball candidates
+* embedding     — cosine near-dup over vector columns (see similarity.py)
+
+Cross-engine determinism: every hash is md5 (identical on Spark/DuckDB);
+jaccard arithmetic is integer-count division in double precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import content_fingerprint, shingles
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Duplicate groups by exact normalized content.
+    Returns (fingerprint, n_docs, canonical_id=min id, doc_ids sorted)."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), content_fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one representative (min id) per exact-content group."""
+    w = docs.select(
+        "*", content_fingerprint(text_col).alias("__fp")
+    )
+    keep = w.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return w.join(keep, ["__fp", id_col], "left_semi").drop("__fp")
+
+
+# ---------------------------------------------------------------------------
+# n-gram jaccard near-dup
+# ---------------------------------------------------------------------------
+
+
+def _shingle_table(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(text_col, n)).alias("sh"),
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All doc pairs (a < b) with shingle-set jaccard >= threshold.
+
+    Plan: shingle explode → self equi-join on shingle (this *is* the
+    candidate pruning: disjoint docs never meet) → per-pair intersection
+    count → join each side's shingle count → jaccard. At skew (a stopword-
+    only shingle shared by millions of docs) the shared-shingle join key
+    explodes quadratically — mitigated upstream by distinct shingles per
+    doc and, at scale, by minhash_lsh_pairs instead.
+    """
+    sh = _shingle_table(docs, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("a"), "sh")
+    b = sh.select(F.col("doc_id").alias("b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(
+    text_col: str, n_hashes: int = 16, n: int = 3
+) -> list[Column]:
+    """n_hashes min-hash values per doc: h_i = min(md5(shingle || ':' || i)).
+    md5-as-hash keeps the oracle twin exact; at pure-Spark scale swap in
+    xxhash64 for ~4x cheaper hashing (same plan shape)."""
+    sh = shingles(text_col, n)
+    return [
+        F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(s, F.lit(f":{i}"))))
+        ).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate pairs via banded LSH, verified with exact jaccard.
+
+    rows-per-band = n_hashes / n_bands; a pair collides if any band's
+    concatenated signature matches. Collision probability 1-(1-j^r)^b —
+    with 16/4 the s-curve crosses ~0.55, right for threshold 0.7. Only
+    candidates are verified, so the expensive jaccard join runs on a tiny
+    fraction of pairs — this is the 10^12-doc path.
+    """
+    if n_hashes % n_bands:
+        raise ValueError("n_bands must divide n_hashes")
+    r = n_hashes // n_bands
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__text"),
+        *minhash_signature(text_col, n_hashes, n),
+    ).filter(F.size(shingles("__text", n)) > 0)
+
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh_{b * r + j}") for j in range(r)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bkey"),
+            )
+        )
+    banded = bands[0]
+    for x in bands[1:]:
+        banded = banded.unionByName(x)
+
+    a = banded.select(F.col("doc_id").alias("a"), "band", "bkey")
+    b2 = banded.select(F.col("doc_id").alias("b"), "band", "bkey")
+    cand = (
+        a.join(b2, ["band", "bkey"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+    # verify candidates with exact jaccard (semi-joined shingle tables)
+    sh = _shingle_table(docs, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("b"), "sh")
+    inter = (
+        cand.join(sa, "a")
+        .join(sb, ["b", "sh"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text_col: str, n: int = 2) -> Column:
+    """64-bit simhash over word n-grams: per bit, sign of the sum of
+    (+1/-1) votes from each shingle's md5-derived bits.
+
+    Bit k of shingle hash = bit k of conv(md5 hex, 16) on the first 16 hex
+    chars (64 bits). Vote fold is a native aggregate over the shingle
+    array — no UDF. Result: bigint (bit k set iff sum of votes > 0).
+    """
+    sh = shingles(text_col, n)
+    h = F.transform(
+        sh,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+    # 60 usable bits from 15 hex chars (conv of 16 chars can overflow long)
+    bits = []
+    for k in range(60):
+        votes = F.aggregate(
+            h,
+            F.lit(0),
+            lambda acc, v: acc
+            + F.when(F.shiftright(v, k).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+        bits.append(F.when(votes > 0, F.lit(1 << k).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def simhash_hamming(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n: int = 2,
+    n_blocks: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Candidate generation by the block trick: split the 60-bit sketch into
+    ``n_blocks`` 15-bit blocks; any pair within hamming d < n_blocks shares
+    at least one exact block (pigeonhole) — so candidates come from
+    equi-joins on (block_idx, block_value), never a cross join.
+    """
+    sig = docs.select(F.col(id_col).alias("doc_id"), simhash64(text_col, n).alias("sh64"))
+    width = 60 // n_blocks
+    blocks = []
+    for i in range(n_blocks):
+        blocks.append(
+            sig.select(
+                "doc_id",
+                "sh64",
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("sh64"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bval"),
+            )
+        )
+    b0 = blocks[0]
+    for x in blocks[1:]:
+        b0 = b0.unionByName(x)
+    a = b0.select(F.col("doc_id").alias("a"), F.col("sh64").alias("ha"), "blk", "bval")
+    c = b0.select(F.col("doc_id").alias("b"), F.col("sh64").alias("hb"), "blk", "bval")
+    return (
+        a.join(c, ["blk", "bval"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", simhash_hamming(F.col("ha"), F.col("hb")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,190 @@
+"""Similarity search over embedding columns (array<float>).
+
+* :func:`cosine_topk_brute` — exact top-k by cross join; the oracle twin
+  (DuckDB ``list_reduce`` folds in the same order as Spark ``aggregate``,
+  so doubles match bit-for-bit) and the right plan when the query side is
+  tiny (broadcast).
+* :func:`cosine_topk_lsh` — the scale path: random-hyperplane LSH buckets
+  (sign bits of dot products with deterministic seeded planes) restrict
+  candidates to bucket collisions across ``n_tables`` tables; exact cosine
+  re-ranks. Recall tunable via bits/tables.
+* :func:`cosine_pairs_lsh` — near-duplicate pairs by embedding cosine
+  (the embedding-cosine dedup entry).
+
+All vector math is native Column expressions (zip_with/aggregate fold) —
+JVM-side, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """DuckDB twin: list_reduce folds left-to-right like Spark aggregate,
+    list_zip pairs elements — identical IEEE double sequence."""
+    d = (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), "
+        f"(acc, v) -> acc + v)"
+    )
+    na = (
+        f"sqrt(list_reduce(list_transform({a}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v))"
+    )
+    nb = (
+        f"sqrt(list_reduce(list_transform({b}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v))"
+    )
+    return f"({d}) / (({na}) * ({nb}))"
+
+
+def _topk(cand: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("target_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def cosine_topk_brute(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    target_id: str = "target_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(vec).alias("qv"))
+    t = targets.select(F.col(target_id).alias("target_id"), F.col(vec).alias("tv"))
+    cand = q.crossJoin(t).select(
+        "query_id", "target_id", cosine(F.col("qv"), F.col("tv")).alias("cos_sim")
+    )
+    return _topk(cand, k)
+
+
+def _hyperplanes(dim: int, n_bits: int, table: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng((seed, table))
+    return rng.standard_normal((n_bits, dim))
+
+
+def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-bit bucket id: bit j set iff dot(vec, plane_j) > 0 — native
+    fold per plane (planes are literals folded by Catalyst)."""
+    n_bits, _dim = planes.shape
+    out = F.lit(0).cast("long")
+    for j in range(n_bits):
+        lits = F.array(*[F.lit(float(v)) for v in planes[j]])
+        d = F.aggregate(
+            F.zip_with(vec, lits, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        out = out + F.when(d > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    query_id: str = "query_id",
+    target_id: str = "target_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket in >=1 table.
+
+    The bucket join is an equi-join on (table, bucket) — at 10^12 scale the
+    per-bucket candidate lists are bounded (2^n_bits buckets per table), and
+    the exact re-rank touches only collisions.
+    """
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(vec).alias("qv"))
+    t = targets.select(F.col(target_id).alias("target_id"), F.col(vec).alias("tv"))
+    q_parts, t_parts = [], []
+    for tbl in range(n_tables):
+        planes = _hyperplanes(dim, n_bits, tbl)
+        q_parts.append(
+            q.select(
+                "query_id", "qv", F.lit(tbl).alias("tbl"), lsh_bucket(F.col("qv"), planes).alias("bkt")
+            )
+        )
+        t_parts.append(
+            t.select(
+                "target_id", "tv", F.lit(tbl).alias("tbl"), lsh_bucket(F.col("tv"), planes).alias("bkt")
+            )
+        )
+    qb = q_parts[0]
+    for x in q_parts[1:]:
+        qb = qb.unionByName(x)
+    tb = t_parts[0]
+    for x in t_parts[1:]:
+        tb = tb.unionByName(x)
+    cand = (
+        qb.join(tb, ["tbl", "bkt"])
+        .select("query_id", "target_id", "qv", "tv")
+        .distinct()
+        .select("query_id", "target_id", cosine(F.col("qv"), F.col("tv")).alias("cos_sim"))
+    )
+    return _topk(cand, k)
+
+
+def cosine_pairs_lsh(
+    docs: DataFrame,
+    threshold: float = 0.95,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold)."""
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(vec).alias("v"))
+    parts = []
+    for tbl in range(n_tables):
+        planes = _hyperplanes(dim, n_bits, tbl)
+        parts.append(
+            d.select("doc_id", "v", F.lit(tbl).alias("tbl"), lsh_bucket(F.col("v"), planes).alias("bkt"))
+        )
+    b = parts[0]
+    for x in parts[1:]:
+        b = b.unionByName(x)
+    a = b.select(F.col("doc_id").alias("a"), F.col("v").alias("va"), "tbl", "bkt")
+    c = b.select(F.col("doc_id").alias("b"), F.col("v").alias("vb"), "tbl", "bkt")
+    return (
+        a.join(c, ["tbl", "bkt"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "va", "vb")
+        .distinct()
+        .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,232 @@
+"""Text-analysis functions for a large-scale training-data pipeline.
+
+All hot-path functions are native Column expressions (JVM, codegen) with an
+ANSI-SQL twin for the DuckDB oracle. The shared discipline: identical
+normalization (lower → strip non-alnum → collapse spaces → trim) and
+identical arithmetic on both engines, so value-hash comparisons pass
+bit-for-bit (doubles) or exactly (ints/strings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# normalization + tokens
+# ---------------------------------------------------------------------------
+
+
+def norm_text(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "), " +", " "
+        )
+    )
+
+
+def norm_text_sql(expr: str) -> str:
+    return (
+        "trim(regexp_replace(regexp_replace(lower({e}), '[^a-z0-9]+', ' ', 'g'),"
+        " ' +', ' ', 'g'))"
+    ).format(e=expr)
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the normalized text; empty text -> empty array."""
+    n = norm_text(col)
+    return F.when(n == "", F.array().cast("array<string>")).otherwise(
+        F.split(n, " ")
+    )
+
+
+def tokens_sql(expr: str) -> str:
+    n = norm_text_sql(expr)
+    return (
+        f"CASE WHEN {n} = '' THEN CAST([] AS VARCHAR[]) "
+        f"ELSE string_split({n}, ' ') END"
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def token_count_sql(expr: str) -> str:
+    return f"CAST(len({tokens_sql(expr)}) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish subword count: a regex proxy for tokenizer load (word pieces +
+# digits + punctuation runs), the standard pre-tokenizer shape
+# ---------------------------------------------------------------------------
+
+_BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def subword_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(_BPE_RE), 0)).cast("long")
+
+
+def subword_count_sql(expr: str) -> str:
+    return (
+        f"CAST(len(regexp_extract_all({expr}, '{_BPE_RE}')) AS BIGINT)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# language id: stopword-hit voting (n-gram heuristic, no external models)
+# ---------------------------------------------------------------------------
+
+STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "en": ["the", "and", "of", "to", "is", "for", "with", "that"],
+    "es": ["el", "los", "las", "es", "para", "una", "por", "con"],
+    "fr": ["le", "les", "est", "pour", "une", "dans", "que", "sur"],
+    "pt": ["os", "uma", "para", "com", "por", "mais", "dos", "das"],
+}
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    toks = tokens(col)
+    return {
+        lang: F.size(
+            F.filter(toks, lambda t: t.isin(*words))
+        ).cast("long")
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def lang_id(col: Column | str) -> Column:
+    """argmax language by stopword hits; ties -> lexicographically first
+    language; all-zero -> 'und'. Deterministic on both engines."""
+    scores = lang_scores(col)
+    # fold in reverse-lexicographic order with `>=`: on ties the later
+    # (lexicographically smaller) language wins; `>= max(best,1)` keeps
+    # 'und' when every score is zero. The SQL twin folds identically.
+    expr = F.lit("und")
+    best_score = F.lit(0).cast("long")
+    for lang in sorted(STOPWORDS, reverse=True):
+        s = scores[lang]
+        expr = F.when(s >= F.greatest(best_score, F.lit(1)), F.lit(lang)).otherwise(expr)
+        best_score = F.greatest(best_score, s)
+    return expr
+
+
+def lang_id_sql(expr: str) -> str:
+    toks = tokens_sql(expr)
+    score = {
+        lang: (
+            f"len(list_filter({toks}, t -> t IN "
+            f"({', '.join(repr(w) for w in words)})))"
+        )
+        for lang, words in STOPWORDS.items()
+    }
+    out = "'und'"
+    best = "CAST(0 AS BIGINT)"
+    for lang in sorted(STOPWORDS, reverse=True):
+        s = score[lang]
+        out = f"CASE WHEN {s} >= greatest({best}, 1) THEN '{lang}' ELSE {out} END"
+        best = f"greatest({best}, {s})"
+    return out
+
+
+# ---------------------------------------------------------------------------
+# quality scoring: length / punctuation / stopword ratios
+# ---------------------------------------------------------------------------
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c).cast("long")
+    n_alnum = F.length(F.regexp_replace(c, "[^a-zA-Z0-9]", "")).cast("long")
+    n_tokens = token_count(c)
+    toks = tokens(c)
+    all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*all_stop))).cast("long")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "alnum_ratio": F.when(n_chars > 0, n_alnum.cast("double") / n_chars).otherwise(
+            F.lit(0.0)
+        ),
+        "stop_ratio": F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(
+            F.lit(0.0)
+        ),
+        "mean_token_len": F.when(
+            n_tokens > 0,
+            F.length(F.array_join(toks, "")).cast("double") / n_tokens,
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+def quality_features_sql(expr: str) -> dict[str, str]:
+    toks = tokens_sql(expr)
+    all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
+    stop_in = ", ".join(repr(w) for w in all_stop)
+    n_chars = f"CAST(length({expr}) AS BIGINT)"
+    n_alnum = f"CAST(length(regexp_replace({expr}, '[^a-zA-Z0-9]', '', 'g')) AS BIGINT)"
+    n_tokens = token_count_sql(expr)
+    n_stop = f"CAST(len(list_filter({toks}, t -> t IN ({stop_in}))) AS BIGINT)"
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "alnum_ratio": (
+            f"CASE WHEN {n_chars} > 0 THEN CAST({n_alnum} AS DOUBLE) / {n_chars} "
+            f"ELSE 0.0 END"
+        ),
+        "stop_ratio": (
+            f"CASE WHEN {n_tokens} > 0 THEN CAST({n_stop} AS DOUBLE) / {n_tokens} "
+            f"ELSE 0.0 END"
+        ),
+        "mean_token_len": (
+            f"CASE WHEN {n_tokens} > 0 THEN "
+            f"CAST(length(list_aggregate({toks}, 'string_agg', '')) AS DOUBLE) / {n_tokens} "
+            f"ELSE 0.0 END"
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting: md5 content hash + shingle fingerprints
+# (md5 is the cross-engine deterministic hash; xxhash64 is Spark-only so it
+# stays out of anything oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def content_fingerprint(col: Column | str) -> Column:
+    return F.md5(norm_text(col))
+
+
+def content_fingerprint_sql(expr: str) -> str:
+    return f"md5({norm_text_sql(expr)})"
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text (order-free set).
+    Documents shorter than n tokens yield their full token join as the one
+    shingle (so short docs still participate in dedup)."""
+    toks = tokens(col)
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k - F.lit(n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(k > 0, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles_sql(expr: str, n: int = 3) -> str:
+    toks = tokens_sql(expr)
+    k = f"len({toks})"
+    grams = (
+        f"list_transform(range(1, greatest({k} - {n - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+    )
+    return (
+        f"CASE WHEN {k} > 0 THEN list_distinct({grams}) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )

@@ -42,28 +42,53 @@ def polygons_from_ways(assembled_ways: DataFrame) -> DataFrame:
     )
 
 
-def polygon_cover_cells(polygons: DataFrame, res: int) -> DataFrame:
-    """Explode each polygon to the cells covered by its bbox at ``res`` —
-    pure native expressions (sequence over the x/y cell ranges)."""
+def polygon_cover_cells(
+    polygons: DataFrame,
+    res: int,
+    res_min: int | None = None,
+    max_cells: int = 64,
+) -> DataFrame:
+    """Explode each polygon to the cells its bbox covers — pure native
+    expressions (sequence over the x/y cell ranges).
+
+    *Adaptive resolution*: each polygon picks the finest res in
+    ``[res_min, res]`` whose bbox cover stays <= ``max_cells`` (a
+    continent-sized polygon would otherwise explode to millions of cells
+    at res 11 — the cover count is bounded per polygon by construction).
+    Cell ids are self-describing (res embedded in the flag bit), so a
+    mixed-resolution cover table still joins on one ``cell`` column.
+    """
+    if res_min is None:
+        res_min = max(0, res - 6)
     p = polygons.withColumn("min_lat", F.array_min("lats")).withColumn(
         "max_lat", F.array_max("lats")
     ).withColumn("min_lon", F.array_min("lons")).withColumn(
         "max_lon", F.array_max("lons")
     )
-    x0, x1 = cell_x("min_lon", res), cell_x("max_lon", res)
-    # y grows downward (north -> south), so max_lat gives y0
-    y0, y1 = cell_y("max_lat", res), cell_y("min_lat", res)
-    cells = F.flatten(
-        F.transform(
-            F.sequence(x0, x1),
-            lambda x: F.transform(
-                F.sequence(y0, y1), lambda y: cell_from_xy(x, y, res)
-            ),
+
+    def span(r: int):
+        x0, x1 = cell_x("min_lon", r), cell_x("max_lon", r)
+        # y grows downward (north -> south), so max_lat gives y0
+        y0, y1 = cell_y("max_lat", r), cell_y("min_lat", r)
+        return x0, x1, y0, y1, (x1 - x0 + 1) * (y1 - y0 + 1)
+
+    def cells_at(r: int):
+        x0, x1, y0, y1, _n = span(r)
+        return F.flatten(
+            F.transform(
+                F.sequence(x0, x1),
+                lambda x: F.transform(
+                    F.sequence(y0, y1), lambda y: cell_from_xy(x, y, r)
+                ),
+            )
         )
-    )
-    return p.select(
-        "polygon_id", "lats", "lons", F.explode(cells).alias("cell")
-    )
+
+    # finest res whose cover is small enough; res_min is the fallback
+    cells = cells_at(res_min)
+    for r in range(res_min + 1, res + 1):
+        cells = F.when(span(r)[4] <= F.lit(max_cells), cells_at(r)).otherwise(cells)
+
+    return p.select("polygon_id", "lats", "lons", F.explode(cells).alias("cell"))
 
 
 def ray_cast_inside(
@@ -94,26 +119,118 @@ def ray_cast_inside(
     return F.pmod(crossings, F.lit(2)) == F.lit(1)
 
 
+def _numpy_pnpoly(plat, plon, lats, lons):
+    """Vectorized PNPOLY — *identical* arithmetic to :func:`ray_cast_inside`
+    (same IEEE op order), so the two exact engines agree bit-for-bit."""
+    import numpy as np
+
+    inside = np.zeros(plat.shape, dtype=bool)
+    for i in range(len(lats) - 1):
+        y1, y2 = lats[i], lats[i + 1]
+        x1, x2 = lons[i], lons[i + 1]
+        cond = (y1 > plat) != (y2 > plat)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xcross = (x2 - x1) * (plat - y1) / (y2 - y1) + x1
+        inside ^= cond & (plon < xcross)
+    return inside
+
+
 def point_in_polygon_join(
     points: DataFrame,
     polygons: DataFrame,
-    res: int = 11,
+    res: int = 13,
     lat: str = "lat",
     lon: str = "lon",
     broadcast_polygons: bool | None = None,
+    engine: str = "native",
 ) -> DataFrame:
     """Spatial join: every (point, polygon) pair where the point lies inside.
 
-    ``res`` is the pruning resolution — candidates share a bbox-cover cell.
-    Returns point columns + ``polygon_id``. Set ``broadcast_polygons`` to
-    force/forbid broadcasting the cover table; default lets AQE decide.
+    ``res`` is the *pruning* resolution — candidates share a bbox-cover
+    cell; pick it near the typical polygon size (too coarse and a dense
+    cell cross-products points x polygons). An exact bbox test (scalar,
+    whole-stage-codegen) runs before the ray cast and kills most
+    non-hits cheaply.
+
+    ``engine``:
+
+    * ``"native"`` — aggregate-folded ray cast, pure Catalyst expression.
+      Zero Python, but lambda evaluation is interpreted (~10us/row): right
+      for selective workloads.
+    * ``"vectorized"`` — the dense-workload path: candidates shuffle by
+      polygon_id into ``applyInPandas`` groups; vertices come from a
+      *broadcast* vertex store (the reference's broadcast build-side
+      pattern, binary_entity_map.go:17-90), so only 4 scalar columns cross
+      Arrow; the PNPOLY kernel is numpy over the whole group. Requires the
+      polygon side to fit on the driver (it is the small side by design).
+
+    Returns point columns + ``polygon_id``.
     """
-    cover = polygon_cover_cells(polygons, res)
+    res_min = max(0, res - 8)
+    # points and polygons usually share lineage (both derive from the same
+    # extraction pass) — rename the polygon-side payload columns to unique
+    # names *before* the join so the ray-cast expression can never bind to
+    # the wrong side (higher-order functions are fragile under self-join
+    # attribute dedup).
+    cover = polygon_cover_cells(polygons, res, res_min=res_min).select(
+        F.col("polygon_id"),
+        F.col("cell"),
+        F.col("lats").alias("__pg_lats"),
+        F.col("lons").alias("__pg_lons"),
+        F.array_min("lats").alias("__pg_min_lat"),
+        F.array_max("lats").alias("__pg_max_lat"),
+        F.array_min("lons").alias("__pg_min_lon"),
+        F.array_max("lons").alias("__pg_max_lon"),
+    )
     if broadcast_polygons is True:
         cover = F.broadcast(cover)
-    pts = points.withColumn("cell", cell_expr(lat, lon, res))
-    cand = pts.join(cover, "cell", "inner")
-    hit = cand.filter(
-        ray_cast_inside(F.col(lat), F.col(lon), F.col("lats"), F.col("lons"))
+    # the cover is multi-resolution (adaptive), so each point carries its
+    # cell at every res in [res_min, res]; ids are disjoint per res, so one
+    # exploded column joins them all — explode factor = #levels, cheap
+    pts = points.withColumn(
+        "cell",
+        F.explode(F.array(*[cell_expr(lat, lon, r) for r in range(res_min, res + 1)])),
     )
-    return hit.drop("lats", "lons", "cell")
+    cand = pts.join(cover, "cell", "inner").filter(
+        (F.col(lat) >= F.col("__pg_min_lat"))
+        & (F.col(lat) <= F.col("__pg_max_lat"))
+        & (F.col(lon) >= F.col("__pg_min_lon"))
+        & (F.col(lon) <= F.col("__pg_max_lon"))
+    )
+    point_cols = [c for c in points.columns]
+
+    if engine == "native":
+        hit = cand.select(
+            *point_cols,
+            "polygon_id",
+            ray_cast_inside(
+                F.col(lat), F.col(lon), F.col("__pg_lats"), F.col("__pg_lons")
+            ).alias("__inside"),
+        )
+        return hit.filter(F.col("__inside")).drop("__inside")
+
+    if engine != "vectorized":
+        raise ValueError(f"unknown engine {engine!r}")
+
+    import numpy as np
+
+    spark = points.sparkSession
+    verts = {
+        r["polygon_id"]: (
+            np.array(r["lats"], dtype=np.float64),
+            np.array(r["lons"], dtype=np.float64),
+        )
+        for r in polygons.select("polygon_id", "lats", "lons").collect()
+    }
+    bc = spark.sparkContext.broadcast(verts)
+    slim = cand.select(*point_cols, "polygon_id")
+    out_schema = slim.schema
+
+    def check(key, pdf):
+        la, lo = bc.value[key[0]]
+        mask = _numpy_pnpoly(
+            pdf[lat].to_numpy(dtype=np.float64), pdf[lon].to_numpy(dtype=np.float64), la, lo
+        )
+        return pdf[mask]
+
+    return slim.groupBy("polygon_id").applyInPandas(check, out_schema)

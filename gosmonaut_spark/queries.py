@@ -1,0 +1,695 @@
+"""Driver-facing query registry: every operator as a (Spark, oracle-SQL) pair.
+
+Contract (see __spark_entry__.py): each entry runs on the driver-registered
+parquet tables (region nation customer supplier part orders lineitem events
+documents embeddings) so DuckDB can verify it. Geo operators run over a
+*derived* point/polygon world computed with integer-hash arithmetic that is
+bit-identical on both engines (pure BIGINT ops + IEEE double division).
+
+Determinism rules used throughout:
+* no double SUM/AVG across rows (shuffle order changes fp rounding) —
+  money is summed in integer cents, distances compared per-row;
+* every hash is md5 (identical on both engines);
+* all window ties broken by an id column;
+* column names aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import dedup as D
+from .functions import similarity as S
+from .functions import text as T
+from .functions.cells import cell_expr, cell_np, cell_sql
+from .operators.pip import point_in_polygon_join, ray_cast_inside
+
+# ---------------------------------------------------------------------------
+# shared derivations (Spark + SQL twins)
+# ---------------------------------------------------------------------------
+
+_P1, _M = 2_654_435_761, 2_147_483_647
+_P2, _O2 = 40_503, 1_234_567
+
+
+def _pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived geo points from events: id, lat, lon (bit-exact twin below)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hlat = (F.col("event_id") * F.lit(_P1)) % F.lit(_M)
+    hlon = (F.col("event_id") * F.lit(_P2) + F.lit(_O2)) % F.lit(_M)
+    return ev.select(
+        F.col("event_id").alias("id"),
+        ((hlat % F.lit(1_700_000)) / F.lit(10_000.0) - F.lit(85.0)).alias("lat"),
+        ((hlon % F.lit(3_600_000)) / F.lit(10_000.0) - F.lit(180.0)).alias("lon"),
+    )
+
+
+_PTS_SQL = f"""
+SELECT event_id AS id,
+       ((((event_id * {_P1}) % {_M}) % 1700000) / 10000.0) - 85.0 AS lat,
+       ((((event_id * {_P2} + {_O2}) % {_M}) % 3600000) / 10000.0) - 180.0 AS lon
+FROM events
+"""
+
+
+def _rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """25 axis-aligned rectangle polygons derived from nation — closed
+    5-vertex rings, same arithmetic as _RECTS_SQL."""
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    k = F.col("n_nationkey").cast("long")
+    hlat = (k * F.lit(_P1)) % F.lit(_M)
+    hlon = (k * F.lit(_P2) + F.lit(_O2)) % F.lit(_M)
+    cy = (hlat % F.lit(1_400_000)) / F.lit(10_000.0) - F.lit(70.0)
+    cx = (hlon % F.lit(3_300_000)) / F.lit(10_000.0) - F.lit(165.0)
+    h = (k % F.lit(5)).cast("double") / F.lit(2.0) + F.lit(1.0)
+    w = (k % F.lit(7)).cast("double") / F.lit(2.0) + F.lit(1.5)
+    s, n = cy - h, cy + h
+    west, east = cx - w, cx + w
+    return na.select(
+        k.alias("polygon_id"),
+        F.array(s, s, n, n, s).alias("lats"),
+        F.array(west, east, east, west, west).alias("lons"),
+    )
+
+
+_RECTS_SQL = f"""
+SELECT CAST(n_nationkey AS BIGINT) AS polygon_id,
+       ((((CAST(n_nationkey AS BIGINT) * {_P1}) % {_M}) % 1400000) / 10000.0) - 70.0 AS cy,
+       ((((CAST(n_nationkey AS BIGINT) * {_P2} + {_O2}) % {_M}) % 3300000) / 10000.0) - 165.0 AS cx,
+       (CAST(CAST(n_nationkey AS BIGINT) % 5 AS DOUBLE) / 2.0) + 1.0 AS h,
+       (CAST(CAST(n_nationkey AS BIGINT) % 7 AS DOUBLE) / 2.0) + 1.5 AS w
+FROM nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# the registry
+# ---------------------------------------------------------------------------
+
+
+def build_queries() -> dict:
+    q = {}
+
+    # ---- tiling (B6/B9) ----------------------------------------------------
+    def q_tiles_res8(spark, sf):
+        return (
+            _pts(spark, sf)
+            .groupBy(cell_expr("lat", "lon", 8).alias("cell"))
+            .agg(F.count(F.lit(1)).alias("n_points"))
+            .orderBy("cell")
+        )
+
+    q["tiles_res8"] = (
+        q_tiles_res8,
+        f"""WITH pts AS ({_PTS_SQL})
+SELECT {cell_sql('lat', 'lon', 8)} AS cell, count(*) AS n_points
+FROM pts GROUP BY 1 ORDER BY cell""",
+    )
+
+    def q_tiles_rollup(spark, sf):
+        # engine path: tiles at res 8, integer-arith roll-up to res 5 —
+        # the oracle aggregates directly at res 5, so this cross-checks
+        # the parent arithmetic itself
+        from .operators.tiling import points_to_tiles, rollup_tiles
+
+        t8 = points_to_tiles(_pts(spark, sf), 8)
+        return rollup_tiles(t8, 8, 5).select("cell", "n_points").orderBy("cell")
+
+    q["tiles_rollup_5"] = (
+        q_tiles_rollup,
+        f"""WITH pts AS ({_PTS_SQL})
+SELECT {cell_sql('lat', 'lon', 5)} AS cell, count(*) AS n_points
+FROM pts GROUP BY 1 ORDER BY cell""",
+    )
+
+    def q_tiles_salted(spark, sf):
+        from .operators.tiling import salted_points_to_tiles
+
+        return (
+            salted_points_to_tiles(_pts(spark, sf), 6, n_salts=8)
+            .select("cell", "n_points")
+            .orderBy("cell")
+        )
+
+    q["tiles_salted_6"] = (
+        q_tiles_salted,
+        f"""WITH pts AS ({_PTS_SQL})
+SELECT {cell_sql('lat', 'lon', 6)} AS cell, count(*) AS n_points
+FROM pts GROUP BY 1 ORDER BY cell""",
+    )
+
+    # ---- point-in-polygon (B7) ---------------------------------------------
+    def q_pip(spark, sf):
+        out = point_in_polygon_join(_pts(spark, sf), _rects(spark, sf), res=7)
+        return out.select("id", "polygon_id").orderBy("id", "polygon_id")
+
+    # oracle: same PNPOLY formula unrolled over the 4 rectangle edges —
+    # divisions by zero on horizontal edges yield inf, comparisons false,
+    # identically on both engines
+    def _edge(y1, x1, y2, x2):
+        return (
+            f"(CASE WHEN (({y1} > p.lat) != ({y2} > p.lat)) AND "
+            f"(p.lon < ({x2} - {x1}) * (p.lat - {y1}) / ({y2} - {y1}) + {x1}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+
+    edges = " + ".join(
+        [
+            _edge("r.s", "r.west", "r.s", "r.east"),
+            _edge("r.s", "r.east", "r.n", "r.east"),
+            _edge("r.n", "r.east", "r.n", "r.west"),
+            _edge("r.n", "r.west", "r.s", "r.west"),
+        ]
+    )
+    q["pip_rects"] = (
+        q_pip,
+        f"""WITH pts AS ({_PTS_SQL}),
+rectsrc AS ({_RECTS_SQL}),
+rects AS (SELECT polygon_id, cy - h AS s, cy + h AS n, cx - w AS west, cx + w AS east FROM rectsrc)
+SELECT p.id AS id, r.polygon_id AS polygon_id
+FROM pts p, rects r
+WHERE (({edges}) % 2) = 1
+ORDER BY id, polygon_id""",
+    )
+
+    # ---- kNN (B8) -----------------------------------------------------------
+    def q_knn_brute(spark, sf):
+        pts = _pts(spark, sf)
+        qs = pts.filter(F.col("id") % 97 == 0).select(
+            F.col("id").alias("query_id"),
+            F.col("lat").alias("qlat"),
+            F.col("lon").alias("qlon"),
+        )
+        ts = pts.select(
+            F.col("id").alias("target_id"),
+            F.col("lat").alias("tlat"),
+            F.col("lon").alias("tlon"),
+        )
+        cand = (
+            qs.crossJoin(ts)
+            .filter(F.col("target_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "target_id",
+                (
+                    (F.col("qlat") - F.col("tlat")) * (F.col("qlat") - F.col("tlat"))
+                    + (F.col("qlon") - F.col("tlon")) * (F.col("qlon") - F.col("tlon"))
+                ).alias("dist2"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dist2").asc(), F.col("target_id").asc()
+        )
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .orderBy("query_id", "rank")
+        )
+
+    q["knn_brute_3"] = (
+        q_knn_brute,
+        f"""WITH pts AS ({_PTS_SQL}),
+cand AS (
+  SELECT q.id AS query_id, t.id AS target_id,
+         (q.lat - t.lat) * (q.lat - t.lat) + (q.lon - t.lon) * (q.lon - t.lon) AS dist2
+  FROM pts q, pts t
+  WHERE q.id % 97 = 0 AND t.id != q.id
+),
+ranked AS (
+  SELECT query_id, target_id, dist2,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, target_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, target_id, dist2, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 3
+ORDER BY query_id, rank""",
+    )
+
+    def q_knn_ring(spark, sf):
+        from .operators.knn import knn_join
+
+        pts = _pts(spark, sf)
+        qs = pts.filter(F.col("id") % 97 == 0).select(
+            F.col("id").alias("query_id"), "lat", "lon"
+        )
+        ts = pts.select(F.col("id").alias("target_id"), "lat", "lon")
+        out = knn_join(qs, ts, k=3, res=5, ring=1)
+        # planar-ring semantics twin: keep the haversine rank but expose
+        # only ids (haversine doubles may differ in the last ulp between
+        # libm implementations, so they stay out of the hash)
+        return out.select("query_id", "target_id").orderBy("query_id", "target_id")
+
+    n5 = 1 << 5
+    ring_cond = (
+        f"least((qx - tx + {n5}) % {n5}, (tx - qx + {n5}) % {n5}) <= 1 "
+        f"AND abs(qy - ty) <= 1"
+    )
+    hav = (
+        "2.0 * 6371008.8 * asin(sqrt("
+        "pow(sin(radians(t.lat - q.lat) / 2), 2) + "
+        "cos(radians(q.lat)) * cos(radians(t.lat)) * "
+        "pow(sin(radians(t.lon - q.lon) / 2), 2)))"
+    )
+    x_of = lambda lon: f"least(greatest(cast(floor((({lon}) + 180.0) / 360.0 * 32.0) as bigint), 0), 31)"
+    y_of = lambda lat: f"least(greatest(cast(floor((90.0 - ({lat})) / 180.0 * 32.0) as bigint), 0), 31)"
+    q["knn_ring_3"] = (
+        q_knn_ring,
+        f"""WITH pts AS ({_PTS_SQL}),
+qs AS (SELECT id, lat, lon, {x_of('lon')} AS qx, {y_of('lat')} AS qy FROM pts WHERE id % 97 = 0),
+ts AS (SELECT id, lat, lon, {x_of('lon')} AS tx, {y_of('lat')} AS ty FROM pts),
+cand AS (
+  SELECT q.id AS query_id, t.id AS target_id, {hav} AS dist_m
+  FROM qs q JOIN ts t ON {ring_cond}
+),
+ranked AS (
+  SELECT query_id, target_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist_m ASC, target_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, target_id FROM ranked WHERE rank <= 3
+ORDER BY query_id, target_id""",
+    )
+
+    # ---- text analysis ------------------------------------------------------
+    def q_token_counts(spark, sf):
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        return d.select(
+            "doc_id",
+            T.token_count("text").alias("n_tokens"),
+            T.subword_count("text").alias("n_subwords"),
+        ).orderBy("doc_id")
+
+    q["text_token_counts"] = (
+        q_token_counts,
+        f"""SELECT doc_id, {T.token_count_sql('text')} AS n_tokens,
+{T.subword_count_sql('text')} AS n_subwords
+FROM documents ORDER BY doc_id""",
+    )
+
+    def q_lang(spark, sf):
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        return (
+            d.select(T.lang_id("text").alias("lang_pred"))
+            .groupBy("lang_pred")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("lang_pred")
+        )
+
+    q["text_lang_id"] = (
+        q_lang,
+        f"""SELECT {T.lang_id_sql('text')} AS lang_pred, count(*) AS n_docs
+FROM documents GROUP BY 1 ORDER BY lang_pred""",
+    )
+
+    def q_quality(spark, sf):
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        feats = T.quality_features("text")
+        return d.select(
+            "doc_id",
+            feats["n_chars"].alias("n_chars"),
+            feats["n_tokens"].alias("n_tokens"),
+            feats["alnum_ratio"].alias("alnum_ratio"),
+            feats["stop_ratio"].alias("stop_ratio"),
+            feats["mean_token_len"].alias("mean_token_len"),
+        ).orderBy("doc_id")
+
+    fsql = T.quality_features_sql("text")
+    q["text_quality"] = (
+        q_quality,
+        f"""SELECT doc_id, {fsql['n_chars']} AS n_chars, {fsql['n_tokens']} AS n_tokens,
+{fsql['alnum_ratio']} AS alnum_ratio, {fsql['stop_ratio']} AS stop_ratio,
+{fsql['mean_token_len']} AS mean_token_len
+FROM documents ORDER BY doc_id""",
+    )
+
+    def q_fingerprint(spark, sf):
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        return d.select(
+            "doc_id", T.content_fingerprint("text").alias("fingerprint")
+        ).orderBy("doc_id")
+
+    q["text_fingerprint"] = (
+        q_fingerprint,
+        f"""SELECT doc_id, {T.content_fingerprint_sql('text')} AS fingerprint
+FROM documents ORDER BY doc_id""",
+    )
+
+    # ---- dedup ---------------------------------------------------------------
+    def q_exact_dup(spark, sf):
+        d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+        dup = d.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+        groups = D.exact_dup_groups(d.unionByName(dup))
+        return groups.select("fp", "n_docs", "canonical_id").orderBy("fp")
+
+    q["dedup_exact_groups"] = (
+        q_exact_dup,
+        f"""WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents
+),
+fps AS (SELECT doc_id, {T.content_fingerprint_sql('text')} AS fp FROM all_docs)
+SELECT fp, count(*) AS n_docs, min(doc_id) AS canonical_id
+FROM fps GROUP BY fp HAVING count(*) > 1 ORDER BY fp""",
+    )
+
+    def q_jaccard(spark, sf):
+        d = spark.read.parquet(f"{sf}/documents.parquet").filter(F.col("doc_id") < 300)
+        return D.jaccard_pairs(d, threshold=0.2, n=3).orderBy("a", "b")
+
+    sh_sql = T.shingles_sql("text", 3)
+    q["dedup_jaccard_pairs"] = (
+        q_jaccard,
+        f"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+sh AS (SELECT doc_id, unnest({sh_sql}) AS s FROM docs),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a AS a, i.b AS b,
+       CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.2
+ORDER BY a, b""",
+    )
+
+    def q_minhash(spark, sf):
+        d = spark.read.parquet(f"{sf}/documents.parquet").filter(F.col("doc_id") < 200)
+        dup = d.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+        return D.minhash_lsh_pairs(
+            d.unionByName(dup), threshold=0.8, n_hashes=8, n_bands=4, n=3
+        ).orderBy("a", "b")
+
+    mh_cols = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> md5(s || ':{i}')), 'min') AS mh_{i}"
+        for i in range(8)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(mh_{2*b} || '|' || mh_{2*b+1}) AS bkey FROM sigs"
+        for b in range(4)
+    )
+    q["dedup_minhash_lsh"] = (
+        q_minhash,
+        f"""WITH all_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 200
+),
+shing AS (SELECT doc_id, {sh_sql} AS sh FROM all_docs),
+sigs AS (SELECT doc_id, sh, {mh_cols} FROM shing WHERE len(sh) > 0),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+),
+sh2 AS (SELECT doc_id, unnest(sh) AS s FROM shing),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS n_inter
+  FROM cand c JOIN sh2 x ON x.doc_id = c.a JOIN sh2 y ON y.doc_id = c.b AND y.s = x.s
+  GROUP BY c.a, c.b
+)
+SELECT i.a AS a, i.b AS b,
+       CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.8
+ORDER BY a, b""",
+    )
+
+    # ---- embeddings / similarity ---------------------------------------------
+    def q_cos_topk(spark, sf):
+        e = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qs = e.filter(F.col("vec_id") % 101 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        ts = e.select(F.col("vec_id").alias("target_id"), "embedding")
+        out = S.cosine_topk_brute(qs, ts, k=5)
+        return out.filter(F.col("query_id") != F.col("target_id")).select(
+            "query_id", "target_id", "cos_sim"
+        ).orderBy("query_id", "target_id")
+
+    cos = S.cosine_sql("q.embedding", "t.embedding")
+    q["ann_cosine_topk"] = (
+        q_cos_topk,
+        f"""WITH ranked AS (
+  SELECT q.vec_id AS query_id, t.vec_id AS target_id, {cos} AS cos_sim,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos} DESC, t.vec_id ASC) AS rank
+  FROM embeddings q, embeddings t
+  WHERE q.vec_id % 101 = 0
+)
+SELECT query_id, target_id, cos_sim FROM ranked
+WHERE rank <= 5 AND query_id != target_id
+ORDER BY query_id, target_id""",
+    )
+
+    def q_cos_dup(spark, sf):
+        e = spark.read.parquet(f"{sf}/embeddings.parquet").select("vec_id", "embedding")
+        dup = e.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+        both = e.unionByName(dup)
+        a = both.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+        b = both.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+        pairs = (
+            a.crossJoin(b)
+            .filter(F.col("a") < F.col("b"))
+            .filter((F.col("a") % 50 == 0) | (F.col("b") - F.col("a") == 1_000_000))
+            .select("a", "b", S.cosine(F.col("ea"), F.col("eb")).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= 0.95)
+        )
+        return pairs.orderBy("a", "b")
+
+    cos2 = S.cosine_sql("x.embedding", "y.embedding")
+    q["embedding_near_dup"] = (
+        q_cos_dup,
+        f"""WITH both_t AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings
+)
+SELECT x.vec_id AS a, y.vec_id AS b, {cos2} AS cos_sim
+FROM both_t x, both_t y
+WHERE x.vec_id < y.vec_id
+  AND (x.vec_id % 50 = 0 OR y.vec_id - x.vec_id = 1000000)
+  AND {cos2} >= 0.95
+ORDER BY a, b""",
+    )
+
+    # ---- event-time sessionization (streaming-shaped batch op) ----------------
+    def q_sessions(spark, sf):
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        # parquet yields TIMESTAMP_NTZ; session TZ is UTC so the cast is the
+        # identity instant — matching DuckDB's epoch_ms on naive timestamps
+        ms = F.unix_millis(F.col("ts").cast("timestamp"))
+        gap = ms - F.lag(ms).over(w)
+        new_s = F.when(gap.isNull() | (gap > 1_800_000), 1).otherwise(0)
+        sess = (
+            ev.withColumn("new_s", new_s)
+            .withColumn("session_no", F.sum("new_s").over(w))
+        )
+        return (
+            sess.groupBy("user_id", "session_no")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min(ms).alias("start_ms"),
+                F.max(ms).alias("end_ms"),
+            )
+            .orderBy("user_id", "session_no")
+        )
+
+    q["events_sessionize"] = (
+        q_sessions,
+        """WITH lagged AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ms,
+         CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_s
+  FROM lagged
+),
+sess AS (
+  SELECT user_id, ms,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no, count(*) AS n_events,
+       min(ms) AS start_ms, max(ms) AS end_ms
+FROM sess GROUP BY user_id, session_no
+ORDER BY user_id, session_no""",
+    )
+
+    # ---- relational coverage (TPC-H-shaped; exact integer-cent money) ---------
+    def q_pricing(spark, sf):
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+        disc_cents = F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("long")
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("2024-06-01"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity")).cast("long").alias("sum_qty"),
+                F.sum(cents).alias("sum_base_cents"),
+                F.sum(disc_cents).alias("sum_disc_cents"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    q["tpch_pricing_summary"] = (
+        q_pricing,
+        """SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-06-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""",
+    )
+
+    def q_revenue_join(spark, sf):
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        c = spark.read.parquet(f"{sf}/customer.parquet")
+        n = spark.read.parquet(f"{sf}/nation.parquet")
+        rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+            "long"
+        )
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.sum(rev).alias("revenue_cents"), F.count(F.lit(1)).alias("n_items"))
+            .orderBy("n_name")
+        )
+
+    q["join_revenue_by_nation"] = (
+        q_revenue_join,
+        """SELECT n_name,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name""",
+    )
+
+    def q_top_suppliers(spark, sf):
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        s = spark.read.parquet(f"{sf}/supplier.parquet")
+        rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+            "long"
+        )
+        per = (
+            li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .groupBy("s_suppkey", "s_name")
+            .agg(F.sum(rev).alias("revenue_cents"))
+        )
+        w = Window.orderBy(F.col("revenue_cents").desc(), F.col("s_suppkey").asc())
+        return (
+            per.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 10)
+            .orderBy("rank")
+        )
+
+    q["window_top_suppliers"] = (
+        q_top_suppliers,
+        """WITH per AS (
+  SELECT s_suppkey, s_name,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY s_suppkey, s_name
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY revenue_cents DESC, s_suppkey ASC) AS INT) AS rank
+  FROM per
+)
+SELECT s_suppkey, s_name, revenue_cents, rank FROM ranked WHERE rank <= 10 ORDER BY rank""",
+    )
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible via the driver's registered views:
+# they run on the synthetic pages world; strong oracles live in tests/)
+# ---------------------------------------------------------------------------
+
+
+def _pages_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .fixtures.pages import PROFILES, ensure_pages_parquet
+    from .sources.pages import read_pages
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    profile = {"0.001": "t1", "0.01": "t2", "0.1": "bench"}.get(sf, "t1")
+    return read_pages(spark, ensure_pages_parquet(profile))
+
+
+def build_rows_only_queries() -> dict:
+    q = {}
+
+    def q_assemble(spark, sf):
+        from .operators.assembly import SKIP_MISSING
+        from .plans.pipeline import run_pipeline
+
+        res = run_pipeline(
+            _pages_for(spark, sf),
+            {"node", "way", "relation"},
+            None,
+            mode=SKIP_MISSING,
+        )
+        return res.ways.select(
+            "id",
+            F.size("nodes").alias("n_nodes"),
+            F.to_json("tags").alias("tags_json"),
+        ).orderBy("id")
+
+    q["pages_way_assembly"] = q_assemble
+
+    def q_rel(spark, sf):
+        from .operators.assembly import SKIP_MISSING
+        from .plans.pipeline import run_pipeline
+
+        res = run_pipeline(_pages_for(spark, sf), {"relation"}, None, mode=SKIP_MISSING)
+        return res.relations.select(
+            "id", F.size("members").alias("n_members")
+        ).orderBy("id")
+
+    q["pages_relation_assembly"] = q_rel
+
+    def q_text_identity(spark, sf):
+        from .sources.pages import extract_texts
+
+        pages = _pages_for(spark, sf)
+        t = extract_texts(pages)
+        j = t.join(pages.select("url", "text"), "url")
+        return j.select(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(F.when(F.col("text_extracted") == F.col("text"), 1).otherwise(0)).alias(
+                "n_byte_identical"
+            ),
+        )
+
+    q["pages_text_byte_identity"] = q_text_identity
+
+    def q_pip_syn(spark, sf):
+        from .operators.assembly import SKIP_MISSING
+        from .operators.pip import polygons_from_ways
+        from .plans.pipeline import run_pipeline
+
+        res = run_pipeline(_pages_for(spark, sf), {"node", "way"}, None, mode=SKIP_MISSING)
+        polys = polygons_from_ways(res.ways)
+        out = point_in_polygon_join(res.nodes.select("id", "lat", "lon"), polys, res=11)
+        return out.groupBy("polygon_id").agg(F.count(F.lit(1)).alias("n_inside")).orderBy(
+            "polygon_id"
+        )
+
+    q["pages_pip_tiles"] = q_pip_syn
+
+    return q

@@ -38,6 +38,15 @@ def build_session(
         # 8000 = the reference's entities-per-block constant
         # (/root/reference/decode.go:42-43): keeps Arrow batches block-sized
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # Spark 4.1.2: InferFiltersFromConstraints duplicates filters that
+        # contain higher-order functions across shared-lineage joins with
+        # stale attribute refs -> INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at bind
+        # time (hit by the PIP ray-cast). Excluding the rule costs only some
+        # inferred isnotnull/join filters; our operators filter explicitly.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints",
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,137 @@
+"""Streaming tile maintenance + canonical JSON goldens."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from gosmonaut_spark.operators.assembly import SKIP_MISSING
+from gosmonaut_spark.plans.pipeline import run_pipeline
+
+
+def test_streaming_tiles_match_batch(spark, tmp_path):
+    """availableNow stream over page files == batch aggregation."""
+    import pyarrow.parquet as pq
+
+    from gosmonaut_spark.fixtures.pages import pages_arrow_table
+    from gosmonaut_spark.functions.cells import cell_expr
+    from gosmonaut_spark.sources.pages import extract_nodes
+    from gosmonaut_spark.streaming.stream import run_stream_to_memory
+
+    src = tmp_path / "pages_stream"
+    src.mkdir()
+    tbl = pages_arrow_table(120, seed=42)
+    # three files -> three-ish micro-batches
+    for i in range(3):
+        pq.write_table(tbl.slice(i * 40, 40), str(src / f"part{i}.parquet"))
+
+    run_stream_to_memory(
+        spark, str(src), str(tmp_path / "ckpt"), table_name="stream_tiles_t", res=8
+    )
+    got = {
+        (r.window_start, r.cell): r.n_points
+        for r in spark.sql("SELECT * FROM stream_tiles_t").collect()
+    }
+
+    batch_pages = spark.read.parquet(str(src))
+    nodes = extract_nodes(batch_pages).join(
+        batch_pages.select("url", "warc_ts"), "url"
+    )
+    exp = {
+        (r.ws, r.cell): r.n
+        for r in nodes.groupBy(
+            F.window("warc_ts", "1 hour").alias("w"),
+            cell_expr("lat", "lon", 8).alias("cell"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "cell", "n")
+        .collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+@pytest.fixture(scope="module")
+def assembled(spark, pages_t1):
+    return run_pipeline(
+        pages_t1,
+        {"node", "way", "relation"},
+        None,
+        mode=SKIP_MISSING,
+    )
+
+
+def test_canonical_json_structure(spark, assembled):
+    """Canonical JSON parses back to the exact entity and follows the
+    reference layout rules (sorted tags, 7-decimal coords, node tags
+    omitted when empty, way/relation tags always present —
+    osm_types.go:56-146)."""
+    from gosmonaut_spark.functions.json_out import entities_to_json
+
+    nodes = assembled.nodes.limit(50)
+    out = {r.id: r.entity_json for r in entities_to_json(nodes, "node").collect()}
+    src = {r.id: r for r in nodes.collect()}
+    for nid, js in out.items():
+        assert js.endswith("}\n")
+        parsed = json.loads(js)
+        assert parsed["type"] == "node" and parsed["id"] == nid
+        # 7-decimal coords, byte-level
+        assert f'"lat": {src[nid].lat:.7f}' in js
+        if not src[nid].tags:
+            assert '"tags"' not in js
+        else:
+            assert parsed["tags"] == dict(src[nid].tags)
+            keys = list(parsed["tags"])
+            assert keys == sorted(keys)
+
+    ways = assembled.ways.limit(20)
+    wsrc = {r.id: r for r in ways.collect()}
+    wout = {r.id: r.entity_json for r in entities_to_json(ways, "way").collect()}
+    for wid, js in wout.items():
+        parsed = json.loads(js)
+        assert parsed["type"] == "way"
+        assert '"tags"' in js  # ways always print tags, even {}
+        assert [n["id"] for n in parsed["nodes"]] == [n.id for n in wsrc[wid].nodes]
+
+    rels = assembled.relations.limit(20)
+    rsrc = {r.id: r for r in rels.collect()}
+    rout = {r.id: r.entity_json for r in entities_to_json(rels, "relation").collect()}
+    for rid, js in rout.items():
+        parsed = json.loads(js)
+        assert parsed["type"] == "relation"
+        assert [m["role"] for m in parsed["members"]] == [
+            m.role for m in rsrc[rid].members
+        ]
+        for m, ms in zip(parsed["members"], rsrc[rid].members):
+            assert m["entity"]["type"] == ms.type
+
+
+GOLDEN_NODE = """{
+  "type": "node",
+  "id": 42,
+  "lat": 51.5235442,
+  "lon": -0.1355991,
+  "tags": {
+    "addr:housenumber": "31",
+    "amenity": "pub"
+  }
+}
+"""
+
+GOLDEN_WAY_EMPTY = """{
+  "type": "way",
+  "id": -7,
+  "tags": {},
+  "nodes": []
+}
+"""
+
+
+def test_golden_json_bytes():
+    """Byte-for-byte goldens, reference layout (testdata/addr_node.json)."""
+    from gosmonaut_spark.functions.json_out import node_json, way_json
+
+    got = node_json(42, 51.5235442, -0.1355991, {"amenity": "pub", "addr:housenumber": "31"}) + "\n"
+    assert got == GOLDEN_NODE
+    assert way_json(-7, {}, []) + "\n" == GOLDEN_WAY_EMPTY

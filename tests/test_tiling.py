@@ -1,0 +1,132 @@
+"""Tiling / PIP / kNN correctness vs brute-force numpy oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gosmonaut_spark.functions.cells import cell_np
+from gosmonaut_spark.operators.knn import knn_brute, knn_join
+from gosmonaut_spark.operators.pip import (
+    point_in_polygon_join,
+    polygons_from_ways,
+)
+from gosmonaut_spark.operators.tiling import (
+    points_to_tiles,
+    rollup_tiles,
+    salted_points_to_tiles,
+    tile_pyramid,
+)
+from gosmonaut_spark.operators.assembly import SKIP_MISSING
+from gosmonaut_spark.plans.pipeline import run_pipeline
+
+
+@pytest.fixture(scope="module")
+def world(spark, pages_t1):
+    """nodes DF + assembled ways DF + local numpy copies."""
+    res = run_pipeline(pages_t1, {"node", "way"}, None, mode=SKIP_MISSING)
+    nodes = res.nodes.select("id", "lat", "lon").cache()
+    ways = res.ways.cache()
+    pts = nodes.collect()
+    ids = np.array([r.id for r in pts])
+    lats = np.array([r.lat for r in pts])
+    lons = np.array([r.lon for r in pts])
+    return {"nodes": nodes, "ways": ways, "ids": ids, "lats": lats, "lons": lons}
+
+
+def test_tiles_match_numpy(spark, world):
+    for res in (5, 8, 12):
+        tiles = {
+            r.cell: r.n_points
+            for r in points_to_tiles(world["nodes"], res).collect()
+        }
+        cells = cell_np(world["lats"], world["lons"], res)
+        uniq, counts = np.unique(cells, return_counts=True)
+        expected = dict(zip(uniq.tolist(), counts.tolist()))
+        assert tiles == expected
+
+
+def test_salted_equals_plain(spark, world):
+    res = 6
+    plain = {
+        r.cell: r.n_points for r in points_to_tiles(world["nodes"], res).collect()
+    }
+    salted = {
+        r.cell: r.n_points
+        for r in salted_points_to_tiles(world["nodes"], res, n_salts=8).collect()
+    }
+    assert plain == salted
+
+
+def test_pyramid_rollup_sums(spark, world):
+    pyr = tile_pyramid(world["nodes"], 5, 9).collect()
+    by_res = {}
+    for r in pyr:
+        by_res.setdefault(r.res, {})[r.cell] = r.n_points
+    total = world["ids"].size
+    for res in range(5, 10):
+        assert sum(by_res[res].values()) == total, f"res {res} loses points"
+        # each layer must equal direct aggregation at that res
+        cells = cell_np(world["lats"], world["lons"], res)
+        uniq, counts = np.unique(cells, return_counts=True)
+        assert by_res[res] == dict(zip(uniq.tolist(), counts.tolist()))
+
+
+def _numpy_raycast(plat, plon, lats, lons):
+    """Independent PNPOLY oracle (vectorized over points, loop over edges)."""
+    inside = np.zeros(plat.shape, dtype=bool)
+    for i in range(len(lats) - 1):
+        y1, y2 = lats[i], lats[i + 1]
+        x1, x2 = lons[i], lons[i + 1]
+        cond = (y1 > plat) != (y2 > plat)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xcross = (x2 - x1) * (plat - y1) / (y2 - y1) + x1
+        inside ^= cond & (plon < xcross)
+    return inside
+
+
+def test_pip_matches_bruteforce(spark, world):
+    polys = polygons_from_ways(world["ways"])
+    got = {
+        (r.id, r.polygon_id)
+        for r in point_in_polygon_join(
+            world["nodes"], polys, res=11
+        ).select("id", "polygon_id").collect()
+    }
+    # both exact engines must agree pair-for-pair
+    got_vec = {
+        (r.id, r.polygon_id)
+        for r in point_in_polygon_join(
+            world["nodes"], polys, res=13, engine="vectorized"
+        ).select("id", "polygon_id").collect()
+    }
+    assert got == got_vec
+    expected = set()
+    for p in polys.collect():
+        lats = np.array(p.lats)
+        lons = np.array(p.lons)
+        mask = _numpy_raycast(world["lats"], world["lons"], lats, lons)
+        for nid in world["ids"][mask]:
+            expected.add((int(nid), p.polygon_id))
+    assert got == expected
+    assert len(expected) > 0, "fixture produced no PIP hits — weak test"
+
+
+def test_knn_ring_matches_brute(spark, world):
+    nodes = world["nodes"]
+    queries = nodes.filter(F.col("id") % 37 == 0).select(
+        F.col("id").alias("query_id"), "lat", "lon"
+    )
+    targets = nodes.select(F.col("id").alias("target_id"), "lat", "lon")
+    k = 5
+    approx = knn_join(queries, targets, k, res=7, ring=1).collect()
+    exact = knn_brute(queries, targets, k).collect()
+
+    def key(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r.query_id, []).append((r.target_id, round(r.dist_m, 6)))
+        return {q: sorted(v) for q, v in out.items()}
+
+    assert key(approx) == key(exact)

@@ -41,6 +41,7 @@ def run_suite(cpus: int, sf_dir: str, pages_path: str) -> dict:
     from gosmonaut_spark.session import build_session
     from gosmonaut_spark.sources.pages import read_pages
 
+    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
     spark = build_session(master=f"local[{cpus}]", shuffle_partitions=max(cpus * 2, 8))
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -50,20 +51,25 @@ def run_suite(cpus: int, sf_dir: str, pages_path: str) -> dict:
         n = fn()
         timings[name] = round(time.perf_counter() - t0, 3)
         rows[name] = int(n)
+        print(
+            f"[bench cpus={cpus}] {name}: {timings[name]}s rows={n}",
+            file=sys.stderr,
+            flush=True,
+        )
 
     pages = read_pages(spark, pages_path)
 
     # 1. decode + full nested assembly (the gosmonaut core)
     def _assemble():
+        # no explicit persist: Spark's shuffle-stage reuse already serves
+        # the repeated actions (measured 2x FASTER than caching the
+        # map/array-heavy tables at t2 scale — see docs/PLANS.md)
         res = run_pipeline(
             pages, {"node", "way", "relation"}, None, mode=SKIP_MISSING
         )
         c = res.workload_counts()
-        # persist assembled ways for downstream passes in this suite
-        _assemble.ways = res.ways.persist()
-        _assemble.nodes = res.nodes.select("id", "lat", "lon").persist()
-        _assemble.ways.count()
-        _assemble.nodes.count()
+        _assemble.ways = res.ways
+        _assemble.nodes = res.nodes.select("id", "lat", "lon")
         return c["nodes"] + c["ways"] + c["relations"]
 
     run("decode_assemble", _assemble)

@@ -160,10 +160,12 @@ def assemble_ways(
     )
     # left join keeps zero-ref ways (empty array, not null) — the reference
     # emits them too (a way with no surviving nodes still appears in skip
-    # mode, gosmonaut.go:388-397)
+    # mode, gosmonaut.go:388-397). merge hint: the stitched side carries the
+    # full node arrays — broadcasting it is slow and memory-hostile at
+    # scale, and AQE's size estimate undercounts nested arrays, so pin SMJ.
     return (
         ways_sel.select("id", "tags", "url")
-        .join(stitched.withColumnRenamed("way_id", "id"), "id", "left")
+        .join(stitched.withColumnRenamed("way_id", "id").hint("merge"), "id", "left")
         .withColumn("nodes", F.coalesce(F.col("nodes"), F.array().cast(f"array<{NODE_STRUCT}>")))
     )
 
@@ -210,7 +212,7 @@ def assemble_relations(
 
     w = (
         mem.filter(F.col("member_type") == WAY_TYPE)
-        .join(way_side, "member_id", "inner")
+        .join(way_side.hint("merge"), "member_id", "inner")  # arrays: no broadcast
         .withColumn("node", F.lit(None).cast(NODE_STRUCT))
     )
     n = (
@@ -240,7 +242,9 @@ def assemble_relations(
     )
     out = (
         rels_sel.select("id", "tags", "url")
-        .join(agg.withColumnRenamed("rel_id", "id"), "id", "left")
+        # merge hint for the same reason as way assembly: members arrays
+        # are heavy — never broadcast them
+        .join(agg.withColumnRenamed("rel_id", "id").hint("merge"), "id", "left")
     )
     empty = F.array().cast(agg.schema["members"].dataType.simpleString())
     return out.withColumn("members", F.coalesce(F.col("members"), empty))

@@ -172,17 +172,30 @@ def point_in_polygon_join(
     # names *before* the join so the ray-cast expression can never bind to
     # the wrong side (higher-order functions are fragile under self-join
     # attribute dedup).
-    cover = polygon_cover_cells(polygons, res, res_min=res_min).select(
-        F.col("polygon_id"),
-        F.col("cell"),
-        F.col("lats").alias("__pg_lats"),
-        F.col("lons").alias("__pg_lons"),
-        F.array_min("lats").alias("__pg_min_lat"),
-        F.array_max("lats").alias("__pg_max_lat"),
-        F.array_min("lons").alias("__pg_min_lon"),
-        F.array_max("lons").alias("__pg_max_lon"),
-    )
-    if broadcast_polygons is True:
+    if engine == "native":
+        # distributed cover: repartition first — assembled-polygon tables
+        # often arrive AQE-coalesced into very few partitions, and the
+        # adaptive-cover expression (interpreted lambdas) would run
+        # single-threaded otherwise
+        spread = polygons.repartition(
+            int(polygons.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        )
+        cover = polygon_cover_cells(spread, res, res_min=res_min).select(
+            F.col("polygon_id"),
+            F.col("cell"),
+            F.col("lats").alias("__pg_lats"),
+            F.col("lons").alias("__pg_lons"),
+            F.array_min("lats").alias("__pg_min_lat"),
+            F.array_max("lats").alias("__pg_max_lat"),
+            F.array_min("lons").alias("__pg_min_lon"),
+            F.array_max("lons").alias("__pg_max_lon"),
+        )
+    else:
+        # vectorized engine: polygons are collected anyway for the vertex
+        # store, so the adaptive cover is computed driver-side in numpy —
+        # no interpreted HOFs, and the broadcast side carries only scalars
+        cover = None
+    if broadcast_polygons is True and cover is not None:
         cover = F.broadcast(cover)
     # the cover is multi-resolution (adaptive), so each point carries its
     # cell at every res in [res_min, res]; ids are disjoint per res, so one
@@ -191,15 +204,15 @@ def point_in_polygon_join(
         "cell",
         F.explode(F.array(*[cell_expr(lat, lon, r) for r in range(res_min, res + 1)])),
     )
-    cand = pts.join(cover, "cell", "inner").filter(
-        (F.col(lat) >= F.col("__pg_min_lat"))
-        & (F.col(lat) <= F.col("__pg_max_lat"))
-        & (F.col(lon) >= F.col("__pg_min_lon"))
-        & (F.col(lon) <= F.col("__pg_max_lon"))
-    )
     point_cols = [c for c in points.columns]
 
     if engine == "native":
+        cand = pts.join(cover, "cell", "inner").filter(
+            (F.col(lat) >= F.col("__pg_min_lat"))
+            & (F.col(lat) <= F.col("__pg_max_lat"))
+            & (F.col(lon) >= F.col("__pg_min_lon"))
+            & (F.col(lon) <= F.col("__pg_max_lon"))
+        )
         hit = cand.select(
             *point_cols,
             "polygon_id",
@@ -213,16 +226,66 @@ def point_in_polygon_join(
         raise ValueError(f"unknown engine {engine!r}")
 
     import numpy as np
+    import pandas as pd
 
     spark = points.sparkSession
+    rows = polygons.select("polygon_id", "lats", "lons").collect()
     verts = {
         r["polygon_id"]: (
             np.array(r["lats"], dtype=np.float64),
             np.array(r["lons"], dtype=np.float64),
         )
-        for r in polygons.select("polygon_id", "lats", "lons").collect()
+        for r in rows
     }
     bc = spark.sparkContext.broadcast(verts)
+
+    # driver-side adaptive cover (numpy): per polygon, the finest res in
+    # [res_min, res] whose bbox cover stays <= max_cells
+    max_cells = 64
+    pid_col, cell_col = [], []
+    mnla, mxla, mnlo, mxlo = [], [], [], []
+    for r0 in rows:
+        la, lo = verts[r0["polygon_id"]]
+        lat0, lat1 = float(la.min()), float(la.max())
+        lon0, lon1 = float(lo.min()), float(lo.max())
+        for rr in range(res, res_min - 1, -1):
+            n = 1 << rr
+            x0 = min(max(int((lon0 + 180.0) / 360.0 * n), 0), n - 1)
+            x1 = min(max(int((lon1 + 180.0) / 360.0 * n), 0), n - 1)
+            y0 = min(max(int((90.0 - lat1) / 180.0 * n), 0), n - 1)
+            y1 = min(max(int((90.0 - lat0) / 180.0 * n), 0), n - 1)
+            span = (x1 - x0 + 1) * (y1 - y0 + 1)
+            if span <= max_cells or rr == res_min:
+                base = 1 << (2 * rr)
+                for x in range(x0, x1 + 1):
+                    for y in range(y0, y1 + 1):
+                        pid_col.append(r0["polygon_id"])
+                        cell_col.append(base + x * n + y)
+                mnla.append(lat0); mxla.append(lat1)
+                mnlo.append(lon0); mxlo.append(lon1)
+                break
+    bbox_by_pid = {
+        r0["polygon_id"]: (a, b, c, d)
+        for r0, a, b, c, d in zip(rows, mnla, mxla, mnlo, mxlo)
+    }
+    cover_pdf = pd.DataFrame(
+        {
+            "cell": pd.array(cell_col, dtype="int64"),
+            "polygon_id": pd.array(pid_col, dtype="int64"),
+            "__pg_min_lat": [bbox_by_pid[p][0] for p in pid_col],
+            "__pg_max_lat": [bbox_by_pid[p][1] for p in pid_col],
+            "__pg_min_lon": [bbox_by_pid[p][2] for p in pid_col],
+            "__pg_max_lon": [bbox_by_pid[p][3] for p in pid_col],
+        }
+    )
+    cover = F.broadcast(spark.createDataFrame(cover_pdf))
+
+    cand = pts.join(cover, "cell", "inner").filter(
+        (F.col(lat) >= F.col("__pg_min_lat"))
+        & (F.col(lat) <= F.col("__pg_max_lat"))
+        & (F.col(lon) >= F.col("__pg_min_lon"))
+        & (F.col(lon) <= F.col("__pg_max_lon"))
+    )
     slim = cand.select(*point_cols, "polygon_id")
     out_schema = slim.schema
 

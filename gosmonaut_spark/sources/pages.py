@@ -39,11 +39,36 @@ RELS_RAW_SCHEMA = (
 TEXTS_SCHEMA = "url string, text_extracted string"
 
 
+REQUIRED_COLUMNS = {
+    "url": "string",
+    "warc_ts": "timestamp_ntz",
+    "html": "binary",
+    "text": "string",
+    "lang": "string",
+}
+
+
+def assert_pages_schema(df: DataFrame) -> DataFrame:
+    """Fail-fast capability check before any job launches — the analog of
+    the reference's required-features validation
+    (/root/reference/decode.go:289-295): unsupported input dies at plan
+    time, not mid-scan."""
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    missing = [
+        f"{k}:{v}" for k, v in REQUIRED_COLUMNS.items() if actual.get(k) != v
+    ]
+    if missing:
+        raise ValueError(
+            f"pages table schema mismatch — required {missing}, got {actual}"
+        )
+    return df
+
+
 def read_pages(spark: SparkSession, path: str) -> DataFrame:
     """Scan the pages table. Parquet layout stands in for Iceberg in the
     sandbox (no Iceberg runtime jar); the reader is isolated here so a real
     ``spark.read.table`` swap is one line."""
-    return spark.read.parquet(path)
+    return assert_pages_schema(spark.read.parquet(path))
 
 
 def _decode_batches(

@@ -143,3 +143,14 @@ def test_cell_ring(spark):
     assert len(cells) == 9 and len(set(cells)) == 9
     # the center cell is in its own ring
     assert int(cell_np([10.0], [20.0], res)[0]) in cells
+
+
+def test_pages_schema_assert(spark):
+    """Fail-fast capability check (reference decode.go:289-295 analog)."""
+    import pytest
+
+    from gosmonaut_spark.sources.pages import assert_pages_schema
+
+    bad = spark.createDataFrame([("u", b"x")], "url string, html binary")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        assert_pages_schema(bad)

@@ -247,7 +247,10 @@ def write_pages_parquet(path: str, n_pages: int, seed: int = 42, *, dangling: bo
     import pyarrow.parquet as pq
 
     tbl = pages_arrow_table(n_pages, seed, dangling=dangling)
-    pq.write_table(tbl, path, compression="zstd")
+    # small row groups: Spark can only split parquet at row-group
+    # boundaries — a single-group file serializes every decode stage
+    # onto one task
+    pq.write_table(tbl, path, compression="zstd", row_group_size=512)
     return path
 
 
@@ -301,7 +304,10 @@ def write_pages_parquet_parallel(
     with mp.get_context("fork").Pool(procs) as pool:
         parts = pool.map(_gen_chunk, jobs)
     tables = [ipc.open_stream(io.BytesIO(b)).read_all() for b in parts]
-    pq.write_table(pa.concat_tables(tables), path, compression="zstd")
+    # small row groups -> splittable scan (see write_pages_parquet)
+    pq.write_table(
+        pa.concat_tables(tables), path, compression="zstd", row_group_size=512
+    )
     return path
 
 

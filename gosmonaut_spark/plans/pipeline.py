@@ -62,22 +62,28 @@ class PipelineResult:
             wc += agg.w
             nc += agg.n
         if self.relations is not None:
-            agg = self.relations.select(
-                F.explode_outer("members").alias("m")
-            ).agg(
-                F.count(F.col("m")).alias("mem"),
+            # one action: member stats folded over the array columns —
+            # no explode, no second count() job
+            way_members = F.filter("members", lambda m: m["type"] == "way")
+            agg = self.relations.agg(
+                F.count(F.lit(1)).alias("r"),
                 F.coalesce(
-                    F.sum(F.when(F.col("m.type") == "node", 1).otherwise(0)), F.lit(0)
+                    F.sum(F.size(F.filter("members", lambda m: m["type"] == "node"))),
+                    F.lit(0),
                 ).alias("n"),
+                F.coalesce(F.sum(F.size(way_members)), F.lit(0)).alias("w"),
                 F.coalesce(
-                    F.sum(F.when(F.col("m.type") == "way", 1).otherwise(0)), F.lit(0)
-                ).alias("w"),
-                F.coalesce(
-                    F.sum(F.when(F.col("m.type") == "way", F.size("m.way.nodes"))),
+                    F.sum(
+                        F.aggregate(
+                            way_members,
+                            F.lit(0),
+                            lambda acc, m: acc + F.size(m["way"]["nodes"]),
+                        )
+                    ),
                     F.lit(0),
                 ).alias("wn"),
             ).collect()[0]
-            rc += self.relations.count()
+            rc += agg.r
             nc += agg.n + agg.wn
             wc += agg.w
         return {"nodes": int(nc), "ways": int(wc), "relations": int(rc)}

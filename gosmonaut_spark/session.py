@@ -50,6 +50,9 @@ def build_session(
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
+        # pages blobs expand ~50-100x when decoded: split scans finely so
+        # the mapInPandas decode parallelizes even over smallish files
+        .config("spark.sql.files.maxPartitionBytes", "4MB")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.log.level", "WARN")
     )

@@ -82,7 +82,13 @@ def run_suite(cpus: int, sf_dir: str, pages_path: str) -> dict:
 
     # 2. spatial join: point-in-polygon over assembled polygons
     def _pip():
-        polys = polygons_from_ways(_assemble.ways)
+        # 1-in-8 polygon sample: the synthetic fixture's city density makes
+        # total hits quadratic in sf (full sf0.1 -> 650M pairs); the sample
+        # keeps the operator at scale (~80M output rows) without letting
+        # one query consume the whole suite budget
+        polys = polygons_from_ways(_assemble.ways).filter(
+            F.col("polygon_id") % 8 == 0
+        )
         out = point_in_polygon_join(
             _assemble.nodes, polys, res=13, engine="vectorized"
         )
@@ -123,6 +129,7 @@ def run_suite(cpus: int, sf_dir: str, pages_path: str) -> dict:
             threshold=0.8,
             n_hashes=16,
             n_bands=4,
+            hash_fn="xxhash64",  # throughput path; md5 stays oracle-side
         ).count()
 
     run("dedup_minhash", _dedup)
@@ -155,7 +162,25 @@ def run_suite(cpus: int, sf_dir: str, pages_path: str) -> dict:
     }
     spark.stop()
     shutil.rmtree(ck_dir, ignore_errors=True)
+    print(f"[bench suite cpus={cpus}] {json.dumps(out)}", file=sys.stderr, flush=True)
     return out
+
+
+def _run_isolated(cpus: int, sf_dir: str) -> dict:
+    """One suite in a fresh interpreter+JVM — the sandbox equivalent of a
+    separate spark-submit per cluster size. Same-JVM back-to-back legs are
+    NOT comparable (the second runs JIT-warm; measured 'inverse scaling')."""
+    import subprocess
+
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--suite-json"],
+        env=env,
+        stdout=subprocess.PIPE,  # stderr inherits: per-query progress visible
+        text=True,
+        check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def main() -> None:
@@ -168,7 +193,15 @@ def main() -> None:
 
     pages_path = ensure_pages_parquet(_profile_for(sf))
 
-    main_run = run_suite(cpus, sf_dir, pages_path)
+    if "--suite-json" in sys.argv:
+        # child mode: one suite, raw JSON on stdout
+        print(json.dumps(run_suite(cpus, sf_dir, pages_path)))
+        return
+
+    if "--scaling" in sys.argv:
+        main_run = _run_isolated(cpus, sf_dir)
+    else:
+        main_run = run_suite(cpus, sf_dir, pages_path)
 
     result = {
         "metric": "spatial_pipeline_total",
@@ -183,7 +216,7 @@ def main() -> None:
 
     if "--scaling" in sys.argv:
         small = max(cpus // 4, 1)
-        small_run = run_suite(small, sf_dir, pages_path)
+        small_run = _run_isolated(small, sf_dir)
         thr_big = main_run["spatial_rows_per_sec"]
         thr_small = small_run["spatial_rows_per_sec"]
         eff = (thr_big / thr_small) / (cpus / small)

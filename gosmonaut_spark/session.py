@@ -37,7 +37,13 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8000")
         # 8000 = the reference's entities-per-block constant
         # (/root/reference/decode.go:42-43): keeps Arrow batches block-sized
-        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # runtime Bloom-filter joins re-*execute* the build-side plan to
+        # construct the filter; when that side hangs off a mapInPandas
+        # decode (not a re-scannable parquet source) the construction costs
+        # more than the pruning saves — measured 18% slower at t2. The
+        # checkpointed pipeline reads parquet snapshots, where re-enabling
+        # this per-query is a one-line .config for selective probes.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
         # Spark 4.1.2: InferFiltersFromConstraints duplicates filters that
         # contain higher-order functions across shared-lineage joins with
         # stale attribute refs -> INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at bind

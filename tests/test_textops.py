@@ -249,3 +249,15 @@ def test_multimodal_plumbing(spark):
     # real codec path is an explicit stub
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
         extract_media_features(media, fake=False).collect()
+
+
+def test_minhash_xxhash_variant_matches_md5(spark, docs):
+    """The throughput hash (xxhash64) must find the same verified pairs as
+    the oracle hash (md5) — banding changes candidates, but the exact
+    jaccard verification makes the output hash-agnostic for recall=1 sets."""
+    sample = docs.filter(F.col("doc_id") < 150)
+    dup = sample.select("doc_id", "text").withColumn("doc_id", F.col("doc_id") + 5000)
+    both = sample.select("doc_id", "text").unionByName(dup)
+    a = {(r.a, r.b) for r in D.minhash_lsh_pairs(both, 0.8, 16, 8, hash_fn="md5").collect()}
+    b = {(r.a, r.b) for r in D.minhash_lsh_pairs(both, 0.8, 16, 8, hash_fn="xxhash64").collect()}
+    assert a == b and len(a) >= 150

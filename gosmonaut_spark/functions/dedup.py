@@ -252,6 +252,44 @@ def simhash_hamming(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_signatures(
+    docs: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Throughput path for :func:`simhash64` — identical result, different
+    physical plan: explode shingles, hash each once (codegen'd md5+conv),
+    then ONE hash-aggregate with 60 native ``sum`` vote columns. The
+    Column version folds 60 interpreted ``aggregate`` HOFs per row
+    (~100x slower); this shape keeps everything in whole-stage codegen
+    with a map-side partial agg, so at scale the shuffle carries one
+    60-int row per document. The two implementations are asserted
+    equivalent in tests (the reference's FastDecoder/GoDecoder
+    discipline, /root/reference/gosmonaut_test.go:27-41).
+    """
+    sh = docs.select(F.col(id_col).alias("doc_id"), shingles(text_col, n).alias("sh"))
+    # explode_outer keeps shingle-less docs: their votes sum to 0 -> sh64=0,
+    # matching the Column version's empty-array fold
+    ex = sh.select("doc_id", F.explode_outer("sh").alias("s")).withColumn(
+        "h", F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
+    )
+    votes = [
+        F.sum(
+            F.when(F.col("h").isNull(), F.lit(0)).otherwise(
+                F.when(
+                    F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+            )
+        ).alias(f"v{k}")
+        for k in range(60)
+    ]
+    agg = ex.groupBy("doc_id").agg(*votes)
+    sh64 = F.lit(0).cast("long")
+    for k in range(60):
+        sh64 = sh64 + F.when(
+            F.col(f"v{k}") > 0, F.lit(1 << k).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select("doc_id", sh64.alias("sh64"))
+
+
 def simhash_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
@@ -267,7 +305,7 @@ def simhash_pairs(
     at least one exact block (pigeonhole) — so candidates come from
     equi-joins on (block_idx, block_value), never a cross join.
     """
-    sig = docs.select(F.col(id_col).alias("doc_id"), simhash64(text_col, n).alias("sh64"))
+    sig = simhash_signatures(docs, n=n, id_col=id_col, text_col=text_col)
     width = 60 // n_blocks
     blocks = []
     for i in range(n_blocks):

@@ -197,27 +197,43 @@ def point_in_polygon_join(
         cover = None
     if broadcast_polygons is True and cover is not None:
         cover = F.broadcast(cover)
+    # Re-alias every point column to a fresh attribute (`__pt_*`) before the
+    # join. Points and polygons often share lineage (both derive from the
+    # same extraction pass), so without this the two join inputs carry
+    # *identical attribute ids*; Catalyst then treats the points-side bbox
+    # predicate as polygon-side-only and pushes it below the cover project,
+    # where binding fails (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) — or worse,
+    # silently filters the wrong side. Fresh aliases give the predicate
+    # exprIds that exist only on the points side.
+    point_cols = [c for c in points.columns]
+    ptsr = points.select(
+        *[F.col(c).alias(f"__pt_{c}") for c in point_cols]
+    )
+    plat, plon = F.col(f"__pt_{lat}"), F.col(f"__pt_{lon}")
     # the cover is multi-resolution (adaptive), so each point carries its
     # cell at every res in [res_min, res]; ids are disjoint per res, so one
     # exploded column joins them all — explode factor = #levels, cheap
-    pts = points.withColumn(
+    pts = ptsr.withColumn(
         "cell",
-        F.explode(F.array(*[cell_expr(lat, lon, r) for r in range(res_min, res + 1)])),
+        F.explode(
+            F.array(
+                *[cell_expr(f"__pt_{lat}", f"__pt_{lon}", r) for r in range(res_min, res + 1)]
+            )
+        ),
     )
-    point_cols = [c for c in points.columns]
 
     if engine == "native":
         cand = pts.join(cover, "cell", "inner").filter(
-            (F.col(lat) >= F.col("__pg_min_lat"))
-            & (F.col(lat) <= F.col("__pg_max_lat"))
-            & (F.col(lon) >= F.col("__pg_min_lon"))
-            & (F.col(lon) <= F.col("__pg_max_lon"))
+            (plat >= F.col("__pg_min_lat"))
+            & (plat <= F.col("__pg_max_lat"))
+            & (plon >= F.col("__pg_min_lon"))
+            & (plon <= F.col("__pg_max_lon"))
         )
         hit = cand.select(
-            *point_cols,
+            *[F.col(f"__pt_{c}").alias(c) for c in point_cols],
             "polygon_id",
             ray_cast_inside(
-                F.col(lat), F.col(lon), F.col("__pg_lats"), F.col("__pg_lons")
+                plat, plon, F.col("__pg_lats"), F.col("__pg_lons")
             ).alias("__inside"),
         )
         return hit.filter(F.col("__inside")).drop("__inside")
@@ -281,19 +297,33 @@ def point_in_polygon_join(
     cover = F.broadcast(spark.createDataFrame(cover_pdf))
 
     cand = pts.join(cover, "cell", "inner").filter(
-        (F.col(lat) >= F.col("__pg_min_lat"))
-        & (F.col(lat) <= F.col("__pg_max_lat"))
-        & (F.col(lon) >= F.col("__pg_min_lon"))
-        & (F.col(lon) <= F.col("__pg_max_lon"))
+        (plat >= F.col("__pg_min_lat"))
+        & (plat <= F.col("__pg_max_lat"))
+        & (plon >= F.col("__pg_min_lon"))
+        & (plon <= F.col("__pg_max_lon"))
     )
-    slim = cand.select(*point_cols, "polygon_id")
+    slim = cand.select(
+        *[F.col(f"__pt_{c}").alias(c) for c in point_cols], "polygon_id"
+    )
     out_schema = slim.schema
 
-    def check(key, pdf):
-        la, lo = bc.value[key[0]]
-        mask = _numpy_pnpoly(
-            pdf[lat].to_numpy(dtype=np.float64), pdf[lon].to_numpy(dtype=np.float64), la, lo
-        )
-        return pdf[mask]
+    # Shuffle-free exact test: candidates stay where the equi-join produced
+    # them; each Arrow batch is grouped by polygon_id *locally* (pandas
+    # groupby) and the numpy kernel runs per polygon against the broadcast
+    # vertex store. Compared to groupBy(polygon_id).applyInPandas this
+    # removes a full shuffle of the candidate set AND the hot-polygon skew
+    # (a polygon with 10M candidate points no longer lands in one task).
+    def check_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            plat = pdf[lat].to_numpy(dtype=np.float64)
+            plon = pdf[lon].to_numpy(dtype=np.float64)
+            mask = np.zeros(len(pdf), dtype=bool)
+            store = bc.value
+            for pid, idx in pdf.groupby("polygon_id", sort=False).indices.items():
+                la, lo = store[pid]
+                mask[idx] = _numpy_pnpoly(plat[idx], plon[idx], la, lo)
+            yield pdf[mask]
 
-    return slim.groupBy("polygon_id").applyInPandas(check, out_schema)
+    return slim.mapInPandas(check_batches, out_schema)

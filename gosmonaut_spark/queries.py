@@ -416,6 +416,50 @@ WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) 
 ORDER BY a, b""",
     )
 
+    def q_simhash(spark, sf):
+        d = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(F.col("doc_id") < 150)
+            .select("doc_id", "text")
+        )
+        dup = d.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+        pert = d.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(2_000_000)
+        ).withColumn("text", F.concat(F.col("text"), F.lit(" zq")))
+        return D.simhash_pairs(
+            d.unionByName(dup).unionByName(pert), max_hamming=3, n=2, n_blocks=4
+        ).orderBy("a", "b")
+
+    # DuckDB twin is *exhaustive* (all-pairs hamming) — valid oracle because
+    # the pigeonhole block trick is exact for max_hamming < n_blocks: any
+    # pair within hamming 3 shares one of the 4 blocks, so the Spark
+    # candidate set provably covers every qualifying pair.
+    sh2_sql = T.shingles_sql("text", 2)
+    sim_votes = " + ".join(
+        f"CASE WHEN list_sum(list_transform(h, v -> CASE WHEN ((v >> {k}) & 1) = 1"
+        f" THEN 1 ELSE -1 END)) > 0 THEN CAST({1 << k} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END"
+        for k in range(60)
+    )
+    q["dedup_simhash"] = (
+        q_simhash,
+        f"""WITH all_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 150
+  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 150
+  UNION ALL SELECT doc_id + 2000000, text || ' zq' FROM documents WHERE doc_id < 150
+),
+shing AS (SELECT doc_id, {sh2_sql} AS sh FROM all_docs),
+hs AS (SELECT doc_id,
+       list_transform(sh, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS h
+       FROM shing),
+sigs AS (SELECT doc_id, ({sim_votes}) AS sh64 FROM hs)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.sh64, y.sh64)) AS INT) AS hamming
+FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.sh64, y.sh64)) <= 3
+ORDER BY a, b""",
+    )
+
     # ---- embeddings / similarity ---------------------------------------------
     def q_cos_topk(spark, sf):
         e = spark.read.parquet(f"{sf}/embeddings.parquet")

@@ -28,6 +28,25 @@ def _profile_for(sf: float) -> str:
     return {0.001: "t1", 0.01: "t2"}.get(sf, "bench")
 
 
+def _warm_os_cache(*paths: str) -> None:
+    """Read every input file once so both scaling legs see a warm page
+    cache — leg ORDER must not change what the disk serves (measured: the
+    first-run leg paid up to 2x wall on the decode pass from cold files)."""
+    import glob as _glob
+
+    for p in paths:
+        files = (
+            _glob.glob(os.path.join(p, "**"), recursive=True)
+            if os.path.isdir(p)
+            else [p]
+        )
+        for f in files:
+            if os.path.isfile(f):
+                with open(f, "rb") as fh:
+                    while fh.read(1 << 22):
+                        pass
+
+
 def run_suite(cpus: int, sf_dir: str, pages_path: str) -> dict:
     """One full benchmark pass on a fresh session with `cpus` cores."""
     import shutil
@@ -46,6 +65,7 @@ def run_suite(cpus: int, sf_dir: str, pages_path: str) -> dict:
     from gosmonaut_spark.sources.pages import read_pages
 
     os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+    _warm_os_cache(pages_path, sf_dir)
     spark = build_session(master=f"local[{cpus}]", shuffle_partitions=max(cpus * 2, 8))
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -61,7 +81,10 @@ def run_suite(cpus: int, sf_dir: str, pages_path: str) -> dict:
             flush=True,
         )
 
-    pages = read_pages(spark, pages_path)
+    # decode parallelism: the fixture is one ~45MB file (12 splits at the
+    # 4MB split size) — at real scale pages arrive in thousands of splits,
+    # so spread the blobs across the executors before the CPU-bound decode
+    pages = read_pages(spark, pages_path).repartition(cpus * 2)
 
     # 1. decode + full nested assembly through snapshot pass boundaries
     #    (B11): downstream passes read the parquet snapshots instead of

@@ -42,11 +42,37 @@ def _pos_cmp(l: Column, r: Column) -> Column:
 
 
 def ordered_collect(pos: str, value: Column, out_field: str = "v") -> Column:
-    """collect_list + array_sort-by-pos + project — the ordered re-agg used
-    after every assembly shuffle. A comparator lambda is required because
-    structs containing maps are not natively orderable."""
+    """collect_list + array_sort-by-pos + project — the Column-expression
+    form of the ordered re-agg. A comparator lambda is required because
+    structs containing maps are not natively orderable — which makes this
+    form INTERPRETED per comparison; prefer :func:`ordered_collect_rows`
+    (engine-side window sort, no lambdas) on hot paths."""
     paired = F.collect_list(F.struct(F.col(pos).alias("pos"), value.alias(out_field)))
     return F.transform(F.array_sort(paired, _pos_cmp), lambda s: s[out_field])
+
+
+def ordered_collect_rows(
+    df: DataFrame, key: str, pos: str, value: Column, out_name: str
+) -> DataFrame:
+    """Order-preserving re-agg with ZERO interpreted lambdas: sort the rows
+    (engine Tungsten sort via an ordered window), then collect_list over the
+    full frame — the collected array is already in ``pos`` order, so no
+    array_sort-with-comparator (interpreted per comparison; it dominated
+    assembly wall time ~2x) and no transform to strip the sort key.
+    The follow-up groupBy reuses the window's hash partitioning — one
+    shuffle total, same as the agg it replaces.
+    Returns ``df.select(key, out_name)`` with one row per key."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(pos).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    tmp = df.select(key, F.collect_list(value).over(w).alias(out_name))
+    # every row of a key carries the identical full-frame array -> first()
+    # is deterministic
+    return tmp.groupBy(key).agg(F.first(out_name).alias(out_name))
 
 
 @dataclass
@@ -155,9 +181,7 @@ def assemble_ways(
         matched = joined.count()
         metrics.missing_way_nodes = total_refs - matched
 
-    stitched = joined.groupBy("way_id").agg(
-        ordered_collect("pos", F.col("node")).alias("nodes")
-    )
+    stitched = ordered_collect_rows(joined, "way_id", "pos", F.col("node"), "nodes")
     # left join keeps zero-ref ways (empty array, not null) — the reference
     # emits them too (a way with no surviving nodes still appears in skip
     # mode, gosmonaut.go:388-397). merge hint: the stitched side carries the
@@ -237,9 +261,7 @@ def assemble_relations(
         F.col("node"),
         F.col("way"),
     )
-    agg = resolved.groupBy("rel_id").agg(
-        ordered_collect("pos", member_struct).alias("members")
-    )
+    agg = ordered_collect_rows(resolved, "rel_id", "pos", member_struct, "members")
     out = (
         rels_sel.select("id", "tags", "url")
         # merge hint for the same reason as way assembly: members arrays

@@ -211,18 +211,22 @@ def point_in_polygon_join(
     )
     plat, plon = F.col(f"__pt_{lat}"), F.col(f"__pt_{lon}")
     # the cover is multi-resolution (adaptive), so each point carries its
-    # cell at every res in [res_min, res]; ids are disjoint per res, so one
-    # exploded column joins them all — explode factor = #levels, cheap
-    pts = ptsr.withColumn(
-        "cell",
-        F.explode(
-            F.array(
-                *[cell_expr(f"__pt_{lat}", f"__pt_{lon}", r) for r in range(res_min, res + 1)]
-            )
-        ),
-    )
+    # cell at every level the cover actually uses; ids are disjoint per
+    # res, so one exploded column joins them all — explode factor = #levels
+    def pts_at(levels):
+        return ptsr.withColumn(
+            "cell",
+            F.explode(
+                F.array(
+                    *[cell_expr(f"__pt_{lat}", f"__pt_{lon}", r) for r in levels]
+                )
+            ),
+        )
 
     if engine == "native":
+        # cover is computed distributed — levels unknown at plan time, so
+        # carry every res in [res_min, res]
+        pts = pts_at(range(res_min, res + 1))
         cand = pts.join(cover, "cell", "inner").filter(
             (plat >= F.col("__pg_min_lat"))
             & (plat <= F.col("__pg_max_lat"))
@@ -253,13 +257,32 @@ def point_in_polygon_join(
         )
         for r in rows
     }
-    bc = spark.sparkContext.broadcast(verts)
+    # Pack the vertex store by ring SIZE class: all rings with the same
+    # vertex count become two (n_rings, nv) matrices. The exact kernel can
+    # then test a whole candidate batch against its polygons in ~one
+    # vectorized pass per size class (a handful) instead of one Python
+    # loop iteration per polygon (thousands) — the per-batch overhead is
+    # what dominated dense PIP workloads.
+    pid_arr = np.array(sorted(verts), dtype=np.int64)
+    len_arr = np.array([len(verts[p][0]) for p in pid_arr])
+    cls_of = np.zeros(len(pid_arr), dtype=np.int32)
+    idx_in = np.zeros(len(pid_arr), dtype=np.int64)
+    class_mats: list[tuple] = []
+    for ci, nv in enumerate(np.unique(len_arr)):
+        sel = np.where(len_arr == nv)[0]
+        la_m = np.stack([verts[pid_arr[i]][0] for i in sel])
+        lo_m = np.stack([verts[pid_arr[i]][1] for i in sel])
+        cls_of[sel] = ci
+        idx_in[sel] = np.arange(len(sel))
+        class_mats.append((la_m, lo_m))
+    bc = spark.sparkContext.broadcast((pid_arr, cls_of, idx_in, class_mats))
 
     # driver-side adaptive cover (numpy): per polygon, the finest res in
     # [res_min, res] whose bbox cover stays <= max_cells
     max_cells = 64
     pid_col, cell_col = [], []
     mnla, mxla, mnlo, mxlo = [], [], [], []
+    used_res: set[int] = set()
     for r0 in rows:
         la, lo = verts[r0["polygon_id"]]
         lat0, lat1 = float(la.min()), float(la.max())
@@ -279,6 +302,7 @@ def point_in_polygon_join(
                         cell_col.append(base + x * n + y)
                 mnla.append(lat0); mxla.append(lat1)
                 mnlo.append(lon0); mxlo.append(lon1)
+                used_res.add(rr)
                 break
     bbox_by_pid = {
         r0["polygon_id"]: (a, b, c, d)
@@ -296,6 +320,11 @@ def point_in_polygon_join(
     )
     cover = F.broadcast(spark.createDataFrame(cover_pdf))
 
+    # the driver-side cover knows exactly which resolutions occur — explode
+    # points only at those levels (typically 1-2 of the 9 candidates),
+    # shrinking the join's probe side by the same factor
+    pts = pts_at(sorted(used_res) or [res])
+
     cand = pts.join(cover, "cell", "inner").filter(
         (plat >= F.col("__pg_min_lat"))
         & (plat <= F.col("__pg_max_lat"))
@@ -308,22 +337,40 @@ def point_in_polygon_join(
     out_schema = slim.schema
 
     # Shuffle-free exact test: candidates stay where the equi-join produced
-    # them; each Arrow batch is grouped by polygon_id *locally* (pandas
-    # groupby) and the numpy kernel runs per polygon against the broadcast
-    # vertex store. Compared to groupBy(polygon_id).applyInPandas this
-    # removes a full shuffle of the candidate set AND the hot-polygon skew
-    # (a polygon with 10M candidate points no longer lands in one task).
+    # them (no groupBy(polygon_id) shuffle, no hot-polygon skew). Per Arrow
+    # batch: map polygon_id -> (size class, row in class matrix) with one
+    # searchsorted, then run PNPOLY vectorized over ALL rows of each size
+    # class at once — edge e of every ring in the class is one column
+    # slice, so the whole batch costs (#size classes x nv) numpy ops. The
+    # per-edge arithmetic is identical (same IEEE op order) to
+    # ray_cast_inside and _numpy_pnpoly, keeping all engines bit-equal.
     def check_batches(batches):
+        pid_s, cls_arr, idx_arr, mats = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            plat = pdf[lat].to_numpy(dtype=np.float64)
-            plon = pdf[lon].to_numpy(dtype=np.float64)
+            plat_b = pdf[lat].to_numpy(dtype=np.float64)
+            plon_b = pdf[lon].to_numpy(dtype=np.float64)
+            pid = pdf["polygon_id"].to_numpy(dtype=np.int64)
+            pos = np.searchsorted(pid_s, pid)
+            cls = cls_arr[pos]
+            idx = idx_arr[pos]
             mask = np.zeros(len(pdf), dtype=bool)
-            store = bc.value
-            for pid, idx in pdf.groupby("polygon_id", sort=False).indices.items():
-                la, lo = store[pid]
-                mask[idx] = _numpy_pnpoly(plat[idx], plon[idx], la, lo)
+            for c in np.unique(cls):
+                sel = cls == c
+                la_m, lo_m = mats[c]
+                a = la_m[idx[sel]]
+                b = lo_m[idx[sel]]
+                pla, plo = plat_b[sel], plon_b[sel]
+                inside = np.zeros(pla.shape, dtype=bool)
+                for e in range(a.shape[1] - 1):
+                    y1, y2 = a[:, e], a[:, e + 1]
+                    x1, x2 = b[:, e], b[:, e + 1]
+                    cond = (y1 > pla) != (y2 > pla)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        xcross = (x2 - x1) * (pla - y1) / (y2 - y1) + x1
+                    inside ^= cond & (plo < xcross)
+                mask[sel] = inside
             yield pdf[mask]
 
     return slim.mapInPandas(check_batches, out_schema)

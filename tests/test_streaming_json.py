@@ -135,3 +135,81 @@ def test_golden_json_bytes():
     got = node_json(42, 51.5235442, -0.1355991, {"amenity": "pub", "addr:housenumber": "31"}) + "\n"
     assert got == GOLDEN_NODE
     assert way_json(-7, {}, []) + "\n" == GOLDEN_WAY_EMPTY
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState gap sessionization == lag-window batch twin.
+
+    Events are written in time order across micro-batch files; a far-future
+    flush event per key advances the watermark past every real session's
+    (last + gap), so all real sessions are CLOSED and emitted. The flush
+    sessions themselves stay open and are excluded from the comparison."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gosmonaut_spark.streaming.sessions import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    gap = 600.0  # 10 min
+    base = 1_700_000_000
+    rows = []
+    for key in ("a", "b", "c"):
+        koff = {"a": 0, "b": 7, "c": 13}[key]
+        t = base + koff
+        for sess in range(3):
+            for j in range(4 + sess):
+                rows.append((key, t))
+                t += 120  # 2-min steps, within gap
+            t += 1800  # 30-min gap -> closes the session
+    flush_ts = base + 40 * 86400  # far future: watermark passes everything
+    real = sorted(rows, key=lambda r: r[1])
+    batches = [real[: len(real) // 2], real[len(real) // 2 :],
+               [(k, flush_ts) for k in ("a", "b", "c")]]
+
+    src = tmp_path / "ev_stream"
+    src.mkdir()
+    for i, b in enumerate(batches):
+        pq.write_table(
+            pa.table(
+                {
+                    "key": [r[0] for r in b],
+                    "ts": pa.array(
+                        [r[1] * 1_000_000 for r in b], pa.timestamp("us")
+                    ),
+                }
+            ),
+            str(src / f"part{i}.parquet"),
+        )
+
+    stream = (
+        spark.readStream.schema("key string, ts timestamp_ntz")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        sessionize_stream(stream, gap, key_col="key", ts_col="ts")
+        .writeStream.format("memory")
+        .queryName("sess_stream_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.key, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_stream_t").collect()
+    }
+
+    batch_in = spark.read.parquet(str(src)).filter(
+        F.col("ts").cast("timestamp").cast("double") < flush_ts
+    )
+    exp = {
+        (r.key, r.session_start, r.session_end, r.n_events)
+        for r in sessionize_batch(batch_in, gap, key_col="key", ts_col="ts").collect()
+    }
+    assert len(exp) == 9  # 3 keys x 3 sessions
+    assert got == exp

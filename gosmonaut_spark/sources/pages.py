@@ -19,6 +19,7 @@ Output schemas (FIXTURES.md §2):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 from typing import Callable
 
@@ -27,6 +28,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..format.gpb import COORD_SCALE, TYPE_NAMES
+
+# Captured driver-side and shipped inside task closures: executor Python
+# workers inherit PYTHONPATH, not the driver's sys.path, so a session driven
+# from another cwd (or a cluster without --py-files) can't resolve the
+# package. On a real cluster ship a wheel via --py-files; this fallback
+# covers local mode and shared-filesystem clusters.
+_PKG_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 NODES_SCHEMA = (
     "url string, id long, lat double, lon double, tags map<string,string>"
@@ -77,11 +87,17 @@ def _decode_batches(
     """Build a mapInPandas function: decode each (url, html) batch with the
     vectorized numpy decoder and emit rows via ``emit(url, page)``."""
 
+    pkg_root = _PKG_ROOT
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # import inside the task so only workers pay the import
+        import sys
+
+        if pkg_root not in sys.path:
+            sys.path.insert(0, pkg_root)
         import numpy as np
 
-        from ..format.gpb_numpy import decode_page_np
+        from gosmonaut_spark.format.gpb_numpy import decode_page_np
 
         for pdf in batches:
             # accumulate per-page columns, build ONE frame per Arrow batch

@@ -44,9 +44,17 @@ def extract_nodes_with_ts(pages: DataFrame) -> DataFrame:
     node row (no join needed — the 1:1 url->warc_ts mapping rides along
     through the Arrow batch)."""
 
+    from ..sources.pages import _PKG_ROOT
+
+    pkg_root = _PKG_ROOT
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..format.gpb import COORD_SCALE
-        from ..format.gpb_numpy import decode_page_np
+        import sys
+
+        if pkg_root not in sys.path:
+            sys.path.insert(0, pkg_root)
+        from gosmonaut_spark.format.gpb import COORD_SCALE
+        from gosmonaut_spark.format.gpb_numpy import decode_page_np
 
         for pdf in batches:
             urls, tss, ids, lats, lons = [], [], [], [], []

@@ -156,6 +156,27 @@ def test_minhash_lsh_recall(spark, docs):
     assert set(lsh_pairs) == set(true_pairs)
 
 
+def test_minhash_signatures_match_column_path(spark, docs):
+    """Explode+min-agg signature plan == interpreted Column fold, both
+    hash families (the reference's two-decoder equivalence discipline,
+    /root/reference/gosmonaut_test.go:27-41)."""
+    sample = docs.filter(F.col("doc_id") < 120)
+    for fn in ("md5", "xxhash64"):
+        fast = {
+            r.doc_id: tuple(r[f"mh_{i}"] for i in range(8))
+            for r in D.minhash_signatures(sample, 8, hash_fn=fn).collect()
+        }
+        slow = {
+            r.doc_id: tuple(r[f"mh_{i}"] for i in range(8))
+            for r in sample.select(
+                "doc_id", *D.minhash_signature("text", 8, hash_fn=fn)
+            )
+            .filter(F.size(T.shingles("text")) > 0)
+            .collect()
+        }
+        assert fast == slow
+
+
 def test_simhash_pairs(spark, docs):
     """Block-trick candidates find all pairs within the hamming ball
     (cross-checked against exhaustive simhash comparison)."""

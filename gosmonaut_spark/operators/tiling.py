@@ -82,8 +82,14 @@ def tile_pyramid(
 ) -> DataFrame:
     """Tiles for every resolution in [min_res, max_res]: one scan builds the
     finest layer, coarser layers roll up from it (log-fan-in, the idiomatic
-    raster pyramid — never re-scan the base table per level)."""
-    finest = points_to_tiles(points, max_res, lat, lon)
+    raster pyramid — never re-scan the base table per level).
+
+    The finest layer is persisted: Catalyst does NOT dedupe the common
+    subtree across union branches, so without the cache every coarser
+    level re-scans and re-aggregates the full points table (L extra scans
+    for an L-level pyramid — measured as the whole cost of the operator).
+    The cached layer is tiles, not points: tiny at any input scale."""
+    finest = points_to_tiles(points, max_res, lat, lon).persist()
     layers = [finest]
     cur = finest
     for r in range(max_res, min_res, -1):

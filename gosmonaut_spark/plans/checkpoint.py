@@ -20,9 +20,16 @@ from pyspark.sql import functions as F
 
 
 class CheckpointStore:
-    def __init__(self, spark: SparkSession, base_dir: str):
+    def __init__(self, spark: SparkSession, base_dir: str, debug: bool = False):
+        """``debug=True`` adds per-partition row counts + skew factor to
+        every lineage entry — one extra scan per pass, the analog of the
+        reference's opt-in DebugMode stats
+        (/root/reference/gosmonaut.go:19-38, :497-530). Off by default:
+        production runs record wall time + row totals from parquet
+        metadata only (no extra jobs)."""
         self.spark = spark
         self.base = base_dir
+        self.debug = debug
         os.makedirs(base_dir, exist_ok=True)
         self._lineage_path = os.path.join(base_dir, "_lineage.json")
 
@@ -70,30 +77,38 @@ class CheckpointStore:
         df.write.mode("overwrite").parquet(self._dir(name))
         wall_ms = round((time.perf_counter() - t0) * 1000, 1)
         out = self.read(name)
-        per_part = (
-            out.groupBy(F.spark_partition_id().alias("pid"))
-            .count()
-            .orderBy("pid")
-            .collect()
-        )
-        self._append_lineage(
-            {
-                "pass": name,
-                "wall_ms": wall_ms,
-                "rows_out": sum(r["count"] for r in per_part),
-                "n_partitions": len(per_part),
-                "rows_per_partition": [int(r["count"]) for r in per_part],
-                "max_partition_skew": (
-                    round(
-                        max(r["count"] for r in per_part)
-                        / max(sum(r["count"] for r in per_part) / max(len(per_part), 1), 1),
-                        2,
-                    )
-                    if per_part
-                    else 0
-                ),
-            }
-        )
+        entry = {"pass": name, "wall_ms": wall_ms}
+        if self.debug:
+            per_part = (
+                out.groupBy(F.spark_partition_id().alias("pid"))
+                .count()
+                .orderBy("pid")
+                .collect()
+            )
+            entry.update(
+                {
+                    "rows_out": sum(r["count"] for r in per_part),
+                    "n_partitions": len(per_part),
+                    "rows_per_partition": [int(r["count"]) for r in per_part],
+                    "max_partition_skew": (
+                        round(
+                            max(r["count"] for r in per_part)
+                            / max(
+                                sum(r["count"] for r in per_part)
+                                / max(len(per_part), 1),
+                                1,
+                            ),
+                            2,
+                        )
+                        if per_part
+                        else 0
+                    ),
+                }
+            )
+        else:
+            # metadata-only count: parquet row-group stats, no table scan
+            entry["rows_out"] = out.count()
+        self._append_lineage(entry)
         return out
 
 
@@ -102,6 +117,7 @@ def run_pipeline_checkpointed(
     pages: DataFrame,
     base_dir: str,
     mode: str = "skip_missing",
+    debug: bool = False,
 ):
     """The 5-pass pipeline with a snapshot boundary after every pass
     (reference pass order, gosmonaut.go:144-216). Returns
@@ -110,7 +126,7 @@ def run_pipeline_checkpointed(
     from ..operators.assembly import assemble_relations, assemble_ways
     from ..sources import pages as src
 
-    ck = CheckpointStore(spark, base_dir)
+    ck = CheckpointStore(spark, base_dir, debug=debug)
 
     nodes = ck.run_pass("nodes", lambda: src.extract_nodes(pages))
     ways_raw = ck.run_pass("ways_raw", lambda: src.extract_ways_raw(pages))

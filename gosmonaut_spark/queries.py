@@ -270,6 +270,36 @@ SELECT query_id, target_id FROM ranked WHERE rank <= 3
 ORDER BY query_id, target_id""",
     )
 
+    def q_knn_adaptive(spark, sf):
+        from .operators.knn import knn_join_adaptive
+
+        pts = _pts(spark, sf)
+        qs = pts.filter(F.col("id") % 97 == 0).select(
+            F.col("id").alias("query_id"), "lat", "lon"
+        )
+        ts = pts.select(F.col("id").alias("target_id"), "lat", "lon")
+        # EXACT operator (coverage-certified escalation), so the twin is the
+        # unconstrained brute-force ranking — no ring algebra to mirror
+        out = knn_join_adaptive(qs, ts, k=3, res=8, min_res=2)
+        return out.select("query_id", "target_id").orderBy("query_id", "target_id")
+
+    q["knn_adaptive_3"] = (
+        q_knn_adaptive,
+        f"""WITH pts AS ({_PTS_SQL}),
+qs AS (SELECT id, lat, lon FROM pts WHERE id % 97 = 0),
+cand AS (
+  SELECT q.id AS query_id, t.id AS target_id, {hav} AS dist_m
+  FROM qs q CROSS JOIN pts t
+),
+ranked AS (
+  SELECT query_id, target_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist_m ASC, target_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, target_id FROM ranked WHERE rank <= 3
+ORDER BY query_id, target_id""",
+    )
+
     # ---- text analysis ------------------------------------------------------
     def q_token_counts(spark, sf):
         d = spark.read.parquet(f"{sf}/documents.parquet")

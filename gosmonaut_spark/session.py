@@ -26,6 +26,22 @@ def build_session(
         # local: ~1x cores; on a real cluster this is overridden upward
         shuffle_partitions = max(cpus, 8)
 
+    # Keep glibc from mmap()ing large numpy buffers in the Python workers:
+    # every munmap broadcasts TLB-shootdown IPIs to ALL vCPUs, and on a
+    # virtualized host each IPI must schedule the target vCPU — measured as
+    # a 16-24% system-time storm that grew with worker count (inverse
+    # scaling) and vanished with these thresholds (PIP exact stage:
+    # 131s -> 74s at 8 cores, sys% 24 -> 0). Heap reuse replaces the
+    # map/unmap churn; RSS grows to the high-water mark, which the Arrow
+    # batch size already bounds. Must be set before the JVM forks (local
+    # mode inherits the driver env); executorEnv covers real clusters.
+    _malloc_env = {
+        "MALLOC_MMAP_THRESHOLD_": "536870912",
+        "MALLOC_TRIM_THRESHOLD_": "536870912",
+    }
+    for k, v in _malloc_env.items():
+        os.environ.setdefault(k, v)
+
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -34,9 +50,12 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8000")
-        # 8000 = the reference's entities-per-block constant
-        # (/root/reference/decode.go:42-43): keeps Arrow batches block-sized
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
+        # Blob-decode stages are bounded far below this anyway (4MB file
+        # splits = ~1k pages/batch — the spirit of the reference's 8000-
+        # entity block, /root/reference/decode.go:42-43); the cap matters
+        # for wide scalar streams like PIP candidates, where 8k-row batches
+        # made per-batch Python overhead ~30% of the exact-test stage
         # runtime Bloom-filter joins re-*execute* the build-side plan to
         # construct the filter; when that side hangs off a mapInPandas
         # decode (not a re-scannable parquet source) the construction costs
@@ -54,6 +73,8 @@ def build_session(
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints",
         )
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", _malloc_env["MALLOC_MMAP_THRESHOLD_"])
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", _malloc_env["MALLOC_TRIM_THRESHOLD_"])
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         # pages blobs expand ~50-100x when decoded: split scans finely so

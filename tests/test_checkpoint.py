@@ -11,7 +11,7 @@ def _counts(dfs):
 
 def test_checkpoint_resume_and_lineage(spark, pages_t1, tmp_path):
     base = str(tmp_path / "ck")
-    ck, dfs = run_pipeline_checkpointed(spark, pages_t1, base)
+    ck, dfs = run_pipeline_checkpointed(spark, pages_t1, base, debug=True)
     first = _counts(dfs)
     lineage1 = ck.lineage()
     assert [e["pass"] for e in lineage1] == [

@@ -7,7 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from gosmonaut_spark.functions.cells import cell_np
-from gosmonaut_spark.operators.knn import knn_brute, knn_join
+from gosmonaut_spark.operators.knn import knn_brute, knn_join, knn_join_adaptive
 from gosmonaut_spark.operators.pip import (
     point_in_polygon_join,
     polygons_from_ways,
@@ -130,3 +130,33 @@ def test_knn_ring_matches_brute(spark, world):
         return {q: sorted(v) for q, v in out.items()}
 
     assert key(approx) == key(exact)
+
+
+def test_knn_adaptive_is_exact(spark, world):
+    """Ring escalation + coverage certificate + brute tail == brute force,
+    even when the starting ring is far too small for the data density."""
+    nodes = world["nodes"]
+    queries = nodes.filter(F.col("id") % 37 == 0).select(
+        F.col("id").alias("query_id"), "lat", "lon"
+    )
+    targets = nodes.select(F.col("id").alias("target_id"), "lat", "lon")
+    k = 5
+
+    def key(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r.query_id, []).append((r.target_id, round(r.dist_m, 6)))
+        return {q: sorted(v) for q, v in out.items()}
+
+    exact = key(knn_brute(queries, targets, k).collect())
+    # res 15 (finest, ~600 m cells): almost every query starts
+    # under-covered -> exercises coarsening rounds and the brute tail
+    adaptive_fine = key(
+        knn_join_adaptive(queries, targets, k, res=15, ring=1, min_res=13).collect()
+    )
+    assert adaptive_fine == exact
+    # res 6: certification-heavy path (most queries certify in round 1)
+    adaptive_coarse = key(
+        knn_join_adaptive(queries, targets, k, res=6, ring=1, min_res=3).collect()
+    )
+    assert adaptive_coarse == exact

@@ -83,7 +83,10 @@ def run_suite(
 
     os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
     _warm_os_cache(pages_path, sf_dir)
-    spark = build_session(master=f"local[{cpus}]", shuffle_partitions=max(cpus * 2, 8))
+    # 4 waves per stage: at 2x tasks-per-core a single slow task (zlib-heavy
+    # partition, steal hiccup) idles half the cores for its whole wave —
+    # measured as the 8-core decode leg running at ~45% of linear scaling
+    spark = build_session(master=f"local[{cpus}]", shuffle_partitions=max(cpus * 4, 16))
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     stat0 = _cpu_stat()
@@ -102,7 +105,7 @@ def run_suite(
     # decode parallelism: the fixture is one ~45MB file (12 splits at the
     # 4MB split size) — at real scale pages arrive in thousands of splits,
     # so spread the blobs across the executors before the CPU-bound decode
-    pages = read_pages(spark, pages_path).repartition(cpus * 2)
+    pages = read_pages(spark, pages_path).repartition(cpus * 4)
 
     # 1. decode + full nested assembly through snapshot pass boundaries
     #    (B11): downstream passes read the parquet snapshots instead of
@@ -131,7 +134,7 @@ def run_suite(
             F.col("polygon_id") % 8 == 0
         )
         out = point_in_polygon_join(
-            _assemble.nodes, polys, res=13, engine="vectorized"
+            _assemble.nodes, polys, res=13, engine="edges"
         )
         return out.count()
 
@@ -310,7 +313,13 @@ def _scaling_runs(sf_dir: str, cpus: int) -> dict:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    # default parallelism capped at 16: the host advertises 32 vCPUs but
+    # delivers ~14-18 real cores (tools/capacity_probe.py) — local[32]
+    # measured consistently SLOWER than local[8-16] (oversubscription).
+    # SPARK_GRAFT_CPUS overrides.
+    cpus = int(
+        os.environ.get("SPARK_GRAFT_CPUS", min(os.cpu_count() or 8, 16))
+    )
     sf = _sf_from_dir(sf_dir)
 
     # generate the pages fixture BEFORE the JVM starts (fork-pool generator)

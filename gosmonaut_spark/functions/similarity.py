@@ -128,19 +128,33 @@ def cosine_topk_lsh(
     per-bucket candidate lists are bounded (2^n_bits buckets per table), and
     the exact re-rank touches only collisions.
     """
-    q = queries.select(F.col(query_id).alias("query_id"), F.col(vec).alias("qv"))
-    t = targets.select(F.col(target_id).alias("target_id"), F.col(vec).alias("tv"))
+    # norms are per-row, not per-pair: precompute before the bucket join so
+    # the pair step is a dot product + one divide (identical IEEE result —
+    # the expression tree dot/(na*nb) is unchanged, na/nb just computed
+    # n+m times instead of n*m). The dedup runs on (ids, cos) scalars, not
+    # on the vector columns — shuffling two 64-float arrays per candidate
+    # through a distinct was the dominant byte volume at scale.
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec).alias("qv"),
+        norm(F.col(vec)).alias("qn"),
+    )
+    t = targets.select(
+        F.col(target_id).alias("target_id"),
+        F.col(vec).alias("tv"),
+        norm(F.col(vec)).alias("tn"),
+    )
     q_parts, t_parts = [], []
     for tbl in range(n_tables):
         planes = _hyperplanes(dim, n_bits, tbl)
         q_parts.append(
             q.select(
-                "query_id", "qv", F.lit(tbl).alias("tbl"), lsh_bucket(F.col("qv"), planes).alias("bkt")
+                "query_id", "qv", "qn", F.lit(tbl).alias("tbl"), lsh_bucket(F.col("qv"), planes).alias("bkt")
             )
         )
         t_parts.append(
             t.select(
-                "target_id", "tv", F.lit(tbl).alias("tbl"), lsh_bucket(F.col("tv"), planes).alias("bkt")
+                "target_id", "tv", "tn", F.lit(tbl).alias("tbl"), lsh_bucket(F.col("tv"), planes).alias("bkt")
             )
         )
     qb = q_parts[0]
@@ -151,9 +165,14 @@ def cosine_topk_lsh(
         tb = tb.unionByName(x)
     cand = (
         qb.join(tb, ["tbl", "bkt"])
-        .select("query_id", "target_id", "qv", "tv")
+        .select(
+            "query_id",
+            "target_id",
+            (dot(F.col("qv"), F.col("tv")) / (F.col("qn") * F.col("tn"))).alias(
+                "cos_sim"
+            ),
+        )
         .distinct()
-        .select("query_id", "target_id", cosine(F.col("qv"), F.col("tv")).alias("cos_sim"))
     )
     return _topk(cand, k)
 
@@ -168,23 +187,33 @@ def cosine_pairs_lsh(
     vec: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold)."""
-    d = docs.select(F.col(id_col).alias("doc_id"), F.col(vec).alias("v"))
+    # same norm-precompute + scalar-dedup discipline as cosine_topk_lsh
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec).alias("v"),
+        norm(F.col(vec)).alias("vn"),
+    )
     parts = []
     for tbl in range(n_tables):
         planes = _hyperplanes(dim, n_bits, tbl)
         parts.append(
-            d.select("doc_id", "v", F.lit(tbl).alias("tbl"), lsh_bucket(F.col("v"), planes).alias("bkt"))
+            d.select("doc_id", "v", "vn", F.lit(tbl).alias("tbl"), lsh_bucket(F.col("v"), planes).alias("bkt"))
         )
     b = parts[0]
     for x in parts[1:]:
         b = b.unionByName(x)
-    a = b.select(F.col("doc_id").alias("a"), F.col("v").alias("va"), "tbl", "bkt")
-    c = b.select(F.col("doc_id").alias("b"), F.col("v").alias("vb"), "tbl", "bkt")
+    a = b.select(F.col("doc_id").alias("a"), F.col("v").alias("va"), F.col("vn").alias("na"), "tbl", "bkt")
+    c = b.select(F.col("doc_id").alias("b"), F.col("v").alias("vb"), F.col("vn").alias("nb"), "tbl", "bkt")
     return (
         a.join(c, ["tbl", "bkt"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "va", "vb")
+        .select(
+            "a",
+            "b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cos_sim"
+            ),
+        )
         .distinct()
-        .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -157,12 +157,19 @@ def point_in_polygon_join(
     * ``"native"`` — aggregate-folded ray cast, pure Catalyst expression.
       Zero Python, but lambda evaluation is interpreted (~10us/row): right
       for selective workloads.
-    * ``"vectorized"`` — the dense-workload path: candidates shuffle by
-      polygon_id into ``applyInPandas`` groups; vertices come from a
-      *broadcast* vertex store (the reference's broadcast build-side
-      pattern, binary_entity_map.go:17-90), so only 4 scalar columns cross
-      Arrow; the PNPOLY kernel is numpy over the whole group. Requires the
-      polygon side to fit on the driver (it is the small side by design).
+    * ``"vectorized"`` — numpy PNPOLY over Arrow batches (``mapInArrow``);
+      vertices come from a *broadcast* vertex store (the reference's
+      broadcast build-side pattern, binary_entity_map.go:17-90), so only 4
+      scalar columns cross Arrow. Requires the polygon side to fit on the
+      driver (it is the small side by design).
+    * ``"edges"`` — the dense-workload scale path: broadcast edges table +
+      codegen crossing indicator + parity hash-aggregate. Zero Python,
+      zero Arrow, whole-stage codegen end to end; the only shuffle is the
+      final agg (map-side combined). Point columns must be group-able
+      scalar types.
+
+    All three engines produce identical rows (same IEEE arithmetic);
+    asserted against a brute-force numpy oracle in tests.
 
     Returns point columns + ``polygon_id``.
     """
@@ -242,7 +249,7 @@ def point_in_polygon_join(
         )
         return hit.filter(F.col("__inside")).drop("__inside")
 
-    if engine != "vectorized":
+    if engine not in ("vectorized", "edges"):
         raise ValueError(f"unknown engine {engine!r}")
 
     import numpy as np
@@ -257,25 +264,26 @@ def point_in_polygon_join(
         )
         for r in rows
     }
-    # Pack the vertex store by ring SIZE class: all rings with the same
-    # vertex count become two (n_rings, nv) matrices. The exact kernel can
-    # then test a whole candidate batch against its polygons in ~one
-    # vectorized pass per size class (a handful) instead of one Python
-    # loop iteration per polygon (thousands) — the per-batch overhead is
-    # what dominated dense PIP workloads.
-    pid_arr = np.array(sorted(verts), dtype=np.int64)
-    len_arr = np.array([len(verts[p][0]) for p in pid_arr])
-    cls_of = np.zeros(len(pid_arr), dtype=np.int32)
-    idx_in = np.zeros(len(pid_arr), dtype=np.int64)
-    class_mats: list[tuple] = []
-    for ci, nv in enumerate(np.unique(len_arr)):
-        sel = np.where(len_arr == nv)[0]
-        la_m = np.stack([verts[pid_arr[i]][0] for i in sel])
-        lo_m = np.stack([verts[pid_arr[i]][1] for i in sel])
-        cls_of[sel] = ci
-        idx_in[sel] = np.arange(len(sel))
-        class_mats.append((la_m, lo_m))
-    bc = spark.sparkContext.broadcast((pid_arr, cls_of, idx_in, class_mats))
+    if engine == "vectorized":
+        # Pack the vertex store by ring SIZE class: all rings with the same
+        # vertex count become two (n_rings, nv) matrices. The exact kernel
+        # can then test a whole candidate batch against its polygons in ~one
+        # vectorized pass per size class (a handful) instead of one Python
+        # loop iteration per polygon (thousands) — the per-batch overhead is
+        # what dominated dense PIP workloads.
+        pid_arr = np.array(sorted(verts), dtype=np.int64)
+        len_arr = np.array([len(verts[p][0]) for p in pid_arr])
+        cls_of = np.zeros(len(pid_arr), dtype=np.int32)
+        idx_in = np.zeros(len(pid_arr), dtype=np.int64)
+        class_mats: list[tuple] = []
+        for ci, nv in enumerate(np.unique(len_arr)):
+            sel = np.where(len_arr == nv)[0]
+            la_m = np.stack([verts[pid_arr[i]][0] for i in sel])
+            lo_m = np.stack([verts[pid_arr[i]][1] for i in sel])
+            cls_of[sel] = ci
+            idx_in[sel] = np.arange(len(sel))
+            class_mats.append((la_m, lo_m))
+        bc = spark.sparkContext.broadcast((pid_arr, cls_of, idx_in, class_mats))
 
     # driver-side adaptive cover, fully vectorized (numpy): per polygon, the
     # finest res in [res_min, res] whose bbox cover stays <= max_cells. The
@@ -357,6 +365,96 @@ def point_in_polygon_join(
         & (plon >= F.col("__pg_min_lon"))
         & (plon <= F.col("__pg_max_lon"))
     )
+
+    if engine == "edges":
+        # Pure-codegen exact test, zero Python, zero extra shuffle: the ring
+        # vertices ride a broadcast table as fixed-width padded arrays and
+        # the PNPOLY fold is UNROLLED into `cap` scalar codegen terms
+        # (element_at with literal indices stays in whole-stage codegen —
+        # the HOF `aggregate` fold of the native engine is interpreted).
+        # Each candidate is decided in one expression, so there is no
+        # per-pair re-aggregation: an earlier formulation (edge table +
+        # 110M-group parity hash-agg) spilled to sort-based aggregation and
+        # ran minutes. The other engines stream every candidate through
+        # Arrow into Python; that serialization was the scaling ceiling
+        # (wall flat from 2 to 8 cores). Rings longer than `cap` edges are
+        # chunked into multiple broadcast rows with a parity re-agg over
+        # ONLY those candidates (rare by construction at building scale).
+        # Per-edge arithmetic matches ray_cast_inside / the numpy kernels
+        # bit-for-bit.
+        # cap bounds the generated-method size: ~1.5KB bytecode per edge
+        # term, and Janino hard-fails (-> interpreted fallback) at 64KB per
+        # method. 24 terms ~= 36KB, JIT-compilable once
+        # -XX:-DontCompileHugeMethods is set (session.py).
+        cap = 24
+        max_ne = max(len(v[0]) - 1 for v in verts.values()) if verts else 1
+        cap = min(cap, max(max_ne, 1))
+        c_pid, c_ne, c_lats, c_lons = [], [], [], []
+        for p in sorted(verts):
+            la, lo = verts[p]
+            ne = len(la) - 1
+            for s in range(0, max(ne, 1), cap):
+                seg_la = la[s : s + cap + 1]
+                seg_lo = lo[s : s + cap + 1]
+                pad = cap + 1 - len(seg_la)
+                if pad > 0:
+                    seg_la = np.concatenate([seg_la, np.zeros(pad)])
+                    seg_lo = np.concatenate([seg_lo, np.zeros(pad)])
+                c_pid.append(p)
+                c_ne.append(min(ne - s, cap))
+                c_lats.append(seg_la.tolist())
+                c_lons.append(seg_lo.tolist())
+        n_chunks_max = -(-max(max_ne, 1) // cap)  # ceil: chunks of largest ring
+        verts_pdf = pd.DataFrame(
+            {
+                "polygon_id": pd.array(c_pid, dtype="int64"),
+                "__vx_ne": pd.array(c_ne, dtype="int32"),
+                "__vx_lats": c_lats,
+                "__vx_lons": c_lons,
+            }
+        )
+        verts_df = F.broadcast(
+            spark.createDataFrame(
+                verts_pdf,
+                schema=(
+                    "polygon_id long, __vx_ne int, "
+                    "__vx_lats array<double>, __vx_lons array<double>"
+                ),
+            )
+        )
+        la_c, lo_c = F.col("__vx_lats"), F.col("__vx_lons")
+        terms = []
+        for e in range(cap):
+            y1 = F.element_at(la_c, e + 1)
+            y2 = F.element_at(la_c, e + 2)
+            x1 = F.element_at(lo_c, e + 1)
+            x2 = F.element_at(lo_c, e + 2)
+            terms.append(
+                F.when(
+                    (F.lit(e) < F.col("__vx_ne"))
+                    & ((y1 > plat) != (y2 > plat))
+                    & (plon < (x2 - x1) * (plat - y1) / (y2 - y1) + x1),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+        crossings = terms[0]
+        for t in terms[1:]:
+            crossings = crossings + t
+        joined = cand.select(
+            *[f"__pt_{c}" for c in point_cols], "polygon_id"
+        ).join(verts_df, "polygon_id")
+        if n_chunks_max == 1:
+            hit = joined.filter(F.pmod(crossings, F.lit(2)) == 1)
+            return hit.select(
+                *[F.col(f"__pt_{c}").alias(c) for c in point_cols], "polygon_id"
+            )
+        per_pair = joined.groupBy(
+            *[f"__pt_{c}" for c in point_cols], "polygon_id"
+        ).agg(F.sum(crossings).alias("__crossings"))
+        return per_pair.filter(F.pmod(F.col("__crossings"), F.lit(2)) == 1).select(
+            *[F.col(f"__pt_{c}").alias(c) for c in point_cols], "polygon_id"
+        )
+
     slim = cand.select(
         *[F.col(f"__pt_{c}").alias(c) for c in point_cols], "polygon_id"
     )

@@ -94,14 +94,15 @@ def test_pip_matches_bruteforce(spark, world):
             world["nodes"], polys, res=11
         ).select("id", "polygon_id").collect()
     }
-    # both exact engines must agree pair-for-pair
-    got_vec = {
-        (r.id, r.polygon_id)
-        for r in point_in_polygon_join(
-            world["nodes"], polys, res=13, engine="vectorized"
-        ).select("id", "polygon_id").collect()
-    }
-    assert got == got_vec
+    # all exact engines must agree pair-for-pair
+    for eng in ("vectorized", "edges"):
+        got_eng = {
+            (r.id, r.polygon_id)
+            for r in point_in_polygon_join(
+                world["nodes"], polys, res=13, engine=eng
+            ).select("id", "polygon_id").collect()
+        }
+        assert got == got_eng, eng
     expected = set()
     for p in polys.collect():
         lats = np.array(p.lats)
@@ -111,6 +112,37 @@ def test_pip_matches_bruteforce(spark, world):
             expected.add((int(nid), p.polygon_id))
     assert got == expected
     assert len(expected) > 0, "fixture produced no PIP hits — weak test"
+
+
+def test_pip_edges_chunked_large_ring(spark):
+    """Rings longer than the unroll cap (24 edges) take the chunked
+    broadcast rows + parity re-agg path — must equal the numpy oracle."""
+    import math
+
+    k = 57  # 57 edges -> 3 chunks of <= 24
+    ang = [2 * math.pi * i / k for i in range(k)]
+    lats = [10.0 + math.sin(a) for a in ang] + [10.0 + math.sin(ang[0])]
+    lons = [20.0 + math.cos(a) for a in ang] + [20.0 + math.cos(ang[0])]
+    polys = spark.createDataFrame(
+        [(1, lats, lons)], "polygon_id long, lats array<double>, lons array<double>"
+    )
+    pts = [
+        (i * 100 + j, 8.0 + i * 0.2, 18.0 + j * 0.2)
+        for i in range(21)
+        for j in range(21)
+    ]
+    points = spark.createDataFrame(pts, "id long, lat double, lon double")
+    got = {
+        (r.id, r.polygon_id)
+        for r in point_in_polygon_join(points, polys, res=8, engine="edges").collect()
+    }
+    la, lo = np.array(lats), np.array(lons)
+    plat = np.array([p[1] for p in pts])
+    plon = np.array([p[2] for p in pts])
+    mask = _numpy_raycast(plat, plon, la, lo)
+    expected = {(pts[i][0], 1) for i in range(len(pts)) if mask[i]}
+    assert got == expected
+    assert len(expected) > 50, "grid should land many points inside the circle"
 
 
 def test_knn_ring_matches_brute(spark, world):

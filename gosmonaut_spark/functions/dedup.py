@@ -196,10 +196,17 @@ def minhash_lsh_pairs(
         raise ValueError("n_bands must divide n_hashes")
     r = n_hashes // n_bands
     # explode-once + min-agg signature plan (shingle-less docs drop out of
-    # the inner explode, matching the Column path's size()>0 filter)
+    # the inner explode, matching the Column path's size()>0 filter).
+    # PERSISTED: the signature table feeds all n_bands union branches and
+    # the shingle table feeds both sides of the verify join — without the
+    # cache Catalyst recomputes the interpreted shingle expression once per
+    # consumer (measured ~5x the CPU of the whole operator). Both tables
+    # are orders of magnitude smaller than the corpus (one row per doc /
+    # per distinct shingle); at cluster scale this is the standard
+    # materialize-signatures step of any LSH pipeline.
     sig = minhash_signatures(
         docs, n_hashes, n, id_col=id_col, text_col=text_col, hash_fn=hash_fn
-    )
+    ).persist()
 
     bands = []
     for b in range(n_bands):
@@ -230,7 +237,7 @@ def minhash_lsh_pairs(
     )
 
     # verify candidates with exact jaccard (semi-joined shingle tables)
-    sh = _shingle_table(docs, id_col, text_col, n)
+    sh = _shingle_table(docs, id_col, text_col, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("a"), "sh")
     sb = sh.select(F.col("doc_id").alias("b"), "sh")

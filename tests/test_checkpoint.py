@@ -14,9 +14,11 @@ def test_checkpoint_resume_and_lineage(spark, pages_t1, tmp_path):
     ck, dfs = run_pipeline_checkpointed(spark, pages_t1, base, debug=True)
     first = _counts(dfs)
     lineage1 = ck.lineage()
-    assert [e["pass"] for e in lineage1] == [
-        "nodes", "ways_raw", "relations_raw", "assembled_ways", "relations",
-    ]
+    passes = [e["pass"] for e in lineage1]
+    # extraction passes run as concurrent jobs -> lineage records their
+    # COMPLETION order (it is a log); assembly order stays fixed
+    assert sorted(passes[:3]) == ["nodes", "relations_raw", "ways_raw"]
+    assert passes[3:] == ["assembled_ways", "relations"]
     for e in lineage1:
         assert e["rows_out"] > 0 and e["wall_ms"] > 0
         assert sum(e["rows_per_partition"]) == e["rows_out"]

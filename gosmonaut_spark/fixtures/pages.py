@@ -311,8 +311,10 @@ def write_pages_parquet_parallel(
     return path
 
 
-# Scale profiles (FIXTURES.md §4): t1 smoke / t2 correctness / bench.
-PROFILES = {"t1": 500, "t2": 5_000, "bench": 50_000}
+# Scale profiles (FIXTURES.md §4): t1 smoke / t2 correctness / bench /
+# scale (4x bench — scaling-efficiency legs, long enough that fixed
+# per-job costs stop dominating the measurement).
+PROFILES = {"t1": 500, "t2": 5_000, "bench": 50_000, "scale": 200_000}
 
 DEFAULT_CACHE = "/root/repo/.cache/pages"
 

@@ -14,6 +14,29 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _jit_opts() -> str:
+    base = (
+        "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=1g "
+        "-XX:+UseCodeCacheFlushing"
+    )
+    mode = os.environ.get("SPARK_GRAFT_JIT", "hybrid").lower()
+    if mode == "c1":
+        base += " -XX:TieredStopAtLevel=1"
+    elif mode == "hybrid":
+        # raise the C2 promotion threshold ~10x: only genuinely hot
+        # methods (per-row kernels invoked millions of times) pay for an
+        # optimizing compile; the long tail of one-shot generated stage
+        # methods stays at C1. On this host C2's arena churn stalls the
+        # box (A/B at 8 cores, 200k-page legs: C2-default decode 209s /
+        # pip 68s, C1-only decode 97s / pip 215s — hybrid takes both wins).
+        base += (
+            " -XX:Tier4InvocationThreshold=150000"
+            " -XX:Tier4MinInvocationThreshold=100000"
+            " -XX:Tier4CompileThreshold=150000"
+        )
+    return base
+
+
 def build_session(
     master: str | None = None,
     app_name: str = "gosmonaut_spark",
@@ -80,21 +103,17 @@ def build_session(
         # (DontCompileHugeMethods) — wide codegen'd expressions (e.g. the
         # unrolled PIP ray-cast: 13.6KB) silently run in the bytecode
         # INTERPRETER, measured 4.5x slower than the same plan under JIT.
-        # Lifting the limit lets C2 compile every generated stage. The
+        # Lifting the limit lets the JIT compile every generated stage. The
         # default ~240MB code cache then fills after a few heavy queries
         # (compiler disables itself -> every later query in the session
         # degrades; measured 42s -> 142s for back-to-back identical runs),
-        # so reserve 1G and keep flushing on.
-        .config(
-            "spark.driver.extraJavaOptions",
-            "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=1g "
-            "-XX:+UseCodeCacheFlushing",
-        )
-        .config(
-            "spark.executor.extraJavaOptions",
-            "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=1g "
-            "-XX:+UseCodeCacheFlushing",
-        )
+        # so reserve 1G and keep flushing on. SPARK_GRAFT_JIT=c1 stops
+        # tiered compilation at C1: C2's optimizing compiles of the big
+        # generated methods churn mmap'd arenas hard enough on this
+        # virtualized host to stall the whole box (C2 compiler thread
+        # measured with more SYSTEM time than any worker; see BASELINE.md).
+        .config("spark.driver.extraJavaOptions", _jit_opts())
+        .config("spark.executor.extraJavaOptions", _jit_opts())
         .config("spark.sql.session.timeZone", "UTC")
         # pages blobs expand ~50-100x when decoded: split scans finely so
         # the mapInPandas decode parallelizes even over smallish files

@@ -548,10 +548,12 @@ ORDER BY a, b""",
 
     # ---- event-time sessionization (streaming-shaped batch op) ----------------
     def q_sessions(spark, sf):
+        # parquet yields TIMESTAMP_NTZ; DuckDB's epoch_ms treats the naive value
+        # as UTC. The NTZ->LTZ cast reads the session TZ at execution time, so
+        # pin it here rather than depend on whoever built the SparkSession.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         ev = spark.read.parquet(f"{sf}/events.parquet")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        # parquet yields TIMESTAMP_NTZ; session TZ is UTC so the cast is the
-        # identity instant — matching DuckDB's epoch_ms on naive timestamps
         ms = F.unix_millis(F.col("ts").cast("timestamp"))
         gap = ms - F.lag(ms).over(w)
         new_s = F.when(gap.isNull() | (gap > 1_800_000), 1).otherwise(0)
@@ -583,8 +585,8 @@ flagged AS (
 ),
 sess AS (
   SELECT user_id, ms,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
-                          ROWS UNBOUNDED PRECEDING) AS session_no
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
   FROM flagged
 )
 SELECT user_id, session_no, count(*) AS n_events,
@@ -616,8 +618,8 @@ ORDER BY user_id, session_no""",
         q_pricing,
         """SELECT l_returnflag, l_linestatus,
        CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2024-06-01'
@@ -645,7 +647,7 @@ ORDER BY l_returnflag, l_linestatus""",
     q["join_revenue_by_nation"] = (
         q_revenue_join,
         """SELECT n_name,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
        count(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -676,7 +678,7 @@ GROUP BY n_name ORDER BY n_name""",
         q_top_suppliers,
         """WITH per AS (
   SELECT s_suppkey, s_name,
-         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
   GROUP BY s_suppkey, s_name
 ),

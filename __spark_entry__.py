@@ -19,6 +19,18 @@ from gosmonaut_spark.queries import build_queries, build_rows_only_queries
 
 _QUERIES = build_queries()
 _ROWS_ONLY = build_rows_only_queries()
+_PAGES_ORACLED: dict | None = None
+
+
+def _pages_oracled() -> dict:
+    """Pages-world queries + ground-truth SQL; built lazily because the
+    first call writes the truth parquet snapshots (cached on disk)."""
+    global _PAGES_ORACLED
+    if _PAGES_ORACLED is None:
+        from gosmonaut_spark.queries import build_pages_oracle_queries
+
+        _PAGES_ORACLED = build_pages_oracle_queries()
+    return _PAGES_ORACLED
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -46,9 +58,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {name: fn for name, (fn, _sql) in _QUERIES.items()}
+    out.update({name: fn for name, (fn, _sql) in _pages_oracled().items()})
     out.update(_ROWS_ONLY)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_fn, sql) in _QUERIES.items()}
+    out = {name: sql for name, (_fn, sql) in _QUERIES.items()}
+    out.update({name: sql for name, (_fn, sql) in _pages_oracled().items()})
+    return out

@@ -42,6 +42,7 @@ from ..format.gpb import (
     PageWays,
     deg_to_unit,
     encode_page,
+    unit_to_deg,
 )
 
 EPOCH = _dt.datetime(2026, 1, 1, tzinfo=_dt.timezone.utc)
@@ -317,6 +318,146 @@ def write_pages_parquet_parallel(
 PROFILES = {"t1": 500, "t2": 5_000, "bench": 50_000, "scale": 200_000}
 
 DEFAULT_CACHE = "/root/repo/.cache/pages"
+
+
+# ---------------------------------------------------------------------------
+# ground-truth snapshot tables (driver-oracle side)
+#
+# The generator knows every entity *before* encoding, so it can emit flat
+# relational "truth" tables that DuckDB reads directly — the analog of the
+# reference's Osmonaut-verified golden counts (/root/reference/
+# gosmonaut_test.go:43-75): an independent source of the expected join
+# results, never touched by the Spark decode/assembly path under test.
+# ---------------------------------------------------------------------------
+
+
+def _tags_sorted(tags: dict[str, str]) -> str:
+    return ";".join(f"{k}={v}" for k, v in sorted(tags.items()))
+
+
+def _truth_chunk(args: tuple) -> tuple[bytes, ...]:
+    """Worker: truth rows for pages [start, stop) as five Arrow IPC streams,
+    one per truth table (node/way_ref/way/rel_member/rel)."""
+    import io
+
+    import pyarrow.ipc as ipc
+
+    start, stop, seed, dangling = args
+    cols: dict[str, list] = {
+        "n_id": [], "n_lat": [], "n_lon": [], "n_tags": [],
+        "wr_way": [], "wr_pos": [], "wr_ref": [],
+        "w_id": [], "w_tags": [],
+        "rm_rel": [], "rm_pos": [], "rm_ref": [], "rm_type": [], "rm_role": [],
+        "r_id": [], "r_tags": [],
+    }
+    tname = {NODE_TYPE: "node", WAY_TYPE: "way", RELATION_TYPE: "relation"}
+    for i in range(start, stop):
+        t = generate_page(i, seed, dangling=dangling).truth
+        n = t.nodes
+        cols["n_id"].extend(n.ids)
+        cols["n_lat"].extend(unit_to_deg(u) for u in n.lat_units)
+        cols["n_lon"].extend(unit_to_deg(u) for u in n.lon_units)
+        cols["n_tags"].extend(_tags_sorted(tg) for tg in n.tags)
+        for wid, refs, wtags in zip(t.ways.ids, t.ways.refs, t.ways.tags):
+            cols["w_id"].append(wid)
+            cols["w_tags"].append(_tags_sorted(wtags))
+            cols["wr_way"].extend([wid] * len(refs))
+            cols["wr_pos"].extend(range(len(refs)))
+            cols["wr_ref"].extend(refs)
+        r = t.rels
+        for rid, mids, mtypes, mroles, rtags in zip(
+            r.ids, r.member_ids, r.member_types, r.member_roles, r.tags
+        ):
+            cols["r_id"].append(rid)
+            cols["r_tags"].append(_tags_sorted(rtags))
+            cols["rm_rel"].extend([rid] * len(mids))
+            cols["rm_pos"].extend(range(len(mids)))
+            cols["rm_ref"].extend(mids)
+            cols["rm_type"].extend(tname[mt] for mt in mtypes)
+            cols["rm_role"].extend(mroles)
+    def _typ(k: str):
+        if k in ("n_tags", "w_tags", "rm_type", "rm_role", "r_tags"):
+            return pa.string()
+        if k in ("n_lat", "n_lon"):
+            return pa.float64()
+        return pa.int64()
+
+    groups = {
+        "nodes": {"n_id": "id", "n_lat": "lat", "n_lon": "lon", "n_tags": "tags_sorted"},
+        "way_refs": {"wr_way": "way_id", "wr_pos": "pos", "wr_ref": "ref"},
+        "ways": {"w_id": "way_id", "w_tags": "tags_sorted"},
+        "rel_members": {
+            "rm_rel": "rel_id", "rm_pos": "pos", "rm_ref": "ref",
+            "rm_type": "mtype", "rm_role": "role",
+        },
+        "rels": {"r_id": "rel_id", "r_tags": "tags_sorted"},
+    }
+    out = []
+    for mapping in groups.values():
+        tbl = pa.table(
+            {out_name: pa.array(cols[k], _typ(k)) for k, out_name in mapping.items()}
+        )
+        sink = io.BytesIO()
+        with ipc.new_stream(sink, tbl.schema) as w:
+            w.write_table(tbl)
+        out.append(sink.getvalue())
+    return tuple(out)
+
+
+TRUTH_TABLES = ("nodes", "way_refs", "ways", "rel_members", "rels")
+
+
+def write_truth_parquet(
+    out_dir: str, n_pages: int, seed: int = 42, *, dangling: bool = True
+) -> dict[str, str]:
+    """Write the five ground-truth tables as parquet under ``out_dir``;
+    returns {table_name: path}. Deterministic per (seed, n_pages)."""
+    import io
+    import multiprocessing as mp
+    import os
+
+    import pyarrow.ipc as ipc
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    if n_pages >= 10_000:
+        procs = min(os.cpu_count() or 8, 32)
+        chunk = max(250, (n_pages + procs - 1) // procs)
+        jobs = [
+            (lo, min(lo + chunk, n_pages), seed, dangling)
+            for lo in range(0, n_pages, chunk)
+        ]
+        with mp.get_context("fork").Pool(procs) as pool:
+            parts = pool.map(_truth_chunk, jobs)
+    else:
+        parts = [_truth_chunk((0, n_pages, seed, dangling))]
+    paths: dict[str, str] = {}
+    for ti, name in enumerate(TRUTH_TABLES):
+        tbl = pa.concat_tables(
+            ipc.open_stream(io.BytesIO(p[ti])).read_all() for p in parts
+        )
+        path = os.path.join(out_dir, f"{name}.parquet")
+        pq.write_table(tbl, path, compression="zstd")
+        paths[name] = path
+    return paths
+
+
+def ensure_truth_parquet(
+    profile: str, cache_dir: str = DEFAULT_CACHE
+) -> dict[str, str]:
+    """Generate-once cache of the truth tables for a named profile."""
+    import os
+
+    n = PROFILES[profile]
+    out_dir = os.path.join(cache_dir, f"truth_{profile}_{n}")
+    done = os.path.join(out_dir, "_DONE")
+    paths = {t: os.path.join(out_dir, f"{t}.parquet") for t in TRUTH_TABLES}
+    if os.path.exists(done):
+        return paths
+    write_truth_parquet(out_dir, n)
+    with open(done, "w") as f:
+        f.write("ok\n")
+    return paths
 
 
 def ensure_pages_parquet(profile: str, cache_dir: str = DEFAULT_CACHE) -> str:

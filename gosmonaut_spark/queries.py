@@ -693,8 +693,19 @@ SELECT s_suppkey, s_name, revenue_cents, rank FROM ranked WHERE rank <= 10 ORDER
 
 
 # ---------------------------------------------------------------------------
-# rows-only queries (non-SQL-expressible via the driver's registered views:
-# they run on the synthetic pages world; strong oracles live in tests/)
+# pages-world queries with ground-truth DuckDB oracles.
+#
+# The fixture generator writes flat "truth" parquet snapshots (the entities
+# it encoded, before any Spark code touches them) — the analog of the
+# reference's Osmonaut-verified golden counts (/root/reference/
+# gosmonaut_test.go:43-75). The oracle SQL re-derives way assembly
+# (skip-missing ref->node join), relation membership (drop missing /
+# sub-relation), text identity, and the PIP join (bbox prefilter + the
+# exact same PNPOLY arithmetic as operators/pip.py) from those snapshots,
+# fully independent of the engine's decode + join path.
+#
+# The oracle SQL embeds absolute paths for the t2 profile because the
+# driver's CORRECTNESS gate always verifies at sf0.01 (-> t2).
 # ---------------------------------------------------------------------------
 
 
@@ -707,7 +718,23 @@ def _pages_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_pages(spark, ensure_pages_parquet(profile))
 
 
-def build_rows_only_queries() -> dict:
+def _tags_sorted_col(col: str = "tags"):
+    return F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(col)),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+        ),
+        ";",
+    )
+
+
+def build_pages_oracle_queries() -> dict:
+    """name -> (spark_fn, duckdb_sql) for the pages-world operators.
+    Generates the t2 truth snapshots on first call (cached on disk)."""
+    from .fixtures.pages import ensure_pages_parquet, ensure_truth_parquet
+
+    tp = ensure_truth_parquet("t2")
+    pages_path = ensure_pages_parquet("t2")
     q = {}
 
     def q_assemble(spark, sf):
@@ -723,10 +750,24 @@ def build_rows_only_queries() -> dict:
         return res.ways.select(
             "id",
             F.size("nodes").alias("n_nodes"),
-            F.to_json("tags").alias("tags_json"),
+            _tags_sorted_col("tags").alias("tags_sorted"),
         ).orderBy("id")
 
-    q["pages_way_assembly"] = q_assemble
+    q["pages_way_assembly"] = (
+        q_assemble,
+        f"""WITH resolved AS (
+  SELECT r.way_id
+  FROM read_parquet('{tp["way_refs"]}') r
+  JOIN read_parquet('{tp["nodes"]}') n ON r.ref = n.id
+)
+SELECT w.way_id AS id,
+       CAST(coalesce(c.n, 0) AS INT) AS n_nodes,
+       w.tags_sorted
+FROM read_parquet('{tp["ways"]}') w
+LEFT JOIN (SELECT way_id, count(*) AS n FROM resolved GROUP BY way_id) c
+       USING (way_id)
+ORDER BY id""",
+    )
 
     def q_rel(spark, sf):
         from .operators.assembly import SKIP_MISSING
@@ -737,7 +778,23 @@ def build_rows_only_queries() -> dict:
             "id", F.size("members").alias("n_members")
         ).orderBy("id")
 
-    q["pages_relation_assembly"] = q_rel
+    q["pages_relation_assembly"] = (
+        q_rel,
+        f"""SELECT r.rel_id AS id, CAST(coalesce(c.n, 0) AS INT) AS n_members
+FROM read_parquet('{tp["rels"]}') r
+LEFT JOIN (
+  SELECT m.rel_id, count(*) AS n
+  FROM read_parquet('{tp["rel_members"]}') m
+  WHERE (m.mtype = 'node'
+         AND EXISTS (SELECT 1 FROM read_parquet('{tp["nodes"]}') n
+                     WHERE n.id = m.ref))
+     OR (m.mtype = 'way'
+         AND EXISTS (SELECT 1 FROM read_parquet('{tp["ways"]}') w
+                     WHERE w.way_id = m.ref))
+  GROUP BY m.rel_id
+) c ON c.rel_id = r.rel_id
+ORDER BY id""",
+    )
 
     def q_text_identity(spark, sf):
         from .sources.pages import extract_texts
@@ -752,7 +809,12 @@ def build_rows_only_queries() -> dict:
             ),
         )
 
-    q["pages_text_byte_identity"] = q_text_identity
+    q["pages_text_byte_identity"] = (
+        q_text_identity,
+        f"""SELECT CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(*) AS BIGINT) AS n_byte_identical
+FROM read_parquet('{pages_path}')""",
+    )
 
     def q_pip_syn(spark, sf):
         from .operators.assembly import SKIP_MISSING
@@ -766,6 +828,62 @@ def build_rows_only_queries() -> dict:
             "polygon_id"
         )
 
-    q["pages_pip_tiles"] = q_pip_syn
+    # PNPOLY arithmetic below is term-for-term identical (same IEEE op
+    # order) to operators/pip.py::ray_cast_inside, so the comparison is
+    # bit-exact, not approximate.
+    q["pages_pip_tiles"] = (
+        q_pip_syn,
+        f"""WITH nodes AS (
+  SELECT id, lat, lon FROM read_parquet('{tp["nodes"]}')
+),
+resolved AS (
+  SELECT r.way_id, r.pos, n.id, n.lat, n.lon
+  FROM read_parquet('{tp["way_refs"]}') r JOIN nodes n ON r.ref = n.id
+),
+ring_stat AS (
+  SELECT way_id
+  FROM resolved GROUP BY way_id
+  HAVING count(*) >= 4 AND arg_min(id, pos) = arg_max(id, pos)
+),
+verts AS (
+  SELECT s.way_id,
+         row_number() OVER (PARTITION BY s.way_id ORDER BY s.pos) AS i,
+         s.lat, s.lon
+  FROM resolved s JOIN ring_stat USING (way_id)
+),
+edges AS (
+  SELECT a.way_id, a.lat AS y1, a.lon AS x1, b.lat AS y2, b.lon AS x2
+  FROM verts a JOIN verts b ON a.way_id = b.way_id AND b.i = a.i + 1
+),
+bbox AS (
+  SELECT way_id, min(lat) AS min_lat, max(lat) AS max_lat,
+         min(lon) AS min_lon, max(lon) AS max_lon
+  FROM verts GROUP BY way_id
+),
+cand AS (
+  SELECT p.id AS pt, p.lat AS plat, p.lon AS plon, b.way_id
+  FROM nodes p JOIN bbox b
+    ON p.lat >= b.min_lat AND p.lat <= b.max_lat
+   AND p.lon >= b.min_lon AND p.lon <= b.max_lon
+),
+par AS (
+  SELECT c.pt, c.way_id,
+         sum(CASE WHEN (e.y1 > c.plat) != (e.y2 > c.plat)
+                   AND c.plon < (e.x2 - e.x1) * (c.plat - e.y1)
+                               / (e.y2 - e.y1) + e.x1
+              THEN 1 ELSE 0 END) AS k
+  FROM cand c JOIN edges e ON e.way_id = c.way_id
+  GROUP BY c.pt, c.way_id
+)
+SELECT way_id AS polygon_id, count(*) AS n_inside
+FROM par WHERE k % 2 = 1
+GROUP BY way_id ORDER BY polygon_id""",
+    )
 
     return q
+
+
+def build_rows_only_queries() -> dict:
+    """Reserved for genuinely non-SQL-expressible ops; every pages-world
+    query now carries a DuckDB ground-truth oracle (see above)."""
+    return {}

@@ -51,28 +51,116 @@ def ordered_collect(pos: str, value: Column, out_field: str = "v") -> Column:
     return F.transform(F.array_sort(paired, _pos_cmp), lambda s: s[out_field])
 
 
+def _contains_map(dt) -> bool:
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    if isinstance(dt, ArrayType):
+        return _contains_map(dt.elementType)
+    return False
+
+
+def _orderable_type(dt):
+    """The orderable twin of ``dt``: every MapType becomes its entries
+    array<struct<key,value>> (maps are the only non-orderable Spark type)."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(dt, MapType):
+        return ArrayType(
+            StructType(
+                [
+                    StructField("key", dt.keyType, False),
+                    StructField("value", _orderable_type(dt.valueType), dt.valueContainsNull),
+                ]
+            ),
+            False,
+        )
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(f.name, _orderable_type(f.dataType), f.nullable)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_orderable_type(dt.elementType), dt.containsNull)
+    return dt
+
+
+def _to_orderable(col: Column, dt) -> Column:
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if not _contains_map(dt):
+        return col
+    if isinstance(dt, MapType):
+        return F.map_entries(col)
+    if isinstance(dt, StructType):
+        conv = F.struct(
+            *[_to_orderable(col[f.name], f.dataType).alias(f.name) for f in dt.fields]
+        )
+        # F.struct over a NULL struct's fields yields struct(null,..) — keep
+        # genuine NULLs (relation members carry exactly one of node/way)
+        return F.when(col.isNull(), F.lit(None).cast(_orderable_type(dt))).otherwise(conv)
+    if isinstance(dt, ArrayType):
+        return F.transform(col, lambda x: _to_orderable(x, dt.elementType))
+    return col
+
+
+def _from_orderable(col: Column, dt) -> Column:
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if not _contains_map(dt):
+        return col
+    if isinstance(dt, MapType):
+        if _contains_map(dt.valueType):
+            col = F.transform(
+                col,
+                lambda e: F.struct(
+                    e["key"].alias("key"),
+                    _from_orderable(e["value"], dt.valueType).alias("value"),
+                ),
+            )
+        return F.map_from_entries(col)
+    if isinstance(dt, StructType):
+        conv = F.struct(
+            *[_from_orderable(col[f.name], f.dataType).alias(f.name) for f in dt.fields]
+        )
+        return F.when(col.isNull(), F.lit(None).cast(dt)).otherwise(conv)
+    if isinstance(dt, ArrayType):
+        return F.transform(col, lambda x: _from_orderable(x, dt.elementType))
+    return col
+
+
 def ordered_collect_rows(
     df: DataFrame, key: str, pos: str, value: Column, out_name: str
 ) -> DataFrame:
-    """Order-preserving re-agg with ZERO interpreted lambdas: sort the rows
-    (engine Tungsten sort via an ordered window), then collect_list over the
-    full frame — the collected array is already in ``pos`` order, so no
-    array_sort-with-comparator (interpreted per comparison; it dominated
-    assembly wall time ~2x) and no transform to strip the sort key.
-    The follow-up groupBy reuses the window's hash partitioning — one
-    shuffle total, same as the agg it replaces.
-    Returns ``df.select(key, out_name)`` with one row per key."""
-    from pyspark.sql import Window
+    """Order-preserving re-agg in ONE aggregation, no duplication: collect
+    ``struct(pos, value)`` with a plain groupBy (map-side partial combine,
+    one shuffle of exactly the payload bytes), then a **native, no-lambda**
+    ``array_sort``. Maps are the only non-orderable type, so the value is
+    converted to an orderable twin (map -> entries array) for the sort and
+    converted back after — the sort itself only ever compares the leading
+    ``pos`` (unique per key), never descends into the payload.
 
-    w = (
-        Window.partitionBy(key)
-        .orderBy(F.col(pos).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Replaces the previous full-frame-window formulation, whose
+    collect_list-per-row materialized O(len^2) intermediate bytes per key —
+    harmless at 40-node ways, fatal for a 50k-member relation at scale.
+    Returns ``df.select(key, out_name)`` with one row per key."""
+    dt = df.select(value.alias("_v")).schema["_v"].dataType
+    paired = F.collect_list(
+        F.struct(
+            F.col(pos).cast("long").alias("_p"),
+            _to_orderable(value, dt).alias("_v"),
+        )
     )
-    tmp = df.select(key, F.collect_list(value).over(w).alias(out_name))
-    # every row of a key carries the identical full-frame array -> first()
-    # is deterministic
-    return tmp.groupBy(key).agg(F.first(out_name).alias(out_name))
+    agg = df.groupBy(key).agg(paired.alias("_arr"))
+    restored = F.transform(
+        F.array_sort("_arr"), lambda s: _from_orderable(s["_v"], dt)
+    )
+    return agg.select(key, restored.alias(out_name))
 
 
 @dataclass

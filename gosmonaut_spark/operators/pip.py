@@ -252,10 +252,160 @@ def point_in_polygon_join(
     if engine not in ("vectorized", "edges"):
         raise ValueError(f"unknown engine {engine!r}")
 
+    spark = points.sparkSession
+    n_shuffle = int(
+        spark.conf.get(
+            "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+        )
+    )
+
+    if engine == "edges":
+        # Fully distributed build: the vertex/chunk table and the adaptive
+        # cover are DataFrame plans over the polygon side, broadcast by the
+        # planner (Tungsten-packed, 8 GiB-capped BroadcastExchange) — no
+        # unbounded driver .collect() into Python lists, so a fat polygon
+        # layer no longer OOMs the driver. (For polygon sides too big to
+        # broadcast at all, the "native" engine is the shuffled-join path.)
+        from pyspark.storagelevel import StorageLevel
+
+        cap = 24
+        max_cells = 64
+        # slim projection cached: the stats action below and the main job
+        # would otherwise both recompute the upstream assembly subtree.
+        # O(#polygons) rows — the same order as the broadcast itself.
+        polys_slim = polygons.select("polygon_id", "lats", "lons").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+
+        b_min_lat, b_max_lat = F.array_min("lats"), F.array_max("lats")
+        b_min_lon, b_max_lon = F.array_min("lons"), F.array_max("lons")
+
+        def _span_cells(r: int):
+            x0, x1 = cell_x(b_min_lon, r), cell_x(b_max_lon, r)
+            y0, y1 = cell_y(b_max_lat, r), cell_y(b_min_lat, r)
+            return (x1 - x0 + 1) * (y1 - y0 + 1)
+
+        # per-polygon chosen cover res — the identical adaptive rule
+        # polygon_cover_cells applies, so the point explode below is
+        # guaranteed to hit every cover row's resolution
+        chosen = F.lit(res_min)
+        for r in range(res_min + 1, res + 1):
+            chosen = F.when(_span_cells(r) <= F.lit(max_cells), F.lit(r)).otherwise(chosen)
+
+        stats = polys_slim.agg(
+            F.collect_set(chosen).alias("levels"),
+            F.max(F.size("lats")).alias("max_nv"),
+        ).first()
+        used_res = sorted(stats["levels"] or [res_min])
+        max_ne = max(int(stats["max_nv"] or 2) - 1, 1)
+        cap = min(cap, max_ne)
+        n_chunks_max = -(-max_ne // cap)  # ceil: chunks of the largest ring
+
+        cover = F.broadcast(
+            polygon_cover_cells(polys_slim, res, res_min=res_min).select(
+                "polygon_id",
+                "cell",
+                F.array_min("lats").alias("__pg_min_lat"),
+                F.array_max("lats").alias("__pg_max_lat"),
+                F.array_min("lons").alias("__pg_min_lon"),
+                F.array_max("lons").alias("__pg_max_lon"),
+            )
+        )
+
+        # fixed-width padded vertex chunks, built relationally: explode one
+        # row per cap-edge chunk, slice the ring arrays, zero-pad to cap+1
+        ne = F.size("lats") - 1
+        n_ch = F.greatest(F.ceil(ne / F.lit(cap)).cast("int"), F.lit(1))
+        chunked = polys_slim.select(
+            "polygon_id",
+            "lats",
+            "lons",
+            ne.alias("__ne"),
+            F.explode(F.sequence(F.lit(0), n_ch - 1)).alias("__ci"),
+        )
+        start = F.col("__ci") * F.lit(cap)
+
+        def _seg(arr: str):
+            s = F.slice(F.col(arr), start + 1, cap + 1)
+            return F.concat(
+                s, F.array_repeat(F.lit(0.0), F.lit(cap + 1) - F.size(s))
+            )
+
+        verts_df = F.broadcast(
+            chunked.select(
+                "polygon_id",
+                F.least(F.col("__ne") - start, F.lit(cap)).cast("int").alias("__vx_ne"),
+                _seg("lats").alias("__vx_lats"),
+                _seg("lons").alias("__vx_lons"),
+            )
+        )
+
+        # round-robin the points before explode+join — see the skew note on
+        # the vectorized path below (B10: spread before the skew exists)
+        ptsr_rr = ptsr.repartition(n_shuffle)
+        pts = ptsr_rr.withColumn(
+            "cell",
+            F.explode(
+                F.array(*[cell_expr(f"__pt_{lat}", f"__pt_{lon}", r) for r in used_res])
+            ),
+        )
+        cand = pts.join(cover, "cell", "inner").filter(
+            (plat >= F.col("__pg_min_lat"))
+            & (plat <= F.col("__pg_max_lat"))
+            & (plon >= F.col("__pg_min_lon"))
+            & (plon <= F.col("__pg_max_lon"))
+        )
+
+        # unrolled whole-stage-codegen PNPOLY fold — arithmetic matches
+        # ray_cast_inside / the numpy kernels bit-for-bit (see the r1 notes:
+        # ~1.5KB bytecode per edge term, 24 terms JIT-compilable with
+        # -XX:-DontCompileHugeMethods from session.py)
+        la_c, lo_c = F.col("__vx_lats"), F.col("__vx_lons")
+        terms = []
+        for e in range(cap):
+            y1 = F.element_at(la_c, e + 1)
+            y2 = F.element_at(la_c, e + 2)
+            x1 = F.element_at(lo_c, e + 1)
+            x2 = F.element_at(lo_c, e + 2)
+            terms.append(
+                F.when(
+                    (F.lit(e) < F.col("__vx_ne"))
+                    & ((y1 > plat) != (y2 > plat))
+                    & (plon < (x2 - x1) * (plat - y1) / (y2 - y1) + x1),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+        crossings = terms[0]
+        for t in terms[1:]:
+            crossings = crossings + t
+
+        cand_slim = cand.select(*[f"__pt_{c}" for c in point_cols], "polygon_id")
+        if n_chunks_max == 1:
+            joined = cand_slim.join(verts_df, "polygon_id")
+            hit = joined.filter(F.pmod(crossings, F.lit(2)) == 1)
+            return hit.select(
+                *[F.col(f"__pt_{c}").alias(c) for c in point_cols], "polygon_id"
+            )
+        # chunked rings: tag every candidate with a synthetic key BEFORE the
+        # verts join, aggregate the parity on that key only, and carry the
+        # point columns through first() — grouping on the point columns
+        # themselves would (a) fail outright for non-groupable types like
+        # map tags and (b) merge fully duplicate point rows, flipping their
+        # summed parity (two identical inside-points -> even -> both lost).
+        cand_keyed = cand_slim.withColumn("__cid", F.monotonically_increasing_id())
+        joined = cand_keyed.join(verts_df, "polygon_id")
+        per_pair = joined.groupBy("__cid").agg(
+            *[F.first(f"__pt_{c}").alias(f"__pt_{c}") for c in point_cols],
+            F.first("polygon_id").alias("polygon_id"),
+            F.sum(crossings).alias("__crossings"),
+        )
+        return per_pair.filter(F.pmod(F.col("__crossings"), F.lit(2)) == 1).select(
+            *[F.col(f"__pt_{c}").alias(c) for c in point_cols], "polygon_id"
+        )
+
     import numpy as np
     import pandas as pd
 
-    spark = points.sparkSession
     rows = polygons.select("polygon_id", "lats", "lons").collect()
     verts = {
         r["polygon_id"]: (
@@ -350,9 +500,6 @@ def point_in_polygon_join(
     # is ~30x cheaper than shuffling the 100M-row candidate side, and dense-
     # city points then land uniformly across partitions, evening candidate
     # volume by construction (B10 — skew handled before it exists).
-    n_shuffle = int(
-        spark.conf.get("spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism))
-    )
     ptsr = ptsr.repartition(n_shuffle)
     # the driver-side cover knows exactly which resolutions occur — explode
     # points only at those levels (typically 1-2 of the 9 candidates),
@@ -365,95 +512,6 @@ def point_in_polygon_join(
         & (plon >= F.col("__pg_min_lon"))
         & (plon <= F.col("__pg_max_lon"))
     )
-
-    if engine == "edges":
-        # Pure-codegen exact test, zero Python, zero extra shuffle: the ring
-        # vertices ride a broadcast table as fixed-width padded arrays and
-        # the PNPOLY fold is UNROLLED into `cap` scalar codegen terms
-        # (element_at with literal indices stays in whole-stage codegen —
-        # the HOF `aggregate` fold of the native engine is interpreted).
-        # Each candidate is decided in one expression, so there is no
-        # per-pair re-aggregation: an earlier formulation (edge table +
-        # 110M-group parity hash-agg) spilled to sort-based aggregation and
-        # ran minutes. The other engines stream every candidate through
-        # Arrow into Python; that serialization was the scaling ceiling
-        # (wall flat from 2 to 8 cores). Rings longer than `cap` edges are
-        # chunked into multiple broadcast rows with a parity re-agg over
-        # ONLY those candidates (rare by construction at building scale).
-        # Per-edge arithmetic matches ray_cast_inside / the numpy kernels
-        # bit-for-bit.
-        # cap bounds the generated-method size: ~1.5KB bytecode per edge
-        # term, and Janino hard-fails (-> interpreted fallback) at 64KB per
-        # method. 24 terms ~= 36KB, JIT-compilable once
-        # -XX:-DontCompileHugeMethods is set (session.py).
-        cap = 24
-        max_ne = max(len(v[0]) - 1 for v in verts.values()) if verts else 1
-        cap = min(cap, max(max_ne, 1))
-        c_pid, c_ne, c_lats, c_lons = [], [], [], []
-        for p in sorted(verts):
-            la, lo = verts[p]
-            ne = len(la) - 1
-            for s in range(0, max(ne, 1), cap):
-                seg_la = la[s : s + cap + 1]
-                seg_lo = lo[s : s + cap + 1]
-                pad = cap + 1 - len(seg_la)
-                if pad > 0:
-                    seg_la = np.concatenate([seg_la, np.zeros(pad)])
-                    seg_lo = np.concatenate([seg_lo, np.zeros(pad)])
-                c_pid.append(p)
-                c_ne.append(min(ne - s, cap))
-                c_lats.append(seg_la.tolist())
-                c_lons.append(seg_lo.tolist())
-        n_chunks_max = -(-max(max_ne, 1) // cap)  # ceil: chunks of largest ring
-        verts_pdf = pd.DataFrame(
-            {
-                "polygon_id": pd.array(c_pid, dtype="int64"),
-                "__vx_ne": pd.array(c_ne, dtype="int32"),
-                "__vx_lats": c_lats,
-                "__vx_lons": c_lons,
-            }
-        )
-        verts_df = F.broadcast(
-            spark.createDataFrame(
-                verts_pdf,
-                schema=(
-                    "polygon_id long, __vx_ne int, "
-                    "__vx_lats array<double>, __vx_lons array<double>"
-                ),
-            )
-        )
-        la_c, lo_c = F.col("__vx_lats"), F.col("__vx_lons")
-        terms = []
-        for e in range(cap):
-            y1 = F.element_at(la_c, e + 1)
-            y2 = F.element_at(la_c, e + 2)
-            x1 = F.element_at(lo_c, e + 1)
-            x2 = F.element_at(lo_c, e + 2)
-            terms.append(
-                F.when(
-                    (F.lit(e) < F.col("__vx_ne"))
-                    & ((y1 > plat) != (y2 > plat))
-                    & (plon < (x2 - x1) * (plat - y1) / (y2 - y1) + x1),
-                    F.lit(1),
-                ).otherwise(F.lit(0))
-            )
-        crossings = terms[0]
-        for t in terms[1:]:
-            crossings = crossings + t
-        joined = cand.select(
-            *[f"__pt_{c}" for c in point_cols], "polygon_id"
-        ).join(verts_df, "polygon_id")
-        if n_chunks_max == 1:
-            hit = joined.filter(F.pmod(crossings, F.lit(2)) == 1)
-            return hit.select(
-                *[F.col(f"__pt_{c}").alias(c) for c in point_cols], "polygon_id"
-            )
-        per_pair = joined.groupBy(
-            *[f"__pt_{c}" for c in point_cols], "polygon_id"
-        ).agg(F.sum(crossings).alias("__crossings"))
-        return per_pair.filter(F.pmod(F.col("__crossings"), F.lit(2)) == 1).select(
-            *[F.col(f"__pt_{c}").alias(c) for c in point_cols], "polygon_id"
-        )
 
     slim = cand.select(
         *[F.col(f"__pt_{c}").alias(c) for c in point_cols], "polygon_id"

@@ -145,6 +145,37 @@ def test_pip_edges_chunked_large_ring(spark):
     assert len(expected) > 50, "grid should land many points inside the circle"
 
 
+def test_pip_edges_chunked_map_cols_and_duplicates(spark):
+    """The chunked parity re-agg must (a) accept non-groupable point
+    columns (map tags, as the default pipeline's nodes carry) and
+    (b) preserve fully duplicate point rows — grouping on the point
+    columns themselves merged duplicates, so two identical inside-points
+    summed to even parity and BOTH vanished."""
+    import math
+
+    k = 30  # > cap=24 -> 2 chunks, forces the re-agg path
+    ang = [2 * math.pi * i / k for i in range(k)]
+    lats = [10.0 + math.sin(a) for a in ang] + [10.0 + math.sin(ang[0])]
+    lons = [20.0 + math.cos(a) for a in ang] + [20.0 + math.cos(ang[0])]
+    polys = spark.createDataFrame(
+        [(1, lats, lons)], "polygon_id long, lats array<double>, lons array<double>"
+    )
+    pts = [
+        (7, 10.0, 20.0, {"amenity": "cafe"}),  # inside, duplicated
+        (7, 10.0, 20.0, {"amenity": "cafe"}),
+        (9, 10.1, 20.1, {}),  # inside once
+        (11, 15.0, 25.0, {"x": "y"}),  # outside
+    ]
+    points = spark.createDataFrame(
+        pts, "id long, lat double, lon double, tags map<string,string>"
+    )
+    out = point_in_polygon_join(points, polys, res=8, engine="edges").collect()
+    assert sorted(r.id for r in out) == [7, 7, 9]
+    assert all(r.polygon_id == 1 for r in out)
+    tags_of_7 = [r.tags for r in out if r.id == 7]
+    assert tags_of_7 == [{"amenity": "cafe"}, {"amenity": "cafe"}]
+
+
 def test_knn_ring_matches_brute(spark, world):
     nodes = world["nodes"]
     queries = nodes.filter(F.col("id") % 37 == 0).select(

@@ -191,6 +191,10 @@ def minhash_lsh_pairs(
     with 16/4 the s-curve crosses ~0.55, right for threshold 0.7. Only
     candidates are verified, so the expensive jaccard join runs on a tiny
     fraction of pairs — this is the 10^12-doc path.
+
+    Caches the signature and shingle tables for plan reuse; in a
+    long-lived session call ``caching.release_cached(result)`` after
+    consuming the result to free the blocks.
     """
     if n_hashes % n_bands:
         raise ValueError("n_bands must divide n_hashes")
@@ -247,7 +251,7 @@ def minhash_lsh_pairs(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return (
+    out = (
         inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
         .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
         .withColumn(
@@ -258,6 +262,9 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+    from .caching import attach_cached
+
+    return attach_cached(out, [sig, sh])
 
 
 # ---------------------------------------------------------------------------

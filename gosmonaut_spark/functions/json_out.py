@@ -114,9 +114,11 @@ def entities_to_json(df: DataFrame, kind: str) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # serialization is inherently per-row, but to_dict('records') is
+            # ~10x cheaper than iterrows (no per-row Series construction)
             out = [
-                _entity_str(kind, {c: row[c] for c in cols})
-                for _, row in pdf.iterrows()
+                _entity_str(kind, row)
+                for row in pdf[cols].to_dict("records")
             ]
             yield pd.DataFrame({"id": pdf["id"], "entity_json": out})
 

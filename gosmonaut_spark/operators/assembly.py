@@ -135,7 +135,12 @@ def _from_orderable(col: Column, dt) -> Column:
 
 
 def ordered_collect_rows(
-    df: DataFrame, key: str, pos: str, value: Column, out_name: str
+    df: DataFrame,
+    key: str,
+    pos: str,
+    value: Column,
+    out_name: str,
+    keep: Column | None = None,
 ) -> DataFrame:
     """Order-preserving re-agg in ONE aggregation, no duplication: collect
     ``struct(pos, value)`` with a plain groupBy (map-side partial combine,
@@ -148,14 +153,22 @@ def ordered_collect_rows(
     Replaces the previous full-frame-window formulation, whose
     collect_list-per-row materialized O(len^2) intermediate bytes per key —
     harmless at 40-node ways, fatal for a 50k-member relation at scale.
+
+    ``keep``: optional row mask — rows failing it still keep their GROUP
+    alive (one output row per key, possibly with an empty array) but
+    contribute no element (collect_list drops null inputs). This lets a
+    zero-ref / all-missing way appear with ``nodes = []`` without a
+    post-agg outer join.
+
     Returns ``df.select(key, out_name)`` with one row per key."""
     dt = df.select(value.alias("_v")).schema["_v"].dataType
-    paired = F.collect_list(
-        F.struct(
-            F.col(pos).cast("long").alias("_p"),
-            _to_orderable(value, dt).alias("_v"),
-        )
+    elem = F.struct(
+        F.col(pos).cast("long").alias("_p"),
+        _to_orderable(value, dt).alias("_v"),
     )
+    if keep is not None:
+        elem = F.when(keep, elem)
+    paired = F.collect_list(elem)
     agg = df.groupBy(key).agg(paired.alias("_arr"))
     restored = F.transform(
         F.array_sort("_arr"), lambda s: _from_orderable(s["_v"], dt)
@@ -248,37 +261,57 @@ def assemble_ways(
         ).alias("node"),
     )
 
+    joined = refs.join(node_side, "node_id", "left")
+
     if mode == STRICT:
-        missing = (
-            refs.filter(F.col("node_id").isNotNull())
-            .join(node_side, "node_id", "left_anti")
+        # validate IN the assembly pass itself: the left join is followed
+        # by a filter whose predicate asserts the match — any ref that
+        # found no node raises from inside the join stage, so the check
+        # costs zero extra jobs (the previous formulation ran a full
+        # anti-join count() before the real join even started). A filter
+        # (unlike a projection) cannot be column-pruned away, and the
+        # final join below is INNER, which the optimizer can never
+        # eliminate — so even a bare count() runs the validation. The
+        # rand() guard marks the predicate nondeterministic so the
+        # optimizer neither pushes it below the left join nor probes it
+        # with a null row (EliminateOuterJoin evaluates deterministic
+        # predicates against a null input to decide join conversion, which
+        # would fire the assert at plan time).
+        msg = F.concat(
+            F.lit("way assembly: dangling node ref "),
+            F.col("node_id").cast("string"),
+            F.lit(" (use mode='skip_missing' to drop it)"),
         )
-        n_missing = missing.count()
-        if n_missing:
-            sample = [r.node_id for r in missing.select("node_id").limit(5).collect()]
-            raise ValueError(
-                f"way assembly: {n_missing} dangling node refs (e.g. {sample}); "
-                f"use mode='skip_missing' to drop them"
-            )
+        check = F.assert_true(
+            F.col("node_id").isNull() | F.col("node").isNotNull(), msg
+        ).isNull()
+        joined = joined.filter(check | (F.rand() < F.lit(-1.0)))
     elif mode != SKIP_MISSING:
         raise ValueError(f"unknown mode {mode!r}")
-
-    joined = refs.join(node_side, "node_id", "inner")
     if metrics is not None and mode == SKIP_MISSING:
         total_refs = refs.filter(F.col("node_id").isNotNull()).count()
-        matched = joined.count()
+        matched = joined.filter(F.col("node").isNotNull()).count()
         metrics.missing_way_nodes = total_refs - matched
 
-    stitched = ordered_collect_rows(joined, "way_id", "pos", F.col("node"), "nodes")
-    # left join keeps zero-ref ways (empty array, not null) — the reference
-    # emits them too (a way with no surviving nodes still appears in skip
-    # mode, gosmonaut.go:388-397). merge hint: the stitched side carries the
-    # full node arrays — broadcasting it is slow and memory-hostile at
-    # scale, and AQE's size estimate undercounts nested arrays, so pin SMJ.
-    return (
-        ways_sel.select("id", "tags", "url")
-        .join(stitched.withColumnRenamed("way_id", "id").hint("merge"), "id", "left")
-        .withColumn("nodes", F.coalesce(F.col("nodes"), F.array().cast(f"array<{NODE_STRUCT}>")))
+    # every way keeps its group (posexplode_outer emits a null-ref row for
+    # zero-ref ways; unmatched refs in skip mode just contribute no
+    # element via the keep mask), so a zero-ref / all-missing way appears
+    # with nodes = [] — the reference emits those too (gosmonaut.go:388-397)
+    # — and the final join is a plain INNER equi-join (also what makes the
+    # STRICT validation un-prunable). merge hint: the stitched side
+    # carries the full node arrays — broadcasting it is slow and
+    # memory-hostile at scale, and AQE's size estimate undercounts nested
+    # arrays, so pin SMJ.
+    stitched = ordered_collect_rows(
+        joined,
+        "way_id",
+        "pos",
+        F.col("node"),
+        "nodes",
+        keep=F.col("node_id").isNotNull() & F.col("node").isNotNull(),
+    )
+    return ways_sel.select("id", "tags", "url").join(
+        stitched.withColumnRenamed("way_id", "id").hint("merge"), "id", "inner"
     )
 
 

@@ -379,12 +379,17 @@ def point_in_polygon_join(
         for t in terms[1:]:
             crossings = crossings + t
 
+        from ..functions.caching import attach_cached
+
         cand_slim = cand.select(*[f"__pt_{c}" for c in point_cols], "polygon_id")
         if n_chunks_max == 1:
             joined = cand_slim.join(verts_df, "polygon_id")
             hit = joined.filter(F.pmod(crossings, F.lit(2)) == 1)
-            return hit.select(
-                *[F.col(f"__pt_{c}").alias(c) for c in point_cols], "polygon_id"
+            return attach_cached(
+                hit.select(
+                    *[F.col(f"__pt_{c}").alias(c) for c in point_cols], "polygon_id"
+                ),
+                [polys_slim],
             )
         # chunked rings: tag every candidate with a synthetic key BEFORE the
         # verts join, aggregate the parity on that key only, and carry the
@@ -399,8 +404,11 @@ def point_in_polygon_join(
             F.first("polygon_id").alias("polygon_id"),
             F.sum(crossings).alias("__crossings"),
         )
-        return per_pair.filter(F.pmod(F.col("__crossings"), F.lit(2)) == 1).select(
-            *[F.col(f"__pt_{c}").alias(c) for c in point_cols], "polygon_id"
+        return attach_cached(
+            per_pair.filter(F.pmod(F.col("__crossings"), F.lit(2)) == 1).select(
+                *[F.col(f"__pt_{c}").alias(c) for c in point_cols], "polygon_id"
+            ),
+            [polys_slim],
         )
 
     import numpy as np

@@ -88,7 +88,11 @@ def tile_pyramid(
     subtree across union branches, so without the cache every coarser
     level re-scans and re-aggregates the full points table (L extra scans
     for an L-level pyramid — measured as the whole cost of the operator).
-    The cached layer is tiles, not points: tiny at any input scale."""
+    The cached layer is tiles, not points: tiny at any input scale. In a
+    long-lived session, release it with ``caching.release_cached(result)``
+    after the pyramid is consumed."""
+    from ..functions.caching import attach_cached
+
     finest = points_to_tiles(points, max_res, lat, lon).persist()
     layers = [finest]
     cur = finest
@@ -98,7 +102,7 @@ def tile_pyramid(
     out = layers[0]
     for l in layers[1:]:
         out = out.unionByName(l)
-    return out
+    return attach_cached(out, [finest])
 
 
 def write_tiles(tiles: DataFrame, path: str, n_buckets: int | None = None) -> None:

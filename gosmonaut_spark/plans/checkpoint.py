@@ -139,8 +139,9 @@ def run_pipeline_checkpointed(
     # interleaves their task waves: run sequentially, each pass pays its
     # own stage tail + commit barrier with cores idle (measured ~45% of
     # linear scaling on the 8-core decode leg). Spark job submission is
-    # thread-safe; pass order in the lineage stays deterministic (sorted
-    # append after all three finish via the executor's result order).
+    # thread-safe. NOTE: the first three lineage entries record COMPLETION
+    # order (whichever pass finishes first appends first) — consumers of
+    # _lineage.json must key on the "pass" field, not on position.
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=3) as pool:

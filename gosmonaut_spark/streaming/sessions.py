@@ -107,7 +107,20 @@ def sessionize_stream(
                 )
             else:
                 closed.append((start, last, n))
-        # all runs but the newest are already separated by > gap -> closed
+            # merging the stored session can EXTEND runs[0].last past the
+            # gap to the next local run (late events within the watermark
+            # land before the stored session's last event) — re-run the
+            # gap merge across adjacent runs before declaring any closed,
+            # or one true session is emitted as two
+            merged = [runs[0]]
+            for s, l, c in runs[1:]:
+                ps, pl, pc = merged[-1]
+                if s - pl <= gap_sec:
+                    merged[-1] = (min(ps, s), max(pl, l), pc + c)
+                else:
+                    merged.append((s, l, c))
+            runs = merged
+        # all runs but the newest are now separated by > gap -> closed
         closed.extend(runs[:-1])
         start, last, n = runs[-1]
         state.update((float(start), float(last), int(n)))

@@ -135,7 +135,9 @@ def test_relation_member_semantics(spark, pages_t1, oracle):
 
 
 def test_strict_mode_raises_on_dangling(spark, pages_t1):
-    with pytest.raises(ValueError, match="dangling"):
+    # the dangling-ref check now runs inside the assembly join itself
+    # (raise_error), so it surfaces at action time as a Spark exception
+    with pytest.raises(Exception, match="dangling"):
         run_pipeline(pages_t1, {P.WAY}, None, mode=STRICT).ways.count()
 
 

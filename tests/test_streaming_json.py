@@ -213,3 +213,79 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     }
     assert len(exp) == 9  # 3 keys x 3 sessions
     assert got == exp
+
+
+def test_stateful_sessionize_out_of_order_across_batches(spark, tmp_path):
+    """A late event (within the watermark) arriving BEFORE the stored
+    session's last event must not split one true session into two: after
+    merging state into the batch's first local run, the extended run can
+    now bridge the gap to the next local run and the gap-merge must be
+    re-applied before any run is declared closed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gosmonaut_spark.streaming.sessions import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    gap = 600.0
+    base = 1_700_000_000
+    # batch 1: state becomes (1000, 1100). batch 2: late event at 800 and a
+    # new event at 1500 — locally split (1500-800 > gap) but 1500 is within
+    # gap of the stored last (1100): all four events are ONE session.
+    b1 = [("x", base + 1000), ("x", base + 1100)]
+    b2 = [("x", base + 800), ("x", base + 1500)]
+    flush_ts = base + 40 * 86400
+    batches = [b1, b2, [("x", flush_ts)]]
+
+    src = tmp_path / "ooo_stream"
+    src.mkdir()
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for i, b in enumerate(batches):
+        p = str(src / f"part{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "key": [r[0] for r in b],
+                    "ts": pa.array([r[1] * 1_000_000 for r in b], pa.timestamp("us")),
+                }
+            ),
+            p,
+        )
+        # the file source orders batches by modification time — pin distinct
+        # mtimes so batch i really is micro-batch i
+        _os.utime(p, (now - (len(batches) - i) * 60, now - (len(batches) - i) * 60))
+
+    stream = (
+        spark.readStream.schema("key string, ts timestamp_ntz")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        sessionize_stream(stream, gap, key_col="key", ts_col="ts")
+        .writeStream.format("memory")
+        .queryName("sess_ooo_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ooo_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.key, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_ooo_t").collect()
+    }
+    batch_in = spark.read.parquet(str(src)).filter(
+        F.col("ts").cast("timestamp").cast("double") < flush_ts
+    )
+    exp = {
+        (r.key, r.session_start, r.session_end, r.n_events)
+        for r in sessionize_batch(batch_in, gap, key_col="key", ts_col="ts").collect()
+    }
+    assert len(exp) == 1  # one true session: (800 .. 1500), 4 events
+    assert got == exp
+    assert next(iter(got))[3] == 4

@@ -115,19 +115,39 @@ def cosine_topk_lsh(
     queries: DataFrame,
     targets: DataFrame,
     k: int,
-    n_bits: int = 8,
-    n_tables: int = 4,
+    n_bits: int = 16,
+    n_tables: int = 8,
     dim: int = 64,
     query_id: str = "query_id",
     target_id: str = "target_id",
     vec: str = "embedding",
+    multiprobe: int = 1,
+    max_bucket_targets: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in >=1 table.
 
-    The bucket join is an equi-join on (table, bucket) — at 10^12 scale the
-    per-bucket candidate lists are bounded (2^n_bits buckets per table), and
-    the exact re-rank touches only collisions.
+    The bucket join is an equi-join on (table, bucket); the exact re-rank
+    touches only collisions. **Sizing for scale**: expected bucket
+    cardinality is n_targets / 2^n_bits per table — size n_bits ~
+    log2(n_targets / desired_bucket_size), e.g. 10^12 targets with
+    ~1000-vector buckets wants n_bits ~ 30. The old default of 8 bits put
+    ~10^9 vectors in a bucket at that scale and the within-bucket join
+    went quadratic; the default is now 16 with single-bit multiprobe ON so
+    the finer buckets don't cost recall.
+
+    ``multiprobe=1`` probes, per table, the query's own bucket plus every
+    single-bit flip (n_bits+1 probes): recall of coarser buckets at the
+    candidate volume of finer ones — the standard multiprobe-LSH trade.
+    Only the (small) query side is exploded.
+
+    ``max_bucket_targets`` drops buckets holding more targets than the cap
+    from candidate generation entirely (a skew guard: one degenerate
+    bucket — e.g. the all-zeros region — cannot cross-product the join).
+    Recall for queries whose true neighbors sat in a dropped bucket
+    degrades; prefer raising n_bits first, the cap is the backstop.
     """
+    if multiprobe not in (0, 1):
+        raise ValueError("multiprobe supports 0 (off) or 1 (single-bit probes)")
     # norms are per-row, not per-pair: precompute before the bucket join so
     # the pair step is a dot product + one divide (identical IEEE result —
     # the expression tree dot/(na*nb) is unchanged, na/nb just computed
@@ -163,6 +183,23 @@ def cosine_topk_lsh(
     tb = t_parts[0]
     for x in t_parts[1:]:
         tb = tb.unionByName(x)
+    if multiprobe == 1:
+        probes = F.array(
+            F.lit(0).cast("long"),
+            *[F.lit(1 << j).cast("long") for j in range(n_bits)],
+        )
+        qb = (
+            qb.withColumn("__f", F.explode(probes))
+            .withColumn("bkt", F.col("bkt").bitwiseXOR(F.col("__f")))
+            .drop("__f")
+        )
+    if max_bucket_targets is not None:
+        sizes = tb.groupBy("tbl", "bkt").agg(F.count(F.lit(1)).alias("__n"))
+        tb = tb.join(
+            sizes.filter(F.col("__n") <= max_bucket_targets),
+            ["tbl", "bkt"],
+            "left_semi",
+        )
     cand = (
         qb.join(tb, ["tbl", "bkt"])
         .select(

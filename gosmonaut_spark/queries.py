@@ -516,6 +516,105 @@ WHERE rank <= 5 AND query_id != target_id
 ORDER BY query_id, target_id""",
     )
 
+    # ---- LSH-bucketed ANN with a full DuckDB twin of the bucket algebra:
+    # the hyperplanes are deterministic (seed 42), so the oracle re-derives
+    # buckets, single-bit multiprobe, the bucket join, the exact cosine
+    # re-rank, and top-k — bit-for-bit (list_reduce folds left-to-right
+    # like Spark aggregate). This verifies the SCALE path end to end, not
+    # just the brute-force oracle twin above.
+    _ANN_BITS, _ANN_TABLES, _ANN_DIM, _ANN_K = 8, 4, 64, 5
+
+    def q_ann_lsh(spark, sf):
+        e = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qs = e.filter(F.col("vec_id") % 7 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        ts = e.select(F.col("vec_id").alias("target_id"), "embedding")
+        out = S.cosine_topk_lsh(
+            qs,
+            ts,
+            k=_ANN_K,
+            n_bits=_ANN_BITS,
+            n_tables=_ANN_TABLES,
+            dim=_ANN_DIM,
+            multiprobe=1,
+        )
+        return out.orderBy("query_id", "target_id")
+
+    def _bucket_sql(vec: str, planes) -> str:
+        bits = []
+        for j, row in enumerate(planes):
+            arr = "[" + ", ".join(repr(float(v)) for v in row) + "]"
+            dotj = (
+                f"list_reduce(list_transform(list_zip({vec}, {arr}), "
+                f"p -> CAST(p[1] AS DOUBLE) * p[2]), (acc, v) -> acc + v)"
+            )
+            bits.append(
+                f"CASE WHEN ({dotj}) > 0.0 THEN CAST({1 << j} AS BIGINT)"
+                f" ELSE CAST(0 AS BIGINT) END"
+            )
+        return "(" + " + ".join(bits) + ")"
+
+    def _norm_sql(a: str) -> str:
+        return (
+            f"sqrt(list_reduce(list_transform({a}, "
+            f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v))"
+        )
+
+    _q_branches = []
+    _t_branches = []
+    for _tbl in range(_ANN_TABLES):
+        _planes = S._hyperplanes(_ANN_DIM, _ANN_BITS, _tbl)
+        _q_branches.append(
+            f"SELECT query_id, qv, qn, {_tbl} AS tbl,"
+            f" {_bucket_sql('qv', _planes)} AS bkt FROM q"
+        )
+        _t_branches.append(
+            f"SELECT target_id, tv, tn, {_tbl} AS tbl,"
+            f" {_bucket_sql('tv', _planes)} AS bkt FROM t"
+        )
+    _probes = "[" + ", ".join(
+        str(v) for v in [0] + [1 << j for j in range(_ANN_BITS)]
+    ) + "]"
+    _dot_qt = (
+        "list_reduce(list_transform(list_zip(qpr.qv, tb.tv), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, v) -> acc + v)"
+    )
+    q["ann_lsh_topk"] = (
+        q_ann_lsh,
+        f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, {_norm_sql("embedding")} AS qn
+  FROM embeddings WHERE vec_id % 7 = 0
+),
+t AS (
+  SELECT vec_id AS target_id, embedding AS tv, {_norm_sql("embedding")} AS tn
+  FROM embeddings
+),
+qb AS (
+{" UNION ALL ".join(_q_branches)}
+),
+tb AS (
+{" UNION ALL ".join(_t_branches)}
+),
+qpr AS (
+  SELECT query_id, qv, qn, tbl, xor(bkt, f) AS bkt
+  FROM qb, UNNEST({_probes}) AS u(f)
+),
+cand AS (
+  SELECT DISTINCT qpr.query_id, tb.target_id,
+         ({_dot_qt}) / (qpr.qn * tb.tn) AS cos_sim
+  FROM qpr JOIN tb ON qpr.tbl = tb.tbl AND qpr.bkt = tb.bkt
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, target_id ASC
+  ) AS rank FROM cand
+)
+SELECT query_id, target_id, cos_sim FROM ranked
+WHERE rank <= {_ANN_K}
+ORDER BY query_id, target_id""",
+    )
+
     def q_cos_dup(spark, sf):
         e = spark.read.parquet(f"{sf}/embeddings.parquet").select("vec_id", "embedding")
         dup = e.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))

@@ -243,11 +243,69 @@ def pages_arrow_table(n_pages: int, seed: int = 42, *, dangling: bool = True) ->
     )
 
 
+HEADER_META_KEY = b"gosmonaut.header"
+FIXTURE_FEATURES = ["GPB1-v1", "DenseGeo"]
+
+
+def _specs_bbox(specs: list[PageSpec]) -> tuple[float, float, float, float]:
+    """(left, right, top, bottom) over every node, same decode law as the
+    engine (unit -> deg)."""
+    left = bottom = float("inf")
+    right = top = float("-inf")
+    for s in specs:
+        for u in s.truth.nodes.lon_units:
+            d = unit_to_deg(u)
+            left = min(left, d)
+            right = max(right, d)
+        for u in s.truth.nodes.lat_units:
+            d = unit_to_deg(u)
+            bottom = min(bottom, d)
+            top = max(top, d)
+    return left, right, top, bottom
+
+
+def header_dict(n_pages: int, seed: int, bbox: tuple[float, float, float, float]) -> dict:
+    """The table-level Header — the analog of the reference's HeaderBlock
+    (/root/reference/decode.go:54-71): bbox, required/optional features,
+    writing program, source, osmosis-style replication metadata."""
+    left, right, top, bottom = bbox
+    return {
+        "bounding_box": {"left": left, "right": right, "top": top, "bottom": bottom},
+        "required_features": list(FIXTURE_FEATURES),
+        "optional_features": ["Sort.Type_then_ID"],
+        "writing_program": "gosmonaut_spark_fixture/1.0",
+        "source": f"synthetic-seed-{seed}",
+        "osmosis_replication_timestamp": int(EPOCH.timestamp()),
+        "osmosis_replication_sequence_number": n_pages,
+        "osmosis_replication_base_url": "https://synth.example/replication",
+    }
+
+
+def _with_header_meta(tbl: pa.Table, header: dict) -> pa.Table:
+    import json as _json
+
+    meta = dict(tbl.schema.metadata or {})
+    meta[HEADER_META_KEY] = _json.dumps(header, sort_keys=True).encode("utf-8")
+    return tbl.replace_schema_metadata(meta)
+
+
 def write_pages_parquet(path: str, n_pages: int, seed: int = 42, *, dangling: bool = True) -> str:
-    """Write the pages table as parquet; returns the path."""
+    """Write the pages table as parquet (Header carried as parquet footer
+    key-value metadata — the Iceberg-table-properties analog); returns the
+    path."""
     import pyarrow.parquet as pq
 
-    tbl = pages_arrow_table(n_pages, seed, dangling=dangling)
+    specs = generate_pages(n_pages, seed, dangling=dangling)
+    tbl = pa.table(
+        {
+            "url": pa.array([s.url for s in specs], pa.string()),
+            "warc_ts": pa.array([s.warc_ts.replace(tzinfo=None) for s in specs], pa.timestamp("us")),
+            "html": pa.array([s.html for s in specs], pa.binary()),
+            "text": pa.array([s.text for s in specs], pa.string()),
+            "lang": pa.array([s.lang for s in specs], pa.string()),
+        }
+    )
+    tbl = _with_header_meta(tbl, header_dict(n_pages, seed, _specs_bbox(specs)))
     # small row groups: Spark can only split parquet at row-group
     # boundaries — a single-group file serializes every decode stage
     # onto one task
@@ -255,9 +313,10 @@ def write_pages_parquet(path: str, n_pages: int, seed: int = 42, *, dangling: bo
     return path
 
 
-def _gen_chunk(args: tuple) -> bytes:
+def _gen_chunk(args: tuple) -> tuple[bytes, tuple[float, float, float, float]]:
     """Worker: generate [start, stop) pages, return a serialized Arrow IPC
-    batch (pickling Arrow tables across processes via IPC bytes)."""
+    batch (pickling Arrow tables across processes via IPC bytes) plus the
+    chunk's node bbox."""
     import io
 
     import pyarrow.ipc as ipc
@@ -278,7 +337,7 @@ def _gen_chunk(args: tuple) -> bytes:
     sink = io.BytesIO()
     with ipc.new_stream(sink, tbl.schema) as w:
         w.write_table(tbl)
-    return sink.getvalue()
+    return sink.getvalue(), _specs_bbox(specs)
 
 
 def write_pages_parquet_parallel(
@@ -304,11 +363,19 @@ def write_pages_parquet_parallel(
     # generate fixtures BEFORE starting the JVM/SparkSession in the process
     with mp.get_context("fork").Pool(procs) as pool:
         parts = pool.map(_gen_chunk, jobs)
-    tables = [ipc.open_stream(io.BytesIO(b)).read_all() for b in parts]
-    # small row groups -> splittable scan (see write_pages_parquet)
-    pq.write_table(
-        pa.concat_tables(tables), path, compression="zstd", row_group_size=512
+    tables = [ipc.open_stream(io.BytesIO(b)).read_all() for b, _bb in parts]
+    bboxes = [bb for _b, bb in parts]
+    bbox = (
+        min(bb[0] for bb in bboxes),
+        max(bb[1] for bb in bboxes),
+        max(bb[2] for bb in bboxes),
+        min(bb[3] for bb in bboxes),
     )
+    merged = _with_header_meta(
+        pa.concat_tables(tables), header_dict(n_pages, seed, bbox)
+    )
+    # small row groups -> splittable scan (see write_pages_parquet)
+    pq.write_table(merged, path, compression="zstd", row_group_size=512)
     return path
 
 

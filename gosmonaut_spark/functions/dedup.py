@@ -68,17 +68,31 @@ def jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All doc pairs (a < b) with shingle-set jaccard >= threshold.
 
     Plan: shingle explode → self equi-join on shingle (this *is* the
     candidate pruning: disjoint docs never meet) → per-pair intersection
-    count → join each side's shingle count → jaccard. At skew (a stopword-
-    only shingle shared by millions of docs) the shared-shingle join key
-    explodes quadratically — mitigated upstream by distinct shingles per
-    doc and, at scale, by minhash_lsh_pairs instead.
+    count → join each side's shingle count → jaccard.
+
+    ``max_doc_freq``: the skew guard. A shingle shared by d documents
+    contributes d^2 rows to the self-join — one stopword-only shingle in
+    millions of docs turns the join quadratic. With the cap set, shingles
+    whose document frequency exceeds it are dropped from the shingle space
+    entirely (candidates AND counts, so the reported jaccard is consistent
+    — it is the jaccard over the retained, discriminative shingles; a
+    shingle in >max_doc_freq docs carries ~no near-dup signal anyway).
+    Unset = exact over all shingles: right for the LSH verify stage in
+    :func:`minhash_lsh_pairs`, where candidates are already bucketed, and
+    for oracle comparisons. Standalone at corpus scale, SET THE CAP.
     """
     sh = _shingle_table(docs, id_col, text_col, n)
+    if max_doc_freq is not None:
+        dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+        sh = sh.join(
+            dfreq.filter(F.col("__df") <= max_doc_freq), "sh", "left_semi"
+        )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("a"), "sh")
     b = sh.select(F.col("doc_id").alias("b"), "sh")

@@ -209,3 +209,24 @@ def entities_union(result: PipelineResult) -> DataFrame:
     for p in parts[1:]:
         df = df.unionByName(p)
     return df.orderBy("type_rank", "id")
+
+
+def entities_iterator(result: PipelineResult, prefetch: bool = True):
+    """Pull-consumer API — the analog of the reference's ``Next()`` bounded
+    channel (/root/reference/gosmonaut.go:219-236, cap-8000 buffer): a
+    driver-side generator over the ordered union stream.
+
+    * Global type order nodes -> ways -> relations is preserved
+      (gosmonaut_test.go:130-134): the union is sorted on (type_rank, id)
+      and ``toLocalIterator`` fetches the sorted partitions in order.
+    * Bounded memory: the driver holds one partition at a time (plus one
+      prefetched), the channel-capacity analog.
+    * Error short-circuit: a failure in the underlying job raises at the
+      pull site, exactly like the reference's entity-or-error stream
+      (streamError, gosmonaut.go:219-221); exhaustion simply ends the
+      generator (the io.EOF analog).
+
+    Yields Rows ``(type_rank, type, id, entity_json)``.
+    """
+    df = entities_union(result)
+    yield from df.toLocalIterator(prefetchPartitions=prefetch)

@@ -58,6 +58,83 @@ REQUIRED_COLUMNS = {
 }
 
 
+SUPPORTED_FEATURES = {"GPB1-v1", "DenseGeo"}
+
+
+class Header:
+    """Table-level metadata — the analog of the reference's decoded
+    HeaderBlock (/root/reference/decode.go:54-71; golden-tested there at
+    gosmonaut_test.go:201-238): bbox, required/optional features, writing
+    program, source, osmosis-style replication ts/seq/url. Carried as
+    parquet footer key-value metadata (the Iceberg table-properties analog
+    named in SURVEY §1.1)."""
+
+    def __init__(self, d: dict):
+        bb = d.get("bounding_box") or {}
+        self.bounding_box = (
+            (bb["left"], bb["right"], bb["top"], bb["bottom"]) if bb else None
+        )
+        self.required_features: list[str] = list(d.get("required_features") or [])
+        self.optional_features: list[str] = list(d.get("optional_features") or [])
+        self.writing_program: str = d.get("writing_program", "")
+        self.source: str = d.get("source", "")
+        self.osmosis_replication_timestamp: int | None = d.get(
+            "osmosis_replication_timestamp"
+        )
+        self.osmosis_replication_sequence_number: int | None = d.get(
+            "osmosis_replication_sequence_number"
+        )
+        self.osmosis_replication_base_url: str = d.get(
+            "osmosis_replication_base_url", ""
+        )
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, Header) and self.__dict__ == other.__dict__
+
+    def __repr__(self) -> str:
+        return f"Header({self.__dict__!r})"
+
+
+def read_header(path: str) -> Header | None:
+    """Read the Header from the parquet footer without launching a job
+    (plan-time metadata, like the reference's header decode at open).
+    Returns None for pages tables written without one."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    p = path
+    if os.path.isdir(p):
+        cands = sorted(
+            f for f in os.listdir(p) if f.endswith(".parquet") and not f.startswith("_")
+        )
+        if not cands:
+            return None
+        p = os.path.join(p, cands[0])
+    meta = pq.read_schema(p).metadata or {}
+    raw = meta.get(b"gosmonaut.header")
+    if raw is None:
+        return None
+    return Header(json.loads(raw.decode("utf-8")))
+
+
+def assert_capabilities(header: Header | None) -> None:
+    """Fail-fast required-features check, mirroring the reference's
+    capability validation (/root/reference/decode.go:46-51, :289-295): an
+    input demanding a feature this engine does not implement dies at plan
+    time, not mid-scan. A missing header (plain user tables) passes."""
+    if header is None:
+        return
+    unsupported = [
+        f for f in header.required_features if f not in SUPPORTED_FEATURES
+    ]
+    if unsupported:
+        raise ValueError(
+            f"pages table requires unsupported features {unsupported}; "
+            f"this engine supports {sorted(SUPPORTED_FEATURES)}"
+        )
+
+
 def assert_pages_schema(df: DataFrame) -> DataFrame:
     """Fail-fast capability check before any job launches — the analog of
     the reference's required-features validation
@@ -77,7 +154,9 @@ def assert_pages_schema(df: DataFrame) -> DataFrame:
 def read_pages(spark: SparkSession, path: str) -> DataFrame:
     """Scan the pages table. Parquet layout stands in for Iceberg in the
     sandbox (no Iceberg runtime jar); the reader is isolated here so a real
-    ``spark.read.table`` swap is one line."""
+    ``spark.read.table`` swap is one line. Validates the table Header's
+    required features (fail-fast, plan time) before any job launches."""
+    assert_capabilities(read_header(path))
     return assert_pages_schema(spark.read.parquet(path))
 
 

@@ -154,3 +154,61 @@ def test_pages_schema_assert(spark):
     bad = spark.createDataFrame([("u", b"x")], "url string, html binary")
     with pytest.raises(ValueError, match="schema mismatch"):
         assert_pages_schema(bad)
+
+
+def test_header_golden(spark):
+    """Exact Header equality for the t1 fixture — the recast of the
+    reference's header golden test (gosmonaut_test.go:201-238): bbox over
+    every node, features, writing program, replication ts/seq/url."""
+    from gosmonaut_spark.fixtures.pages import ensure_pages_parquet
+    from gosmonaut_spark.sources.pages import Header, read_header
+
+    h = read_header(ensure_pages_parquet("t1"))
+    golden = Header(
+        {
+            "bounding_box": {
+                "left": -157.7552483,
+                "right": 159.1336042,
+                "top": 53.73052320000001,
+                "bottom": -45.393087200000004,
+            },
+            "required_features": ["GPB1-v1", "DenseGeo"],
+            "optional_features": ["Sort.Type_then_ID"],
+            "writing_program": "gosmonaut_spark_fixture/1.0",
+            "source": "synthetic-seed-42",
+            "osmosis_replication_timestamp": 1767225600,
+            "osmosis_replication_sequence_number": 500,
+            "osmosis_replication_base_url": "https://synth.example/replication",
+        }
+    )
+    assert h == golden
+
+
+def test_header_capability_fail_fast(spark, tmp_path):
+    """An input table demanding an unimplemented required feature must die
+    at plan time (reference decode.go:289-295), before any job launches."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from gosmonaut_spark.sources.pages import read_pages
+
+    tbl = pa.table(
+        {
+            "url": pa.array(["u"], pa.string()),
+            "warc_ts": pa.array([0], pa.timestamp("us")),
+            "html": pa.array([b"x"], pa.binary()),
+            "text": pa.array(["t"], pa.string()),
+            "lang": pa.array(["en"], pa.string()),
+        }
+    )
+    hdr = {"required_features": ["GPB1-v1", "HistoricalInformation"]}
+    tbl = tbl.replace_schema_metadata(
+        {b"gosmonaut.header": json.dumps(hdr).encode()}
+    )
+    p = str(tmp_path / "future.parquet")
+    pq.write_table(tbl, p)
+    with pytest.raises(ValueError, match="unsupported features"):
+        read_pages(spark, p)

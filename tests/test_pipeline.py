@@ -166,3 +166,24 @@ def test_type_order_invariant(spark, pages_t1):
     ranks = [r.type_rank for r in entities_union(res).select("type_rank").collect()]
     assert ranks == sorted(ranks)
     assert set(ranks) == {1, 2, 4}
+
+
+def test_pull_iterator_order_and_error(spark, pages_t1):
+    """The Next()-style pull consumer (gosmonaut.go:219-236 analog):
+    global type order through the iterator path, ids ordered within type,
+    and strict-mode errors surface at the pull site."""
+    from gosmonaut_spark.plans.pipeline import entities_iterator
+
+    res = run_pipeline(
+        pages_t1, P.ALL_TYPES, P.has_tag("addr:housenumber"), mode=SKIP_MISSING
+    )
+    seen = [(r.type_rank, r.id) for r in entities_iterator(res)]
+    assert len(seen) > 0
+    assert seen == sorted(seen)
+    assert [t for t, _ in seen] == sorted(t for t, _ in seen)
+
+    # error short-circuit: dangling refs in strict mode raise FROM the pull
+    strict = run_pipeline(pages_t1, {P.WAY}, None, mode=STRICT)
+    with pytest.raises(Exception, match="dangling"):
+        for _row in entities_iterator(strict):
+            pass

@@ -142,6 +142,53 @@ def test_jaccard_pairs_oracle(spark, docs):
         assert abs(got[k] - exp[k]) < 1e-12
 
 
+def test_jaccard_df_cap_skew_guard(spark):
+    """A boilerplate shingle shared by every doc (the quadratic-join skew
+    case) must be droppable with max_doc_freq: results then equal the
+    python-set jaccard over the df-filtered shingle space, and near-dup
+    pairs connected only through rare shingles are still found."""
+    import re as _re
+
+    boiler = "all rights reserved copyright notice"
+    rows = []
+    for i in range(60):
+        rows.append((i, f"{boiler} unique text body number {i} alpha beta gamma"))
+    # one true near-dup pair via rare shared text
+    rows.append((100, f"{boiler} the quick brown fox jumps over the lazy dog"))
+    rows.append((101, f"{boiler} the quick brown fox jumps over the lazy cat"))
+    docs60 = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cap = 10
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in D.jaccard_pairs(docs60, threshold=0.3, max_doc_freq=cap).collect()
+    }
+
+    def sh(text, n=3):
+        toks = _re.sub(r"[^a-z0-9]+", " ", text.lower()).split()
+        return set(" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 1)))
+
+    all_sh = [(i, sh(t)) for i, t in rows]
+    dfreq = {}
+    for _i, s in all_sh:
+        for g in s:
+            dfreq[g] = dfreq.get(g, 0) + 1
+    kept = [(i, {g for g in s if dfreq[g] <= cap}) for i, s in all_sh]
+    exp = {}
+    for x in range(len(kept)):
+        for y in range(x + 1, len(kept)):
+            (ia, sa), (ib, sb) = kept[x], kept[y]
+            if not (sa | sb):
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.3:
+                exp[tuple(sorted((ia, ib)))] = j
+    assert set(got) == set(exp)
+    assert (100, 101) in got  # rare-shingle near-dup survives the cap
+    for k in got:
+        assert abs(got[k] - exp[k]) < 1e-12
+
+
 def test_minhash_lsh_recall(spark, docs):
     """LSH candidates must contain every true pair above the threshold
     (verified against the exhaustive jaccard join) on this corpus."""

@@ -221,8 +221,12 @@ def generate_page(page_idx: int, seed: int = 42, *, dangling: bool = True) -> Pa
         rels.tags.append(rtags)
     page.rels = rels
 
+    # cycle all four wire combinations across pages: (zlib|raw) x
+    # (dense|sparse) node encoding — the corpus itself exercises the full
+    # decoder matrix (reference gosmonaut_test.go:27-41 runs 4-way too)
     compress = page_idx % 2 == 0
-    html = encode_page(page, compress=compress)
+    node_enc = "sparse" if page_idx % 4 >= 2 else "dense"
+    html = encode_page(page, compress=compress, node_encoding=node_enc)
     return PageSpec(url=url, warc_ts=ts, html=html, text=text, lang=lang, truth=page)
 
 

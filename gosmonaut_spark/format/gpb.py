@@ -48,6 +48,13 @@ from dataclasses import dataclass, field
 
 MAGIC = b"GPB1"
 FLAG_ZLIB = 0x01
+# Second node wire encoding (flag bit1): "sparse" nodes are interleaved
+# per-node records of ABSOLUTE zigzag values (id, lat, lon)* — the analog
+# of PBF's plain Node messages vs DenseNodes (the reference decodes both:
+# /root/reference/go_blob_decoder.go:151-168 dense vs the non-dense group
+# parsers; tested 4-way at gosmonaut_test.go:27-41). Dense (default) is
+# columnar delta+zigzag. Ways/relations are unaffected.
+FLAG_SPARSE_NODES = 0x02
 GRANULARITY = 100
 COORD_SCALE = 1e-9 * GRANULARITY  # unit -> degree
 
@@ -182,8 +189,16 @@ class _StringTable:
         return i
 
 
-def encode_page(page: DecodedPage, *, compress: bool) -> bytes:
-    """Serialize a DecodedPage to a GPB1 blob."""
+def encode_page(
+    page: DecodedPage, *, compress: bool, node_encoding: str = "dense"
+) -> bytes:
+    """Serialize a DecodedPage to a GPB1 blob.
+
+    ``node_encoding``: ``"dense"`` (columnar delta+zigzag, default) or
+    ``"sparse"`` (interleaved absolute records) — see FLAG_SPARSE_NODES.
+    """
+    if node_encoding not in ("dense", "sparse"):
+        raise ValueError(f"unknown node_encoding {node_encoding!r}")
     st = _StringTable()
     # Pre-intern all strings so the table is complete before writing.
     tag_groups: list[list[dict[str, str]]] = [page.nodes.tags, page.ways.tags, page.rels.tags]
@@ -211,13 +226,19 @@ def encode_page(page: DecodedPage, *, compress: bool) -> bytes:
             write_varint(body, zigzag_encode(v - prev))
             prev = v
 
-    # nodes section
+    # nodes section (two wire layouts, selected by flags bit1)
     nodes_sec = bytearray()
     n = page.nodes
     write_varint(nodes_sec, len(n.ids))
-    write_delta_zz(nodes_sec, n.ids)
-    write_delta_zz(nodes_sec, n.lat_units)
-    write_delta_zz(nodes_sec, n.lon_units)
+    if node_encoding == "sparse":
+        for i in range(len(n.ids)):
+            write_varint(nodes_sec, zigzag_encode(n.ids[i]))
+            write_varint(nodes_sec, zigzag_encode(n.lat_units[i]))
+            write_varint(nodes_sec, zigzag_encode(n.lon_units[i]))
+    else:
+        write_delta_zz(nodes_sec, n.ids)
+        write_delta_zz(nodes_sec, n.lat_units)
+        write_delta_zz(nodes_sec, n.lon_units)
     write_keyvals(nodes_sec, n.tags)
 
     # ways section
@@ -272,6 +293,8 @@ def encode_page(page: DecodedPage, *, compress: bool) -> bytes:
     if compress:
         payload = zlib.compress(payload, level=6)
         flags |= FLAG_ZLIB
+    if node_encoding == "sparse":
+        flags |= FLAG_SPARSE_NODES
     return MAGIC + bytes([flags]) + payload
 
 
@@ -334,9 +357,15 @@ def decode_page(blob: bytes) -> DecodedPage:
     page = DecodedPage(text=text)
 
     nn = rd.varint()
-    page.nodes.ids = read_delta_zz(nn)
-    page.nodes.lat_units = read_delta_zz(nn)
-    page.nodes.lon_units = read_delta_zz(nn)
+    if flags & FLAG_SPARSE_NODES:
+        for _ in range(nn):
+            page.nodes.ids.append(rd.zz())
+            page.nodes.lat_units.append(rd.zz())
+            page.nodes.lon_units.append(rd.zz())
+    else:
+        page.nodes.ids = read_delta_zz(nn)
+        page.nodes.lat_units = read_delta_zz(nn)
+        page.nodes.lon_units = read_delta_zz(nn)
     page.nodes.tags = read_keyvals(nn)
 
     nw = rd.varint()

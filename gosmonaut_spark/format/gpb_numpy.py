@@ -20,7 +20,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .gpb import FLAG_ZLIB, MAGIC
+from .gpb import FLAG_SPARSE_NODES, FLAG_ZLIB, MAGIC
 
 _SHIFTS = (np.arange(10, dtype=np.uint64) * np.uint64(7))
 
@@ -239,9 +239,17 @@ def decode_page_np(blob: bytes, want: tuple[str, ...] = _ALL_SECTIONS) -> NumpyP
     node_tags: list[dict[str, str]] = []
     if "nodes" in want:
         nn = cur.varint()
-        node_ids = np.cumsum(zigzag_decode_arr(cur.take_varints(nn)))
-        node_lats = np.cumsum(zigzag_decode_arr(cur.take_varints(nn)))
-        node_lons = np.cumsum(zigzag_decode_arr(cur.take_varints(nn)))
+        if flags & FLAG_SPARSE_NODES:
+            # interleaved absolute records: one bulk varint pass, then
+            # stride-deinterleave — no cumsum (values are not deltas)
+            v = zigzag_decode_arr(cur.take_varints(3 * nn))
+            node_ids = v[0::3]
+            node_lats = v[1::3]
+            node_lons = v[2::3]
+        else:
+            node_ids = np.cumsum(zigzag_decode_arr(cur.take_varints(nn)))
+            node_lats = np.cumsum(zigzag_decode_arr(cur.take_varints(nn)))
+            node_lons = np.cumsum(zigzag_decode_arr(cur.take_varints(nn)))
         node_tags = _tags_from_pairs(nn, *cur.take_keyval_stream(nn), strings)
     else:
         cur.pos += sec_lens[2]

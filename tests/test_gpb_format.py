@@ -117,18 +117,39 @@ def _assert_equivalent(truth: DecodedPage, blob: bytes):
 
 
 @pytest.mark.parametrize("compress", [False, True])
-def test_equivalence_matrix_handcrafted(compress):
+@pytest.mark.parametrize("node_encoding", ["dense", "sparse"])
+def test_equivalence_matrix_handcrafted(compress, node_encoding):
+    """2 decoders x 2 compressions x 2 node encodings — the full recast of
+    the reference's decoders x encodings matrix (gosmonaut_test.go:27-41:
+    FastDecoder/GoDecoder against dense AND non-dense node files)."""
     truth = _sample_page()
-    blob = encode_page(truth, compress=compress)
+    blob = encode_page(truth, compress=compress, node_encoding=node_encoding)
     _assert_equivalent(truth, blob)
 
 
+def test_sparse_dense_same_entities_different_wire():
+    """Same page, both node layouts: identical decode, different bytes."""
+    truth = _sample_page()
+    dense = encode_page(truth, compress=False, node_encoding="dense")
+    sparse = encode_page(truth, compress=False, node_encoding="sparse")
+    assert dense != sparse
+    a, b = decode_page(dense), decode_page(sparse)
+    assert a.nodes == b.nodes and a.ways == b.ways and a.rels == b.rels
+
+
 def test_equivalence_matrix_generated():
-    """Generator pages (both parities → both compressions) through both decoders."""
+    """Generator pages (idx%4 cycles zlib/raw x dense/sparse) through both
+    decoders — the corpus itself carries all four wire combinations."""
+    from gosmonaut_spark.format.gpb import FLAG_SPARSE_NODES, FLAG_ZLIB
+
+    seen = set()
     for spec in generate_pages(40, seed=42):
         _assert_equivalent(spec.truth, spec.html)
         # byte-identical extracted text per url (north-rule invariant)
         assert decode_page_np(spec.html).text.decode("utf-8") == spec.text
+        flags = spec.html[4]
+        seen.add((bool(flags & FLAG_ZLIB), bool(flags & FLAG_SPARSE_NODES)))
+    assert seen == {(False, False), (False, True), (True, False), (True, True)}
 
 
 def test_generator_determinism():

@@ -1,11 +1,16 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata + features.
 
-Images/audio/video ride as ``binary`` columns with a typed metadata struct.
-The Spark-side machinery — schemas, Arrow batch shapes, partition sizing,
-UDF signatures — is real and tested; the *codec* step is stubbed behind
-``NotImplementedError`` (no image/audio libraries in this container) with a
-deterministic fake used by tests (`fake=True`) so the batch plumbing is
-exercised end-to-end.
+Images/audio/video ride as ``binary`` columns with a typed metadata
+struct; decode / feature-extract runs as Arrow-batched ``mapInPandas``
+(one batch = many payloads, no per-row Python UDF calls).
+
+The image and audio paths are REAL: payloads are genuine PNG / WAV bytes
+and feature extraction decodes them with the pure-Python codecs in
+:mod:`gosmonaut_spark.functions.codecs` (PNG chunk walk + inflate +
+unfilter; RIFF PCM16 parse). Video is the one honestly-stubbed kind —
+``NotImplementedError`` unless ``fake=True`` substitutes the
+deterministic sha-derived feature (also available for image/audio when a
+test wants codec-free plumbing runs).
 """
 
 from __future__ import annotations
@@ -13,6 +18,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -24,6 +30,8 @@ MEDIA_SCHEMA = (
 
 FEATURES_SCHEMA = "media_id long, kind string, n_bytes long, feature array<float>"
 
+FEATURE_DIM = 8
+
 
 def attach_media_meta(df: DataFrame, payload: str = "payload", kind: str = "kind") -> DataFrame:
     """Derive cheap metadata natively (no decode): byte length + a stable
@@ -33,30 +41,79 @@ def attach_media_meta(df: DataFrame, payload: str = "payload", kind: str = "kind
     )
 
 
-def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
-    """Deterministic stand-in for a real decoder: sha256-derived floats.
-    Replaces image-decode/resize/frame-sample in this container."""
+def _fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic codec-free stand-in: sha256-derived floats."""
     h = hashlib.sha256(payload).digest()
     return [int.from_bytes(h[4 * i : 4 * i + 4], "big") / 2**32 for i in range(dim)]
 
 
+def image_feature(payload: bytes) -> list[float]:
+    """Real PNG decode -> [w, h, channels, mean(ch0..2 padded), std, bit_depth]."""
+    from .codecs import png_decode, png_parse_header
+
+    hdr = png_parse_header(payload)
+    px = png_decode(payload).astype(np.float64)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    means = [float(px[:, :, c].mean()) for c in range(px.shape[2])]
+    means += [0.0] * (3 - len(means[:3]))
+    return [
+        float(hdr["width"]),
+        float(hdr["height"]),
+        float(hdr["channels"]),
+        means[0],
+        means[1],
+        means[2],
+        float(px.std()),
+        float(hdr["bit_depth"]),
+    ]
+
+
+def audio_feature(payload: bytes) -> list[float]:
+    """Real WAV parse -> [rate, channels, frames, duration_s, rms, zcr, peak, mean]."""
+    from .codecs import wav_parse
+
+    w = wav_parse(payload)
+    s = w["samples"].astype(np.float64) / 32768.0
+    zcr = float(np.mean(np.signbit(s[1:]) != np.signbit(s[:-1]))) if s.size > 1 else 0.0
+    return [
+        float(w["sample_rate"]),
+        float(w["channels"]),
+        float(w["n_frames"]),
+        w["n_frames"] / w["sample_rate"] if w["sample_rate"] else 0.0,
+        float(np.sqrt(np.mean(s**2))) if s.size else 0.0,
+        zcr,
+        float(np.abs(s).max()) if s.size else 0.0,
+        float(s.mean()) if s.size else 0.0,
+    ]
+
+
 def extract_media_features(
-    media: DataFrame, fake: bool = False, batch_dim: int = 8
+    media: DataFrame, fake: bool = False, batch_dim: int = FEATURE_DIM
 ) -> DataFrame:
     """Decode + feature-extract over ``mapInPandas`` (Arrow batches).
 
-    Real pipeline shape: one batch = many payloads, decoded vectorized,
-    features emitted as ``array<float>``. The codec call is the only stub.
-    """
+    ``fake=False`` (default): REAL decode per kind — PNG for ``image``,
+    WAV for ``audio``; ``video`` raises ``NotImplementedError`` (no
+    pure-Python video codec). ``fake=True``: the deterministic sha-derived
+    stand-in for every kind (codec-free plumbing runs)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media codecs are unavailable in this container; "
-                    "run with fake=True for the deterministic stand-in"
-                )
-            feats = [_fake_feature(bytes(p), batch_dim) for p in pdf["payload"]]
+            feats = []
+            for kind, p in zip(pdf["kind"], pdf["payload"]):
+                b = bytes(p)
+                if fake:
+                    feats.append(_fake_feature(b, batch_dim))
+                elif kind == "image":
+                    feats.append(image_feature(b))
+                elif kind == "audio":
+                    feats.append(audio_feature(b))
+                else:
+                    raise NotImplementedError(
+                        f"no pure-Python codec for kind={kind!r}; "
+                        "run with fake=True for the deterministic stand-in"
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -69,11 +126,31 @@ def extract_media_features(
     return media.select("media_id", "kind", "payload").mapInPandas(fn, FEATURES_SCHEMA)
 
 
-def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests (seeded payload bytes)."""
+def synthetic_media(spark, n: int = 64, real: bool = True) -> DataFrame:
+    """Deterministic media table. ``real=True``: image rows carry genuine
+    PNGs (gradient pixels, alternating None/Up filters), audio rows carry
+    genuine PCM16 WAVs (seeded sine), video rows carry opaque seeded bytes
+    (the stubbed kind). ``real=False`` keeps every payload opaque."""
+    from .codecs import png_encode, wav_encode
+
     rows = []
     for i in range(n):
-        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (1 + i % 7)
         kind = ["image", "audio", "video"][i % 3]
-        rows.append((i, kind, bytearray(payload), (64, 48, 16000, 1200, "fake")))
+        if real and kind == "image":
+            h, w = 6 + i % 5, 8 + i % 3
+            arr = ((np.arange(h * w * 3, dtype=np.int64) * (i + 7)) % 251).astype(
+                np.uint8
+            ).reshape(h, w, 3)
+            payload = png_encode(arr, filter_type=0 if i % 2 == 0 else 2)
+            meta = (w, h, 0, 0, "png")
+        elif real and kind == "audio":
+            sr = 8000
+            t = np.arange(160 + i % 40)
+            s = (np.sin(2 * np.pi * (220 + i) * t / sr) * 3000).astype(np.int16)
+            payload = wav_encode(s, sr)
+            meta = (0, 0, sr, int(round(len(t) * 1000 / sr)), "pcm16")
+        else:
+            payload = hashlib.sha256(f"media-{i}".encode()).digest() * (1 + i % 7)
+            meta = (64, 48, 16000, 1200, "fake")
+        rows.append((i, kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -370,3 +370,136 @@ def test_minhash_xxhash_variant_matches_md5(spark, docs):
     a = {(r.a, r.b) for r in D.minhash_lsh_pairs(both, 0.8, 16, 8, hash_fn="md5").collect()}
     b = {(r.a, r.b) for r in D.minhash_lsh_pairs(both, 0.8, 16, 8, hash_fn="xxhash64").collect()}
     assert a == b and len(a) >= 150
+
+
+def test_codecs_png_roundtrip():
+    """Real PNG: encode (both filter forms) -> full decode == pixels;
+    header parse; CRC corruption rejected."""
+    import numpy as np
+    import pytest
+
+    from gosmonaut_spark.functions.codecs import (
+        png_decode,
+        png_encode,
+        png_parse_header,
+    )
+
+    rng = np.random.default_rng(7)
+    for shape in [(5, 9), (6, 4, 3), (3, 7, 4)]:
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8).reshape(shape)
+        for ft in (0, 2):
+            blob = png_encode(arr, filter_type=ft)
+            hdr = png_parse_header(blob)
+            assert (hdr["height"], hdr["width"]) == shape[:2]
+            out = png_decode(blob)
+            assert out.shape == arr.shape and (out == arr).all()
+    # two filter forms: same pixels, different bytes
+    arr = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    assert png_encode(arr, 0) != png_encode(arr, 2)
+    # CRC corruption must be detected
+    blob = bytearray(png_encode(arr, 0))
+    blob[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        png_decode(bytes(blob))
+
+
+def test_codecs_png_unfilter_sub_avg_paeth():
+    """Decoder handles filters 1/3/4 (Sub/Average/Paeth): re-filter a known
+    image by hand and check the decode inverts it."""
+    import struct
+    import zlib as _z
+    from binascii import crc32 as _crc
+
+    import numpy as np
+
+    from gosmonaut_spark.functions.codecs import PNG_MAGIC, png_decode
+
+    rng = np.random.default_rng(11)
+    h, w, ch = 5, 6, 3
+    arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    rows = arr.reshape(h, w * ch).astype(np.int32)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for r in range(h):
+        ft = [1, 3, 4, 1, 4][r]
+        raw.append(ft)
+        cur = rows[r]
+        for x in range(w * ch):
+            a = int(cur[x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            base = a if ft == 1 else ((a + b) // 2 if ft == 3 else paeth(a, b, c))
+            raw.append((int(cur[x]) - base) % 256)
+        prev = cur
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", _crc(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    blob = (
+        PNG_MAGIC + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _z.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+    out = png_decode(blob)
+    assert (out == arr).all()
+
+
+def test_codecs_wav_roundtrip():
+    import numpy as np
+
+    from gosmonaut_spark.functions.codecs import wav_encode, wav_parse
+
+    s = (np.sin(np.arange(400) / 7.0) * 12000).astype(np.int16)
+    blob = wav_encode(s, 16000)
+    w = wav_parse(blob)
+    assert w["sample_rate"] == 16000 and w["channels"] == 1
+    assert w["n_frames"] == 400 and w["duration_ms"] == 25
+    assert (w["samples"] == s).all()
+    stereo = np.stack([s, -s], axis=1).astype(np.int16)
+    w2 = wav_parse(wav_encode(stereo, 8000))
+    assert w2["channels"] == 2 and w2["n_frames"] == 400
+
+
+def test_multimodal_real_decode(spark):
+    """The non-stub path: Spark-side features over real PNG/WAV payloads
+    equal the driver-side codec computation exactly; video stays an
+    explicit NotImplementedError."""
+    import pytest
+
+    from gosmonaut_spark.functions.multimodal import (
+        audio_feature,
+        extract_media_features,
+        image_feature,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 36, real=True)
+    av = media.filter(F.col("kind") != "video")
+    got = {
+        r.media_id: (r.kind, r.feature)
+        for r in extract_media_features(av, fake=False).collect()
+    }
+    rows = av.select("media_id", "kind", "payload").collect()
+    assert len(got) == len(rows) > 0
+    import numpy as np
+
+    for r in rows:
+        kind, feat = got[r.media_id]
+        exp = (image_feature if kind == "image" else audio_feature)(bytes(r.payload))
+        assert np.allclose(feat, exp, rtol=1e-6), (r.media_id, kind)
+    # images report their true decoded dimensions
+    img = [f for k, f in got.values() if k == "image"]
+    assert all(f[0] >= 8 and f[1] >= 6 and f[2] == 3.0 for f in img)
+
+    vid = media.filter(F.col("kind") == "video")
+    with pytest.raises(Exception, match="no pure-Python codec"):
+        extract_media_features(vid, fake=False).collect()

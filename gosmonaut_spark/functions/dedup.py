@@ -26,16 +26,30 @@ from .text import content_fingerprint, shingles
 # ---------------------------------------------------------------------------
 
 
-def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def exact_dup_groups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_ids: int | None = None,
+) -> DataFrame:
     """Duplicate groups by exact normalized content.
-    Returns (fingerprint, n_docs, canonical_id=min id, doc_ids sorted)."""
+    Returns (fingerprint, n_docs, canonical_id=min id, doc_ids sorted).
+
+    ``max_ids``: at corpus scale a degenerate group (e.g. empty documents)
+    can hold millions of ids — one collect_list row blowing up an
+    aggregation task. With the cap set, ``doc_ids`` keeps only the
+    ``max_ids`` smallest ids per group (n_docs/canonical stay exact);
+    unset preserves the full roster (the oracle-checked shape)."""
+    ids = F.sort_array(F.collect_list("doc_id"))
+    if max_ids is not None:
+        ids = F.slice(ids, 1, max_ids)
     return (
         docs.select(F.col(id_col).alias("doc_id"), content_fingerprint(text_col).alias("fp"))
         .groupBy("fp")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min("doc_id").alias("canonical_id"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            ids.alias("doc_ids"),
         )
         .filter(F.col("n_docs") > 1)
     )

@@ -187,3 +187,31 @@ def test_pull_iterator_order_and_error(spark, pages_t1):
     with pytest.raises(Exception, match="dangling"):
         for _row in entities_iterator(strict):
             pass
+
+
+def test_ordered_collect_large_key(spark):
+    """The single-agg ordered collect must handle a very large key without
+    per-key quadratic blowup (a 30k-member 'relation'): order exact, one
+    output row, map payload round-trips through the orderable transform."""
+    from gosmonaut_spark.operators.assembly import ordered_collect_rows
+
+    n = 30_000
+    df = (
+        spark.range(n)
+        .select(
+            F.lit(1).alias("k"),
+            F.col("id").alias("pos"),
+            F.struct(
+                (F.col("id") * 2).alias("v"),
+                F.create_map(F.lit("a"), F.col("id").cast("string")).alias("tags"),
+            ).alias("val"),
+        )
+        .repartition(8)  # scatter rows so the agg really merges partials
+    )
+    rows = ordered_collect_rows(df, "k", "pos", F.col("val"), "vals").collect()
+    assert len(rows) == 1
+    vals = rows[0].vals
+    assert len(vals) == n
+    assert [x["v"] for x in vals[:5]] == [0, 2, 4, 6, 8]
+    assert vals[-1]["v"] == 2 * (n - 1)
+    assert vals[12345]["tags"] == {"a": "12345"}

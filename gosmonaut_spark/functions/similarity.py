@@ -222,8 +222,15 @@ def cosine_pairs_lsh(
     dim: int = 64,
     id_col: str = "vec_id",
     vec: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold)."""
+    """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold).
+
+    ``max_bucket`` is the same skew guard as cosine_topk_lsh's
+    ``max_bucket_targets``: the self-join is quadratic PER BUCKET, so one
+    degenerate bucket (the all-zeros region) dominates the whole job at
+    scale — buckets above the cap are dropped from candidate generation
+    (near-dups there are better served by raising n_bits)."""
     # same norm-precompute + scalar-dedup discipline as cosine_topk_lsh
     d = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -239,6 +246,11 @@ def cosine_pairs_lsh(
     b = parts[0]
     for x in parts[1:]:
         b = b.unionByName(x)
+    if max_bucket is not None:
+        sizes = b.groupBy("tbl", "bkt").agg(F.count(F.lit(1)).alias("__n"))
+        b = b.join(
+            sizes.filter(F.col("__n") <= max_bucket), ["tbl", "bkt"], "left_semi"
+        )
     a = b.select(F.col("doc_id").alias("a"), F.col("v").alias("va"), F.col("vn").alias("na"), "tbl", "bkt")
     c = b.select(F.col("doc_id").alias("b"), F.col("v").alias("vb"), F.col("vn").alias("nb"), "tbl", "bkt")
     return (

@@ -503,3 +503,27 @@ def test_multimodal_real_decode(spark):
     vid = media.filter(F.col("kind") == "video")
     with pytest.raises(Exception, match="no pure-Python codec"):
         extract_media_features(vid, fake=False).collect()
+
+
+def test_cosine_pairs_lsh_finds_dups_and_cap(spark, embs):
+    """LSH near-dup pairs: injected exact duplicates must surface with
+    cos ~= 1; a loose bucket cap changes nothing, a tight one only ever
+    removes pairs (per-bucket self-join skew guard)."""
+    base = embs.filter(F.col("vec_id") < 150).select("vec_id", "embedding")
+    dup = base.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    both = base.unionByName(dup)
+
+    def run(cap=None):
+        return {
+            (r.a, r.b)
+            for r in S.cosine_pairs_lsh(
+                both, threshold=0.999, n_bits=8, n_tables=4, dim=64, max_bucket=cap
+            ).collect()
+        }
+
+    got = run()
+    expected_dups = {(i, i + 1_000_000) for i in range(150)}
+    # identical vectors always share every bucket -> recall 1.0 on true dups
+    assert expected_dups <= got
+    assert run(cap=10_000) == got
+    assert run(cap=2) <= got

@@ -51,89 +51,6 @@ def ordered_collect(pos: str, value: Column, out_field: str = "v") -> Column:
     return F.transform(F.array_sort(paired, _pos_cmp), lambda s: s[out_field])
 
 
-def _contains_map(dt) -> bool:
-    from pyspark.sql.types import ArrayType, MapType, StructType
-
-    if isinstance(dt, MapType):
-        return True
-    if isinstance(dt, StructType):
-        return any(_contains_map(f.dataType) for f in dt.fields)
-    if isinstance(dt, ArrayType):
-        return _contains_map(dt.elementType)
-    return False
-
-
-def _orderable_type(dt):
-    """The orderable twin of ``dt``: every MapType becomes its entries
-    array<struct<key,value>> (maps are the only non-orderable Spark type)."""
-    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
-
-    if isinstance(dt, MapType):
-        return ArrayType(
-            StructType(
-                [
-                    StructField("key", dt.keyType, False),
-                    StructField("value", _orderable_type(dt.valueType), dt.valueContainsNull),
-                ]
-            ),
-            False,
-        )
-    if isinstance(dt, StructType):
-        return StructType(
-            [
-                StructField(f.name, _orderable_type(f.dataType), f.nullable)
-                for f in dt.fields
-            ]
-        )
-    if isinstance(dt, ArrayType):
-        return ArrayType(_orderable_type(dt.elementType), dt.containsNull)
-    return dt
-
-
-def _to_orderable(col: Column, dt) -> Column:
-    from pyspark.sql.types import ArrayType, MapType, StructType
-
-    if not _contains_map(dt):
-        return col
-    if isinstance(dt, MapType):
-        return F.map_entries(col)
-    if isinstance(dt, StructType):
-        conv = F.struct(
-            *[_to_orderable(col[f.name], f.dataType).alias(f.name) for f in dt.fields]
-        )
-        # F.struct over a NULL struct's fields yields struct(null,..) — keep
-        # genuine NULLs (relation members carry exactly one of node/way)
-        return F.when(col.isNull(), F.lit(None).cast(_orderable_type(dt))).otherwise(conv)
-    if isinstance(dt, ArrayType):
-        return F.transform(col, lambda x: _to_orderable(x, dt.elementType))
-    return col
-
-
-def _from_orderable(col: Column, dt) -> Column:
-    from pyspark.sql.types import ArrayType, MapType, StructType
-
-    if not _contains_map(dt):
-        return col
-    if isinstance(dt, MapType):
-        if _contains_map(dt.valueType):
-            col = F.transform(
-                col,
-                lambda e: F.struct(
-                    e["key"].alias("key"),
-                    _from_orderable(e["value"], dt.valueType).alias("value"),
-                ),
-            )
-        return F.map_from_entries(col)
-    if isinstance(dt, StructType):
-        conv = F.struct(
-            *[_from_orderable(col[f.name], f.dataType).alias(f.name) for f in dt.fields]
-        )
-        return F.when(col.isNull(), F.lit(None).cast(dt)).otherwise(conv)
-    if isinstance(dt, ArrayType):
-        return F.transform(col, lambda x: _from_orderable(x, dt.elementType))
-    return col
-
-
 def ordered_collect_rows(
     df: DataFrame,
     key: str,
@@ -142,13 +59,12 @@ def ordered_collect_rows(
     out_name: str,
     keep: Column | None = None,
 ) -> DataFrame:
-    """Order-preserving re-agg in ONE aggregation, no duplication: collect
-    ``struct(pos, value)`` with a plain groupBy (map-side partial combine,
-    one shuffle of exactly the payload bytes), then a **native, no-lambda**
-    ``array_sort``. Maps are the only non-orderable type, so the value is
-    converted to an orderable twin (map -> entries array) for the sort and
-    converted back after — the sort itself only ever compares the leading
-    ``pos`` (unique per key), never descends into the payload.
+    """Order-preserving re-agg in ONE aggregation, no duplication: an
+    explicit secondary sort (hash-partition by key + Tungsten sort on
+    (key, pos)) feeds a streaming collect_list whose append order is the
+    input order — one shuffle of exactly the payload bytes, no per-key
+    array sorting, and a cheap native assert that the collected positions
+    really are monotone (so an order-breaking aggregation mode fails loud).
 
     Replaces the previous full-frame-window formulation, whose
     collect_list-per-row materialized O(len^2) intermediate bytes per key —
@@ -161,19 +77,41 @@ def ordered_collect_rows(
     post-agg outer join.
 
     Returns ``df.select(key, out_name)`` with one row per key."""
-    dt = df.select(value.alias("_v")).schema["_v"].dataType
-    elem = F.struct(
-        F.col(pos).cast("long").alias("_p"),
-        _to_orderable(value, dt).alias("_v"),
-    )
+    elem = F.struct(F.col(pos).cast("long").alias("_p"), value.alias("_v"))
     if keep is not None:
         elem = F.when(keep, elem)
-    paired = F.collect_list(elem)
-    agg = df.groupBy(key).agg(paired.alias("_arr"))
-    restored = F.transform(
-        F.array_sort("_arr"), lambda s: _from_orderable(s["_v"], dt)
+    # Secondary sort: hash-partition by key, Tungsten-sort by (key, pos) —
+    # a TOTAL order (pos unique per key), so sorter stability is never
+    # relied upon. The groupBy below sees its distribution already
+    # satisfied (no second exchange), and every aggregate implementation
+    # appends collect_list elements in input order, so the collected array
+    # arrives pos-ordered without sorting array payloads (the previous
+    # formulation array_sort'ed structs through a map->entries orderable
+    # transform — far more codegen and object churn per row).
+    # build_session forces SortAggregate (streaming append, no hash map,
+    # no sort-based fallback); the assert below makes ANY order-breaking
+    # aggregation mode in a foreign session a loud failure, not silent
+    # corruption: positions are longs, so the check is a cheap native
+    # array compare.
+    # SortAggregate is REQUIRED, not just preferred: ObjectHashAggregate's
+    # sort-based fallback (after 128 keys/task) re-sorts remaining input by
+    # group key only, destroying pos order within a key — observed firing
+    # the assert below in sessions built without our defaults. The conf is
+    # a dynamic SQLConf read at planning/execution, so pin it on whatever
+    # session owns this DataFrame (session-wide; documented side effect).
+    df.sparkSession.conf.set("spark.sql.execution.useObjectHashAggregateExec", "false")
+    df2 = df.repartition(F.col(key)).sortWithinPartitions(key, pos)
+    agg = df2.groupBy(key).agg(F.collect_list(elem).alias("_arr"))
+    pos_arr = F.transform("_arr", lambda s: s["_p"])
+    ok = F.assert_true(
+        pos_arr == F.array_sort(pos_arr),
+        F.lit("ordered_collect_rows: aggregation broke input order"),
     )
-    return agg.select(key, restored.alias(out_name))
+    out = F.transform("_arr", lambda s: s["_v"])
+    # no .otherwise(): identical branches would let SimplifyConditionals
+    # collapse the conditional and silently drop the assert; the predicate
+    # is always true (or throws), so the else-null branch never taken
+    return agg.select(key, F.when(ok.isNull(), out).alias(out_name))
 
 
 @dataclass

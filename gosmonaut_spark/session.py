@@ -96,6 +96,18 @@ def build_session(
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints",
         )
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # collect_list-style aggs (the ordered re-agg in way/relation
+        # assembly) run as SortAggregate, not ObjectHashAggregate: the
+        # object-hash path keeps one mutable buffer per group in a hash map
+        # and falls back to sort-based aggregation (buffer serialization +
+        # spilled sorted runs) after only 128 distinct keys per task — A/B
+        # at 8 cores on the 200k-page fixture measured it bimodal
+        # (26s..220s, GC/spill-timing dependent) and the no-fallback hash
+        # path worse still (>400s object churn). SortAggregate streams the
+        # Tungsten-sorted input and appends — 31-37s, stable. Our
+        # assemblies pre-sort by (key, pos), so the sort it requires is
+        # already satisfied.
+        .config("spark.sql.execution.useObjectHashAggregateExec", "false")
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", _malloc_env["MALLOC_MMAP_THRESHOLD_"])
         .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", _malloc_env["MALLOC_TRIM_THRESHOLD_"])
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

@@ -7,14 +7,16 @@ stateful operator built on ``applyInPandasWithState`` — bounded per-key
 state, event-time timeouts driven by the watermark, Arrow-batched pandas
 (no per-row Python).
 
-Semantics (identical to the batch twin :func:`sessionize_batch`):
-events for a key belong to one session while consecutive event-time gaps
-stay <= ``gap_sec``; a session closes when a larger gap arrives or when
-the watermark passes ``last_ts + gap`` (timeout). Closed sessions are
-emitted exactly once: ``(key, session_start, session_end, n_events)``.
+Semantics (identical to the batch twin :func:`sessionize_batch` for ANY
+arrival order of events within the watermark): events for a key belong to
+one session while consecutive event-time gaps stay <= ``gap_sec``; a
+session is emitted exactly once, and ONLY when the watermark passes its
+``last_ts + gap`` — before that point a legal late event could still
+extend or bridge it, and append-mode emissions cannot be retracted.
 
-Scale notes: state per key is three scalars (start, last, count) — O(keys)
-not O(events); the shuffle is the groupBy(key) that any sessionization
+Scale notes: state per key is the list of OPEN runs — bounded by the
+number of gap-separated bursts inside one watermark horizon (typically
+one; never O(events)); the shuffle is the groupBy(key) any sessionization
 needs; timeouts bound state lifetime so abandoned keys are evicted.
 """
 
@@ -30,7 +32,10 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 SESSION_SCHEMA = (
     "key string, session_start timestamp, session_end timestamp, n_events long"
 )
-_STATE_SCHEMA = "start double, last double, n long"  # epoch seconds
+# per-key OPEN runs (plural): parallel arrays of (start, last, n) in epoch
+# seconds — a run may only close once the watermark passes last + gap,
+# because until then a late event can still arrive and bridge it
+_STATE_SCHEMA = "starts array<double>, lasts array<double>, ns array<long>"
 
 
 def _split_local_sessions(ts_sec, gap_sec):
@@ -81,51 +86,55 @@ def sessionize_stream(
                 }
             )
 
-        if state.hasTimedOut:
-            start, last, n = state.get
+        # collect runs: stored open runs + this batch's local runs
+        runs: list[tuple] = []
+        if state.exists:
+            starts, lasts, ns = state.get
+            runs.extend(zip(starts, lasts, ns))
+        ts_sec: list[float] = []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ts_sec.extend(
+                    pd.to_datetime(pdf[ts_col]).astype("int64").to_numpy() / 1e9
+                )
+        if ts_sec:
+            runs.extend(_split_local_sessions(ts_sec, gap_sec))
+        if not runs:
             state.remove()
-            yield emit([(start, last, n)])
             return
 
-        ts_sec: list[float] = []
-        for pdf in pdfs:
-            ts_sec.extend(
-                pd.to_datetime(pdf[ts_col]).astype("int64").to_numpy() / 1e9
-            )
-        runs = _split_local_sessions(ts_sec, gap_sec)
-
-        closed = []
-        if state.exists:
-            start, last, n = state.get
-            first_start, first_last, first_n = runs[0]
-            if first_start - last <= gap_sec:
-                # batch's first run extends the open session
-                runs[0] = (
-                    min(start, first_start),
-                    max(last, first_last),
-                    n + first_n,
-                )
+        # gap-merge across EVERYTHING (sorted by start): out-of-order
+        # events within the watermark may bridge previously separate runs
+        runs.sort()
+        merged = [runs[0]]
+        for s, l, c in runs[1:]:
+            ps, pl, pc = merged[-1]
+            if s - pl <= gap_sec:
+                merged[-1] = (ps, max(pl, l), pc + c)
             else:
-                closed.append((start, last, n))
-            # merging the stored session can EXTEND runs[0].last past the
-            # gap to the next local run (late events within the watermark
-            # land before the stored session's last event) — re-run the
-            # gap merge across adjacent runs before declaring any closed,
-            # or one true session is emitted as two
-            merged = [runs[0]]
-            for s, l, c in runs[1:]:
-                ps, pl, pc = merged[-1]
-                if s - pl <= gap_sec:
-                    merged[-1] = (min(ps, s), max(pl, l), pc + c)
-                else:
-                    merged.append((s, l, c))
-            runs = merged
-        # all runs but the newest are now separated by > gap -> closed
-        closed.extend(runs[:-1])
-        start, last, n = runs[-1]
-        state.update((float(start), float(last), int(n)))
-        # flush via watermark: timeout fires when wm passes last + gap
-        state.setTimeoutTimestamp(int((last + gap_sec) * 1000))
+                merged.append((s, l, c))
+
+        # a run closes ONLY when the watermark passes last + gap — before
+        # that, a legal late event could still extend or bridge it, and an
+        # append-mode emission cannot be retracted (the bug the previous
+        # inline-close formulation had under out-of-order micro-batches)
+        wm = state.getCurrentWatermarkMs() / 1000.0
+        closed = [r for r in merged if r[1] + gap_sec < wm]
+        still_open = [r for r in merged if r[1] + gap_sec >= wm]
+
+        if still_open:
+            state.update(
+                (
+                    [float(r[0]) for r in still_open],
+                    [float(r[1]) for r in still_open],
+                    [int(r[2]) for r in still_open],
+                )
+            )
+            next_fire = int(min(r[1] + gap_sec for r in still_open) * 1000)
+            # timeout must be strictly beyond the current watermark
+            state.setTimeoutTimestamp(max(next_fire, int(wm * 1000) + 1))
+        else:
+            state.remove()
         if closed:
             yield emit(closed)
 

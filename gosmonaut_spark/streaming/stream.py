@@ -89,10 +89,12 @@ def streaming_tile_counts(
 ) -> DataFrame:
     """Windowed tile counts per 1-hour event-time window. Late pages beyond
     the watermark are dropped, so state stays bounded."""
+    # watermarks need TIMESTAMP (with TZ); the NTZ->LTZ cast reads the
+    # session TZ at execution time, so pin UTC here rather than depend on
+    # whoever built the session (same hardening as events_sessionize)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     stream = read_pages_stream(spark, pages_dir)
     nodes = extract_nodes_with_ts(stream)
-    # watermarks need TIMESTAMP (with TZ); session TZ is UTC so the cast
-    # from the parquet NTZ value is the identity instant
     nodes = nodes.withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
     return (
         nodes.withWatermark("warc_ts", watermark)

@@ -170,7 +170,12 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
 
     src = tmp_path / "ev_stream"
     src.mkdir()
+    import os as _os
+    import time as _time
+
+    now = _time.time()
     for i, b in enumerate(batches):
+        p = str(src / f"part{i}.parquet")
         pq.write_table(
             pa.table(
                 {
@@ -180,8 +185,13 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
                     ),
                 }
             ),
-            str(src / f"part{i}.parquet"),
+            p,
         )
+        # the file source orders micro-batches by mtime; unpinned mtimes
+        # made batch order random, and a wildly out-of-order batch can
+        # push the watermark past yet-unseen events, which Spark then
+        # DROPS (no operator can restore parity after an input drop)
+        _os.utime(p, (now - (len(batches) - i) * 60,) * 2)
 
     stream = (
         spark.readStream.schema("key string, ts timestamp_ntz")

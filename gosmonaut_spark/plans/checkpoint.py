@@ -69,18 +69,24 @@ class CheckpointStore:
 
         shutil.rmtree(self._dir(name), ignore_errors=True)
 
-    def run_pass(self, name: str, build) -> DataFrame:
+    def run_pass(self, name: str, build, partition_by: list[str] | None = None) -> DataFrame:
         """Return the pass output, computing + snapshotting only on miss.
 
         On compute, records lineage: wall ms, output rows, and rows per
         partition (the skew fingerprint — a hot partition shows up here
         before it shows up as a straggler at 100TB).
+        ``partition_by``: hive-partition the snapshot (e.g. by entity type
+        — the analog of the reference's per-type blob index,
+        decode.go:341-383: later passes read only their partition).
         """
         if self.has(name):
             return self.read(name)
         t0 = time.perf_counter()
         df = build()
-        df.write.mode("overwrite").parquet(self._dir(name))
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self._dir(name))
         wall_ms = round((time.perf_counter() - t0) * 1000, 1)
         out = self.read(name)
         entry = {"pass": name, "wall_ms": wall_ms}
@@ -134,29 +140,19 @@ def run_pipeline_checkpointed(
 
     ck = CheckpointStore(spark, base_dir, debug=debug)
 
-    # The three typed extraction passes are independent (each decodes its
-    # own GPB1 section) — submit them as CONCURRENT jobs so the scheduler
-    # interleaves their task waves: run sequentially, each pass pays its
-    # own stage tail + commit barrier with cores idle (measured ~45% of
-    # linear scaling on the 8-core decode leg). Spark job submission is
-    # thread-safe. NOTE: the first three lineage entries record COMPLETION
-    # order (whichever pass finishes first appends first) — consumers of
-    # _lineage.json must key on the "pass" field, not on position.
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        f_nodes = pool.submit(
-            ck.run_pass, "nodes", lambda: src.extract_nodes(pages)
-        )
-        f_ways = pool.submit(
-            ck.run_pass, "ways_raw", lambda: src.extract_ways_raw(pages)
-        )
-        f_rels = pool.submit(
-            ck.run_pass, "relations_raw", lambda: src.extract_relations_raw(pages)
-        )
-        nodes = f_nodes.result()
-        ways_raw = f_ways.result()
-        rels_raw = f_rels.result()
+    # ONE decode pass for every entity kind (the reference's run-1 scan
+    # populating all indexes, decode.go:262-273): the earlier three
+    # concurrent typed passes each zlib-inflated every blob to seek their
+    # own section — 3x the dominant extraction cost — and their separate
+    # stage tails idled cores. The snapshot is hive-partitioned by etype,
+    # so the per-type readers below prune to their partition (the blob
+    # index replay analog, decode.go:341-383).
+    ents = ck.run_pass(
+        "entities", lambda: src.extract_entities(pages), partition_by=["etype"]
+    )
+    nodes = src.entities_nodes(ents)
+    ways_raw = src.entities_ways_raw(ents)
+    rels_raw = src.entities_relations_raw(ents)
 
     members = src.rel_members(rels_raw)
     assembled_ways = ck.run_pass(
@@ -167,6 +163,7 @@ def run_pipeline_checkpointed(
         lambda: assemble_relations(rels_raw, members, assembled_ways, nodes),
     )
     return ck, {
+        "entities": ents,
         "nodes": nodes,
         "ways_raw": ways_raw,
         "relations_raw": rels_raw,

@@ -279,6 +279,121 @@ def extract_relations_raw(pages: DataFrame) -> DataFrame:
     )
 
 
+ENTITIES_SCHEMA = (
+    "url string, id long, lat double, lon double, tags map<string,string>, "
+    "refs array<long>, member_ids array<long>, member_types array<int>, "
+    "member_roles array<string>, etype string"
+)
+
+
+def extract_entities(pages: DataFrame) -> DataFrame:
+    """ONE decode pass emitting every entity kind (union schema, ``etype``
+    discriminator) — the checkpointed pipeline's extraction stage.
+
+    The three typed extractors each decompress every blob to seek their own
+    section, so running them as separate passes pays the zlib inflate (the
+    dominant extraction cost) three times; this is the reference's run-1
+    behavior instead — one sequential scan that populates everything
+    (/root/reference/decode.go:262-273). Downstream passes read the
+    snapshot partitioned by ``etype`` with partition pruning, the analog of
+    the reference's per-type blob index replay (decode.go:341-383).
+    """
+    pkg_root = _PKG_ROOT
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_root not in sys.path:
+            sys.path.insert(0, pkg_root)
+        import numpy as np
+
+        from gosmonaut_spark.format.gpb import COORD_SCALE as _SCALE
+        from gosmonaut_spark.format.gpb_numpy import decode_page_np
+
+        for pdf in batches:
+            urls: list = []
+            ids: list = []
+            lats: list = []
+            lons: list = []
+            tags: list = []
+            refs: list = []
+            mids: list = []
+            mtypes: list = []
+            mroles: list = []
+            etypes: list = []
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                page = decode_page_np(bytes(blob), want=("nodes", "ways", "rels"))
+                nn = len(page.node_ids)
+                nw = len(page.way_ids)
+                nr = len(page.rel_ids)
+                urls.extend([url] * (nn + nw + nr))
+                etypes.extend(["node"] * nn + ["way"] * nw + ["relation"] * nr)
+                ids.append(page.node_ids)
+                ids.append(page.way_ids)
+                ids.append(page.rel_ids)
+                lats.append(page.node_lat_units * _SCALE)
+                lats.append(np.full(nw + nr, np.nan))
+                lons.append(page.node_lon_units * _SCALE)
+                lons.append(np.full(nw + nr, np.nan))
+                tags.extend(page.node_tags)
+                tags.extend(page.way_tags)
+                tags.extend(page.rel_tags)
+                wb = np.cumsum(page.way_nrefs)[:-1] if nw else []
+                refs.extend([None] * nn)
+                refs.extend(
+                    [a.tolist() for a in np.split(page.way_refs, wb)] if nw else []
+                )
+                refs.extend([None] * nr)
+                rb = np.cumsum(page.rel_nmembers)[:-1] if nr else []
+                mids.extend([None] * (nn + nw))
+                mtypes.extend([None] * (nn + nw))
+                mroles.extend([None] * (nn + nw))
+                if nr:
+                    mids.extend(
+                        a.tolist() for a in np.split(page.rel_member_ids, rb)
+                    )
+                    mtypes.extend(
+                        a.astype("int32").tolist()
+                        for a in np.split(page.rel_member_types, rb)
+                    )
+                    off = 0
+                    for c in page.rel_nmembers.tolist():
+                        mroles.append(page.rel_member_roles[off : off + c])
+                        off += c
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "id": np.concatenate(ids) if ids else [],
+                    "lat": np.concatenate(lats) if lats else [],
+                    "lon": np.concatenate(lons) if lons else [],
+                    "tags": tags,
+                    "refs": refs,
+                    "member_ids": mids,
+                    "member_types": mtypes,
+                    "member_roles": mroles,
+                    "etype": etypes,
+                }
+            )
+
+    return pages.select("url", "html").mapInPandas(fn, ENTITIES_SCHEMA)
+
+
+def entities_nodes(ents: DataFrame) -> DataFrame:
+    return ents.filter(F.col("etype") == "node").select(
+        "url", "id", "lat", "lon", "tags"
+    )
+
+
+def entities_ways_raw(ents: DataFrame) -> DataFrame:
+    return ents.filter(F.col("etype") == "way").select("url", "id", "tags", "refs")
+
+
+def entities_relations_raw(ents: DataFrame) -> DataFrame:
+    return ents.filter(F.col("etype") == "relation").select(
+        "url", "id", "tags", "member_ids", "member_types", "member_roles"
+    )
+
+
 def extract_texts(pages: DataFrame) -> DataFrame:
     """Decode only the text section — the byte-identity invariant surface
     (north rule: byte-identical extracted text per url)."""

@@ -15,10 +15,8 @@ def test_checkpoint_resume_and_lineage(spark, pages_t1, tmp_path):
     first = _counts(dfs)
     lineage1 = ck.lineage()
     passes = [e["pass"] for e in lineage1]
-    # extraction passes run as concurrent jobs -> lineage records their
-    # COMPLETION order (it is a log); assembly order stays fixed
-    assert sorted(passes[:3]) == ["nodes", "relations_raw", "ways_raw"]
-    assert passes[3:] == ["assembled_ways", "relations"]
+    # one decode pass for all entity kinds, then the two assembly passes
+    assert passes == ["entities", "assembled_ways", "relations"]
     for e in lineage1:
         assert e["rows_out"] > 0 and e["wall_ms"] > 0
         assert sum(e["rows_per_partition"]) == e["rows_out"]

@@ -505,6 +505,49 @@ def test_multimodal_real_decode(spark):
         extract_media_features(vid, fake=False).collect()
 
 
+def test_lsh_bucket_arrow_matches_fold(spark, embs):
+    """The vectorized Arrow bucket pass (hot path) must agree BIT-FOR-BIT
+    with the Catalyst fold reference (and therefore with the DuckDB
+    list_reduce oracle): the explicit per-dimension accumulation preserves
+    the exact IEEE rounding sequence, so no vector ever lands in a
+    different bucket between engines."""
+    e = embs.filter(F.col("vec_id") < 60).select("vec_id", "embedding")
+    n_bits, n_tables, dim = 6, 3, 64
+    arrow = {
+        r["vec_id"]: r["__bkts"]
+        for r in S.lsh_bucket_table(e, "embedding", n_bits, n_tables, dim).collect()
+    }
+    for tbl in range(n_tables):
+        planes = S._hyperplanes(dim, n_bits, tbl)
+        fold = {
+            r["vec_id"]: r["b"]
+            for r in e.select(
+                "vec_id", S.lsh_bucket(F.col("embedding"), planes).alias("b")
+            ).collect()
+        }
+        assert all(arrow[k][tbl] == fold[k] for k in fold), f"table {tbl} diverged"
+
+
+def test_pairs_lsh_default_bucket_cardinality(spark):
+    """Scale-sizing pin: at the r3 defaults (n_bits=16 -> 65,536 buckets
+    per table) the per-bucket population stays tiny even on the clustered
+    sf0.1 embeddings (measured max 3 of 2000 vectors; 6 with exact dups
+    injected) — the per-bucket self-join can never go quadratic."""
+    e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("v")
+    )
+    dup = e.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    b = S._bucketed(e.unionByName(dup), "v", n_bits=16, n_tables=4, dim=64)
+    stats = (
+        b.groupBy("tbl", "bkt")
+        .count()
+        .agg(F.max("count").alias("mx"), F.avg("count").alias("avg"))
+        .collect()[0]
+    )
+    assert stats["mx"] <= 16, f"degenerate bucket at default sizing: {stats['mx']}"
+    assert stats["avg"] <= 2.5
+
+
 def test_cosine_pairs_lsh_finds_dups_and_cap(spark, embs):
     """LSH near-dup pairs: injected exact duplicates must surface with
     cos ~= 1; a loose bucket cap changes nothing, a tight one only ever

@@ -142,7 +142,8 @@ def point_in_polygon_join(
     lat: str = "lat",
     lon: str = "lon",
     broadcast_polygons: bool | None = None,
-    engine: str = "native",
+    engine: str = "edges",
+    vectorized_max_polygons: int = 1_000_000,
 ) -> DataFrame:
     """Spatial join: every (point, polygon) pair where the point lies inside.
 
@@ -154,19 +155,24 @@ def point_in_polygon_join(
 
     ``engine``:
 
-    * ``"native"`` — aggregate-folded ray cast, pure Catalyst expression.
-      Zero Python, but lambda evaluation is interpreted (~10us/row): right
-      for selective workloads.
+    * ``"edges"`` (default) — the dense-workload scale path: broadcast
+      edges table + codegen crossing indicator + parity hash-aggregate.
+      Zero Python, zero Arrow, whole-stage codegen end to end; the only
+      shuffle is the final agg (map-side combined). The build side is a
+      DataFrame plan broadcast by the planner — no driver ``collect()``
+      anywhere, so it holds for any polygon side the 8 GiB broadcast cap
+      admits.
+    * ``"native"`` — aggregate-folded ray cast, pure Catalyst expression,
+      *shuffled* cover join: the path for polygon sides too large to
+      broadcast at all. Zero Python, but lambda evaluation is interpreted
+      (~10us/row): right for selective workloads.
     * ``"vectorized"`` — numpy PNPOLY over Arrow batches (``mapInArrow``);
-      vertices come from a *broadcast* vertex store (the reference's
-      broadcast build-side pattern, binary_entity_map.go:17-90), so only 4
-      scalar columns cross Arrow. Requires the polygon side to fit on the
-      driver (it is the small side by design).
-    * ``"edges"`` — the dense-workload scale path: broadcast edges table +
-      codegen crossing indicator + parity hash-aggregate. Zero Python,
-      zero Arrow, whole-stage codegen end to end; the only shuffle is the
-      final agg (map-side combined). Point columns must be group-able
-      scalar types.
+      vertices come from a driver-built broadcast vertex store (the
+      reference's broadcast build-side pattern,
+      binary_entity_map.go:17-90). SMALL-POLYGON-SIDE ONLY: the build
+      collects the polygon table to the driver, guarded by
+      ``vectorized_max_polygons`` (raises, pointing at ``edges``, above
+      it) — never the default, never unbounded.
 
     All three engines produce identical rows (same IEEE arithmetic);
     asserted against a brute-force numpy oracle in tests.
@@ -334,6 +340,7 @@ def point_in_polygon_join(
         verts_df = F.broadcast(
             chunked.select(
                 "polygon_id",
+                F.col("__ci").alias("__vx_ci"),
                 F.least(F.col("__ne") - start, F.lit(cap)).cast("int").alias("__vx_ne"),
                 _seg("lats").alias("__vx_lats"),
                 _seg("lons").alias("__vx_lons"),
@@ -391,29 +398,52 @@ def point_in_polygon_join(
                 ),
                 [polys_slim],
             )
-        # chunked rings: tag every candidate with a synthetic key BEFORE the
-        # verts join, aggregate the parity on that key only, and carry the
-        # point columns through first() — grouping on the point columns
-        # themselves would (a) fail outright for non-groupable types like
-        # map tags and (b) merge fully duplicate point rows, flipping their
-        # summed parity (two identical inside-points -> even -> both lost).
-        cand_keyed = cand_slim.withColumn("__cid", F.monotonically_increasing_id())
+        # chunked rings: aggregate the parity on a key derived purely from
+        # the DATA, not from physical placement. (The previous synthetic
+        # monotonically_increasing_id depended on partition index/row order
+        # downstream of a round-robin shuffle — an indeterminate-stage
+        # recomputation after executor loss could reassign ids, splitting/
+        # merging chunk groups and corrupting parity on retry.) The JSON
+        # rendering of the point row handles non-groupable map columns;
+        # byte-identical duplicate point rows DO merge under this key, so
+        # carry their multiplicity d explicitly: the group holds
+        # d x nch rows (crossings summed d times) — divide d back out for
+        # the parity test and re-emit d copies on a hit.
+        pjson = F.to_json(F.struct(*[F.col(f"__pt_{c}") for c in point_cols]))
+        cand_keyed = cand_slim.withColumn("__pjson", pjson)
         joined = cand_keyed.join(verts_df, "polygon_id")
-        per_pair = joined.groupBy("__cid").agg(
+        per_pair = joined.groupBy("__pjson", "polygon_id").agg(
             *[F.first(f"__pt_{c}").alias(f"__pt_{c}") for c in point_cols],
-            F.first("polygon_id").alias("polygon_id"),
-            F.sum(crossings).alias("__crossings"),
+            F.sum(crossings).alias("__cs"),
+            F.count(F.lit(1)).alias("__cnt"),
+            F.countDistinct("__vx_ci").alias("__nch"),
         )
+        dup = (F.col("__cnt") / F.col("__nch")).cast("long")
+        total = (F.col("__cs") / dup).cast("long")
+        hits = per_pair.filter(F.pmod(total, F.lit(2)) == 1)
         return attach_cached(
-            per_pair.filter(F.pmod(F.col("__crossings"), F.lit(2)) == 1).select(
-                *[F.col(f"__pt_{c}").alias(c) for c in point_cols], "polygon_id"
-            ),
+            hits.select(
+                *[F.col(f"__pt_{c}").alias(c) for c in point_cols],
+                "polygon_id",
+                F.explode(F.sequence(F.lit(1), dup)).alias("__dup"),
+            ).drop("__dup"),
             [polys_slim],
         )
 
     import numpy as np
     import pandas as pd
 
+    # Bounded build: the vectorized engine is the documented
+    # small-polygon-side path — count first and fail fast instead of an
+    # unbounded driver collect (the scale engines never collect at all).
+    n_polys = polygons.select("polygon_id").count()
+    if n_polys > vectorized_max_polygons:
+        raise ValueError(
+            f"engine='vectorized' collects the polygon side to the driver "
+            f"({n_polys} polygons > vectorized_max_polygons="
+            f"{vectorized_max_polygons}); use engine='edges' (distributed "
+            f"broadcast build) or engine='native' (shuffled join) instead"
+        )
     rows = polygons.select("polygon_id", "lats", "lons").collect()
     verts = {
         r["polygon_id"]: (

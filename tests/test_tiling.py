@@ -94,8 +94,9 @@ def test_pip_matches_bruteforce(spark, world):
             world["nodes"], polys, res=11
         ).select("id", "polygon_id").collect()
     }
-    # all exact engines must agree pair-for-pair
-    for eng in ("vectorized", "edges"):
+    # all exact engines must agree pair-for-pair (first call above used
+    # the default engine, "edges")
+    for eng in ("native", "vectorized"):
         got_eng = {
             (r.id, r.polygon_id)
             for r in point_in_polygon_join(
@@ -174,6 +175,20 @@ def test_pip_edges_chunked_map_cols_and_duplicates(spark):
     assert all(r.polygon_id == 1 for r in out)
     tags_of_7 = [r.tags for r in out if r.id == 7]
     assert tags_of_7 == [{"amenity": "cafe"}, {"amenity": "cafe"}]
+
+
+def test_pip_vectorized_collect_is_bounded(spark):
+    """engine='vectorized' is the documented small-polygon-side path: its
+    driver collect must be guarded, never unbounded."""
+    polys = spark.createDataFrame(
+        [(1, [0.0, 0.0, 1.0, 0.0], [0.0, 1.0, 0.0, 0.0])],
+        "polygon_id long, lats array<double>, lons array<double>",
+    )
+    points = spark.createDataFrame([(1, 0.2, 0.2)], "id long, lat double, lon double")
+    with pytest.raises(ValueError, match="vectorized_max_polygons"):
+        point_in_polygon_join(
+            points, polys, res=8, engine="vectorized", vectorized_max_polygons=0
+        )
 
 
 def test_knn_ring_matches_brute(spark, world):

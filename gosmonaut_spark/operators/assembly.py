@@ -96,10 +96,29 @@ def ordered_collect_rows(
     # SortAggregate is REQUIRED, not just preferred: ObjectHashAggregate's
     # sort-based fallback (after 128 keys/task) re-sorts remaining input by
     # group key only, destroying pos order within a key — observed firing
-    # the assert below in sessions built without our defaults. The conf is
-    # a dynamic SQLConf read at planning/execution, so pin it on whatever
-    # session owns this DataFrame (session-wide; documented side effect).
-    df.sparkSession.conf.set("spark.sql.execution.useObjectHashAggregateExec", "false")
+    # the assert below in sessions built without our defaults. build_session
+    # pins spark.sql.execution.useObjectHashAggregateExec=false; an operator
+    # must NOT mutate a foreign session's conf (the pin would silently
+    # change unrelated collect_list/collect_set aggregations for the rest of
+    # the session), so here we only warn — the native order assert below
+    # turns any order-breaking aggregation mode into a loud execution-time
+    # failure, never silent corruption.
+    _ohae = str(
+        df.sparkSession.conf.get("spark.sql.execution.useObjectHashAggregateExec", "true")
+    )
+    if _ohae.lower() != "false":
+        import warnings
+
+        warnings.warn(
+            "ordered_collect_rows: this session has "
+            "spark.sql.execution.useObjectHashAggregateExec enabled; its "
+            "sort-based fallback can break within-key pos order (the result's "
+            "built-in order assert will then fail at execution time). Build "
+            "the session with gosmonaut_spark.session.build_session, or set "
+            "the conf to false before running the returned DataFrame.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
     df2 = df.repartition(F.col(key)).sortWithinPartitions(key, pos)
     agg = df2.groupBy(key).agg(F.collect_list(elem).alias("_arr"))
     pos_arr = F.transform("_arr", lambda s: s["_p"])

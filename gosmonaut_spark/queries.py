@@ -647,13 +647,16 @@ ORDER BY a, b""",
 
     # ---- event-time sessionization (streaming-shaped batch op) ----------------
     def q_sessions(spark, sf):
-        # parquet yields TIMESTAMP_NTZ; DuckDB's epoch_ms treats the naive value
-        # as UTC. The NTZ->LTZ cast reads the session TZ at execution time, so
-        # pin it here rather than depend on whoever built the SparkSession.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # parquet yields TIMESTAMP_NTZ; DuckDB's epoch_ms treats the naive
+        # value as UTC. ntz_epoch_ms computes the same thing from the NTZ
+        # *fields* — zone-free by construction, so no session-timezone pin
+        # (the r2 version mutated spark.sql.session.timeZone session-wide,
+        # shifting unrelated user queries' NTZ casts afterwards).
+        from .functions.timeops import ntz_epoch_ms
+
         ev = spark.read.parquet(f"{sf}/events.parquet")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        ms = F.unix_millis(F.col("ts").cast("timestamp"))
+        ms = ntz_epoch_ms(F.col("ts"))
         gap = ms - F.lag(ms).over(w)
         new_s = F.when(gap.isNull() | (gap > 1_800_000), 1).otherwise(0)
         sess = (

@@ -88,14 +88,25 @@ def streaming_tile_counts(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Windowed tile counts per 1-hour event-time window. Late pages beyond
-    the watermark are dropped, so state stays bounded."""
-    # watermarks need TIMESTAMP (with TZ); the NTZ->LTZ cast reads the
-    # session TZ at execution time, so pin UTC here rather than depend on
-    # whoever built the session (same hardening as events_sessionize)
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    the watermark are dropped, so state stays bounded.
+
+    Watermarks require TIMESTAMP (an instant), but ``warc_ts`` is
+    TIMESTAMP_NTZ and the plain NTZ->TIMESTAMP cast reads the session
+    timezone at execution time. The r2 version pinned
+    spark.sql.session.timeZone=UTC session-wide to make that cast safe —
+    silently changing unrelated user queries. Instead we build the instant
+    zone-free: ``timestamp_micros(ntz_epoch_micros(ts))`` interprets the
+    naive value as UTC purely from its fields, so the plan never touches
+    session conf and the window boundaries are deterministic in any
+    session. Emitted ``window_start`` epochs equal the naive-as-UTC
+    reading; display conversion at collect time is the session's concern."""
+    from ..functions.timeops import ntz_epoch_micros
+
     stream = read_pages_stream(spark, pages_dir)
     nodes = extract_nodes_with_ts(stream)
-    nodes = nodes.withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    nodes = nodes.withColumn(
+        "warc_ts", F.timestamp_micros(ntz_epoch_micros(F.col("warc_ts")))
+    )
     return (
         nodes.withWatermark("warc_ts", watermark)
         .groupBy(

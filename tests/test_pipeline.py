@@ -215,3 +215,29 @@ def test_ordered_collect_large_key(spark):
     assert [x["v"] for x in vals[:5]] == [0, 2, 4, 6, 8]
     assert vals[-1]["v"] == 2 * (n - 1)
     assert vals[12345]["tags"] == {"a": "12345"}
+
+
+def test_ordered_collect_never_mutates_foreign_conf(spark):
+    """A foreign session that enables ObjectHashAggregate must keep its
+    setting: the operator only WARNS (the execution-time order assert is
+    the loud failure mode), never silently rewrites session conf."""
+    import warnings
+
+    from gosmonaut_spark.operators.assembly import ordered_collect_rows
+
+    key = "spark.sql.execution.useObjectHashAggregateExec"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "true")
+    try:
+        df = spark.range(10).select(
+            F.lit(1).alias("k"), F.col("id").alias("pos"), F.col("id").alias("v")
+        )
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            out = ordered_collect_rows(df, "k", "pos", F.col("v"), "vals")
+        assert any("useObjectHashAggregateExec" in str(w.message) for w in caught)
+        assert spark.conf.get(key) == "true", "operator mutated session conf"
+        # tiny key set: no fallback fires, order assert passes
+        assert out.collect()[0].vals == list(range(10))
+    finally:
+        spark.conf.set(key, prev)

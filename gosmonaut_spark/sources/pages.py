@@ -98,24 +98,39 @@ class Header:
 def read_header(path: str) -> Header | None:
     """Read the Header from the parquet footer without launching a job
     (plan-time metadata, like the reference's header decode at open).
-    Returns None for pages tables written without one."""
+    Returns None for pages tables written without one.
+
+    For a directory table, EVERY part footer is inspected: a header in any
+    part file is honored (writers may emit metadata on one part only), and
+    conflicting headers across parts raise rather than silently picking
+    one — otherwise the capability fail-fast could be skipped for a table
+    whose header lives in a non-first file."""
     import json
 
     import pyarrow.parquet as pq
 
-    p = path
-    if os.path.isdir(p):
-        cands = sorted(
-            f for f in os.listdir(p) if f.endswith(".parquet") and not f.startswith("_")
+    paths = [path]
+    if os.path.isdir(path):
+        paths = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith("_")
         )
-        if not cands:
-            return None
-        p = os.path.join(p, cands[0])
-    meta = pq.read_schema(p).metadata or {}
-    raw = meta.get(b"gosmonaut.header")
-    if raw is None:
-        return None
-    return Header(json.loads(raw.decode("utf-8")))
+    found: Header | None = None
+    for p in paths:
+        meta = pq.read_schema(p).metadata or {}
+        raw = meta.get(b"gosmonaut.header")
+        if raw is None:
+            continue
+        h = Header(json.loads(raw.decode("utf-8")))
+        if found is None:
+            found = h
+        elif h != found:
+            raise ValueError(
+                f"conflicting gosmonaut.header metadata across part files "
+                f"of {path}: {found!r} vs {h!r} (in {p})"
+            )
+    return found
 
 
 def assert_capabilities(header: Header | None) -> None:

@@ -212,3 +212,55 @@ def test_header_capability_fail_fast(spark, tmp_path):
     pq.write_table(tbl, p)
     with pytest.raises(ValueError, match="unsupported features"):
         read_pages(spark, p)
+
+
+def test_header_multi_file_scan(tmp_path):
+    """Directory tables: the header is honored wherever it lives among the
+    part files (not just the alphabetically-first one), and conflicting
+    headers across parts raise instead of silently picking one."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from gosmonaut_spark.sources.pages import Header, read_header
+
+    def part(hdr: dict | None) -> pa.Table:
+        tbl = pa.table({"url": pa.array(["u"], pa.string())})
+        if hdr is not None:
+            tbl = tbl.replace_schema_metadata(
+                {b"gosmonaut.header": json.dumps(hdr).encode()}
+            )
+        return tbl
+
+    hdr = {"required_features": ["GPB1-v1"], "source": "s"}
+
+    # header only in the LAST part file
+    d1 = tmp_path / "late_header"
+    d1.mkdir()
+    pq.write_table(part(None), str(d1 / "part0.parquet"))
+    pq.write_table(part(None), str(d1 / "part1.parquet"))
+    pq.write_table(part(hdr), str(d1 / "part2.parquet"))
+    assert read_header(str(d1)) == Header(hdr)
+
+    # identical headers in several parts: fine
+    d2 = tmp_path / "dup_header"
+    d2.mkdir()
+    pq.write_table(part(hdr), str(d2 / "part0.parquet"))
+    pq.write_table(part(hdr), str(d2 / "part1.parquet"))
+    assert read_header(str(d2)) == Header(hdr)
+
+    # conflicting headers: loud failure
+    d3 = tmp_path / "conflict"
+    d3.mkdir()
+    pq.write_table(part(hdr), str(d3 / "part0.parquet"))
+    pq.write_table(part({**hdr, "source": "other"}), str(d3 / "part1.parquet"))
+    with pytest.raises(ValueError, match="conflicting gosmonaut.header"):
+        read_header(str(d3))
+
+    # no header anywhere: None
+    d4 = tmp_path / "none"
+    d4.mkdir()
+    pq.write_table(part(None), str(d4 / "part0.parquet"))
+    assert read_header(str(d4)) is None

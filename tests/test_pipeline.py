@@ -241,3 +241,34 @@ def test_ordered_collect_never_mutates_foreign_conf(spark):
         assert out.collect()[0].vals == list(range(10))
     finally:
         spark.conf.set(key, prev)
+
+
+def test_cached_scope_releases_operator_intermediates(spark):
+    """cached_scope must unpersist operator-persisted intermediates even
+    when the caller transformed the returned DataFrame (which drops the
+    exact-object handles release_cached relies on)."""
+    from gosmonaut_spark.functions.caching import (
+        attach_cached,
+        cached_scope,
+        release_cached,
+    )
+
+    def fake_operator():
+        inter = spark.range(100).persist()
+        inter.count()
+        return attach_cached(inter.selectExpr("id * 2 AS v"), [inter])
+
+    with cached_scope() as handles:
+        out = fake_operator()
+        derived = out.filter("v > 10")  # drops the attribute
+        assert derived.count() == 94
+        assert len(handles) == 1
+        assert handles[0].storageLevel.useMemory
+    assert not handles[0].storageLevel.useMemory, "scope exit must unpersist"
+
+    # exact-object release still works without a scope
+    out2 = fake_operator()
+    h = getattr(out2, "_gosmonaut_cached")[0]
+    assert h.storageLevel.useMemory
+    release_cached(out2)
+    assert not h.storageLevel.useMemory

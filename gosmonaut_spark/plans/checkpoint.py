@@ -1,12 +1,17 @@
 """Checkpoint + lineage + metrics (B11) — every pass resumable.
 
-Each pass writes a parquet snapshot under ``<base>/<pass_name>/`` plus an
-entry in ``<base>/_lineage.json`` recording rows in/out, wall time, and
-per-partition row counts. A re-run skips passes whose snapshot exists —
-the engine analog of the reference's re-runnable handle + per-pass debug
-stats (/root/reference/gosmonaut.go:118-129, :497-530). The layout is
-Iceberg-shaped (snapshot dir + manifest); swapping in real Iceberg tables
-is a one-line change in ``_write``/``_read``.
+Each pass writes versioned parquet snapshots under
+``<base>/<pass_name>/snap-<id>/`` with an Iceberg-shaped commit protocol:
+data first, then an atomic swap of ``_manifest.json`` whose ``current``
+pointer names the live snapshot. The manifest lists historical snapshots
+(id, parent, rows, wall time, commit timestamp); ``retain`` bounds how
+many snapshot data dirs are kept (older ones are expired — deleted but
+still listed, flagged). ``rollback`` moves ``current`` back to any
+retained snapshot, and a re-run resumes from whatever ``current`` points
+to — the engine analog of the reference's re-runnable handle + per-pass
+debug stats (/root/reference/gosmonaut.go:118-129, :497-530). Swapping in
+real Iceberg tables (snapshot ids map 1:1) is confined to
+``_write_snapshot``/``read``.
 """
 
 from __future__ import annotations
@@ -20,25 +25,34 @@ from pyspark.sql import functions as F
 
 
 class CheckpointStore:
-    def __init__(self, spark: SparkSession, base_dir: str, debug: bool = False):
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        debug: bool = False,
+        retain: int = 3,
+    ):
         """``debug=True`` adds per-partition row counts + skew factor to
         every lineage entry — one extra scan per pass, the analog of the
         reference's opt-in DebugMode stats
         (/root/reference/gosmonaut.go:19-38, :497-530). Off by default:
         production runs record wall time + row totals from parquet
-        metadata only (no extra jobs)."""
+        metadata only (no extra jobs). ``retain``: number of historical
+        snapshot data dirs kept per pass (Iceberg's expire_snapshots
+        analog); must be >= 1."""
         self.spark = spark
         self.base = base_dir
         self.debug = debug
+        self.retain = max(1, int(retain))
         os.makedirs(base_dir, exist_ok=True)
         self._lineage_path = os.path.join(base_dir, "_lineage.json")
-        # passes may run as concurrent jobs; lineage append is read-modify-
-        # write on one JSON file
+        # passes may run as concurrent jobs; lineage/manifest updates are
+        # read-modify-write on single JSON files
         import threading
 
-        self._lineage_lock = threading.Lock()
+        self._lock = threading.Lock()
 
-    # -- manifest ----------------------------------------------------------
+    # -- lineage -----------------------------------------------------------
     def lineage(self) -> list[dict]:
         if not os.path.exists(self._lineage_path):
             return []
@@ -46,49 +60,173 @@ class CheckpointStore:
             return json.load(f)
 
     def _append_lineage(self, entry: dict) -> None:
-        with self._lineage_lock:
+        with self._lock:
             entries = self.lineage()
             entries.append(entry)
-            tmp = self._lineage_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(entries, f, indent=1)
-            os.replace(tmp, self._lineage_path)
+            self._atomic_json(self._lineage_path, entries)
 
-    # -- snapshots ----------------------------------------------------------
+    @staticmethod
+    def _atomic_json(path: str, obj) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(obj, f, indent=1)
+        os.replace(tmp, path)
+
+    # -- manifest ----------------------------------------------------------
     def _dir(self, name: str) -> str:
         return os.path.join(self.base, name)
 
-    def has(self, name: str) -> bool:
-        return os.path.exists(os.path.join(self._dir(name), "_SUCCESS"))
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self._dir(name), "_manifest.json")
 
-    def read(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self._dir(name))
+    def _manifest(self, name: str) -> dict:
+        p = self._manifest_path(name)
+        if not os.path.exists(p):
+            return {"current": None, "snapshots": []}
+        with open(p) as f:
+            return json.load(f)
+
+    def snapshots(self, name: str) -> list[dict]:
+        """Manifest entries for a pass, oldest first. Expired entries stay
+        listed with ``expired: true`` (their data dirs are gone)."""
+        return self._manifest(name)["snapshots"]
+
+    def current_snapshot_id(self, name: str) -> int | None:
+        return self._manifest(name)["current"]
+
+    def _snap_dir(self, name: str, snap_id: int) -> str:
+        return os.path.join(self._dir(name), f"snap-{snap_id:05d}")
+
+    # -- snapshots ----------------------------------------------------------
+    def has(self, name: str) -> bool:
+        cur = self.current_snapshot_id(name)
+        return cur is not None and os.path.exists(
+            os.path.join(self._snap_dir(name, cur), "_SUCCESS")
+        )
+
+    def read(self, name: str, snapshot_id: int | None = None) -> DataFrame:
+        """Read the current snapshot, or time-travel to a specific
+        ``snapshot_id`` (the Iceberg VERSION AS OF analog). Raises for
+        unknown or expired snapshots."""
+        m = self._manifest(name)
+        sid = m["current"] if snapshot_id is None else snapshot_id
+        if sid is None:
+            raise KeyError(f"pass {name!r} has no current snapshot")
+        entry = next((s for s in m["snapshots"] if s["id"] == sid), None)
+        if entry is None:
+            raise KeyError(f"pass {name!r} has no snapshot id {sid}")
+        if entry.get("expired"):
+            raise KeyError(
+                f"pass {name!r} snapshot {sid} is expired (retain="
+                f"{self.retain}); retained ids: "
+                f"{[s['id'] for s in m['snapshots'] if not s.get('expired')]}"
+            )
+        return self.spark.read.parquet(self._snap_dir(name, sid))
 
     def invalidate(self, name: str) -> None:
+        """Drop the current pointer so the next run_pass recomputes (as a
+        NEW snapshot whose parent is the invalidated one). History is
+        retained — ``rollback`` can restore the old snapshot."""
+        with self._lock:
+            m = self._manifest(name)
+            if m["current"] is None and not m["snapshots"]:
+                return
+            if m["current"] is not None:
+                # the replacement snapshot's parent is the one invalidated
+                m["parent_hint"] = m["current"]
+            m["current"] = None
+            os.makedirs(self._dir(name), exist_ok=True)
+            self._atomic_json(self._manifest_path(name), m)
+
+    def rollback(self, name: str, snapshot_id: int) -> None:
+        """Point ``current`` back at a retained historical snapshot —
+        resume-from-snapshot-N. The next run_pass then reads it instead of
+        recomputing."""
+        with self._lock:
+            m = self._manifest(name)
+            entry = next(
+                (s for s in m["snapshots"] if s["id"] == snapshot_id), None
+            )
+            if entry is None or entry.get("expired"):
+                raise KeyError(
+                    f"pass {name!r}: cannot rollback to snapshot "
+                    f"{snapshot_id} (unknown or expired)"
+                )
+            m["current"] = snapshot_id
+            self._atomic_json(self._manifest_path(name), m)
+
+    def _commit_snapshot(self, name: str, meta: dict) -> int:
+        """Allocate the next snapshot id, record it, swap ``current``, and
+        expire data dirs beyond ``retain`` — all under the store lock, with
+        the manifest write last (data is already durable by the time the
+        pointer moves, so a crash mid-commit leaves the old snapshot
+        live)."""
         import shutil
 
-        shutil.rmtree(self._dir(name), ignore_errors=True)
+        with self._lock:
+            m = self._manifest(name)
+            sid = 1 + max((s["id"] for s in m["snapshots"]), default=0)
+            m["snapshots"].append(
+                {
+                    "id": sid,
+                    "parent": meta.pop("parent", None),
+                    "committed_at": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    ),
+                    **meta,
+                }
+            )
+            m["current"] = sid
+            m.pop("parent_hint", None)
+            live = [s for s in m["snapshots"] if not s.get("expired")]
+            for s in live[: -self.retain]:
+                shutil.rmtree(self._snap_dir(name, s["id"]), ignore_errors=True)
+                s["expired"] = True
+            self._atomic_json(self._manifest_path(name), m)
+            return sid
 
-    def run_pass(self, name: str, build, partition_by: list[str] | None = None) -> DataFrame:
-        """Return the pass output, computing + snapshotting only on miss.
+    def run_pass(
+        self,
+        name: str,
+        build,
+        partition_by: list[str] | None = None,
+        overwrite: bool = False,
+    ) -> DataFrame:
+        """Return the pass output, computing + snapshotting only on miss
+        (``overwrite=True`` forces a new snapshot with the previous one as
+        parent — the history stays rollback-able up to ``retain``).
 
-        On compute, records lineage: wall ms, output rows, and rows per
-        partition (the skew fingerprint — a hot partition shows up here
-        before it shows up as a straggler at 100TB).
+        On compute, records lineage: snapshot id, wall ms, output rows,
+        and rows per partition (the skew fingerprint — a hot partition
+        shows up here before it shows up as a straggler at 100TB).
         ``partition_by``: hive-partition the snapshot (e.g. by entity type
         — the analog of the reference's per-type blob index,
         decode.go:341-383: later passes read only their partition).
         """
-        if self.has(name):
+        if self.has(name) and not overwrite:
             return self.read(name)
+        m0 = self._manifest(name)
+        parent = m0["current"]
+        if parent is None:
+            # invalidated (parent = the snapshot that was dropped) or first
+            # write; fall back to the newest live snapshot
+            parent = m0.get("parent_hint")
+        if parent is None:
+            live = [s for s in m0["snapshots"] if not s.get("expired")]
+            parent = live[-1]["id"] if live else None
         t0 = time.perf_counter()
         df = build()
+        # next id without holding the lock during the (long) write; the
+        # final id is allocated at commit under the lock
+        m = self._manifest(name)
+        provisional = 1 + max((s["id"] for s in m["snapshots"]), default=0)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(self._dir(name))
+        snap_dir = self._snap_dir(name, provisional)
+        w.parquet(snap_dir)
         wall_ms = round((time.perf_counter() - t0) * 1000, 1)
-        out = self.read(name)
+        out = self.spark.read.parquet(snap_dir)
         entry = {"pass": name, "wall_ms": wall_ms}
         if self.debug:
             per_part = (
@@ -120,6 +258,20 @@ class CheckpointStore:
         else:
             # metadata-only count: parquet row-group stats, no table scan
             entry["rows_out"] = out.count()
+        sid = self._commit_snapshot(
+            name,
+            {
+                "parent": parent,
+                "rows": entry["rows_out"],
+                "wall_ms": wall_ms,
+                "partition_by": partition_by or [],
+            },
+        )
+        if sid != provisional:
+            # a concurrent writer took our id; move the data dir
+            os.rename(snap_dir, self._snap_dir(name, sid))
+            out = self.spark.read.parquet(self._snap_dir(name, sid))
+        entry["snapshot_id"] = sid
         self._append_lineage(entry)
         return out
 
@@ -133,8 +285,9 @@ def run_pipeline_checkpointed(
 ):
     """The 5-pass pipeline with a snapshot boundary after every pass
     (reference pass order, gosmonaut.go:144-216). Returns
-    (CheckpointStore, dict of DataFrames). Delete a snapshot dir to force
-    recompute of that pass and everything downstream of it."""
+    (CheckpointStore, dict of DataFrames). ``ck.invalidate(pass)`` forces
+    recompute of that pass on the next run; ``ck.rollback(pass, id)``
+    resumes from a retained historical snapshot."""
     from ..operators.assembly import assemble_relations, assemble_ways
     from ..sources import pages as src
 

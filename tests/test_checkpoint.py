@@ -55,3 +55,66 @@ def test_checkpoint_outputs_match_direct(spark, pages_t1, tmp_path):
         for r in direct.ways.select("id", F.size("nodes").alias("n")).collect()
     }
     assert a == b
+
+
+def test_snapshot_versioning_rollback_and_retention(spark, tmp_path):
+    """Iceberg-shaped snapshot semantics: write -> overwrite -> resume
+    from the prior snapshot id; retention expires old data dirs but keeps
+    them listed in the manifest."""
+    import os
+
+    import pytest
+
+    ck = CheckpointStore(spark, str(tmp_path / "snap"), retain=2)
+
+    def build(n):
+        return lambda: spark.range(n).selectExpr("id", "id * 2 AS v")
+
+    # v1
+    out1 = ck.run_pass("t", build(10))
+    assert out1.count() == 10
+    assert ck.current_snapshot_id("t") == 1
+
+    # cache hit: same snapshot, no new commit
+    assert ck.run_pass("t", build(999)).count() == 10
+
+    # overwrite -> v2, parent recorded
+    out2 = ck.run_pass("t", build(20), overwrite=True)
+    assert out2.count() == 20
+    assert ck.current_snapshot_id("t") == 2
+    snaps = ck.snapshots("t")
+    assert [s["id"] for s in snaps] == [1, 2]
+    assert snaps[1]["parent"] == 1
+    assert snaps[0]["rows"] == 10 and snaps[1]["rows"] == 20
+
+    # time travel read of the historical snapshot
+    assert ck.read("t", snapshot_id=1).count() == 10
+
+    # resume-from-snapshot: rollback, then run_pass HITS v1 (no recompute)
+    ck.rollback("t", 1)
+    assert ck.current_snapshot_id("t") == 1
+    resumed = ck.run_pass("t", build(999))
+    assert resumed.count() == 10
+
+    # invalidate keeps history; next run writes v3 with parent = v1
+    ck.invalidate("t")
+    assert not ck.has("t")
+    out3 = ck.run_pass("t", build(30))
+    assert out3.count() == 30
+    snaps = ck.snapshots("t")
+    assert snaps[-1]["id"] == 3 and snaps[-1]["parent"] == 1
+
+    # retain=2: v1 expired — data dir gone, manifest entry flagged
+    assert snaps[0].get("expired") is True
+    assert not os.path.exists(str(tmp_path / "snap" / "t" / "snap-00001"))
+    with pytest.raises(KeyError, match="expired"):
+        ck.read("t", snapshot_id=1)
+    with pytest.raises(KeyError):
+        ck.rollback("t", 1)
+    # retained snapshots still time-travel
+    assert ck.read("t", snapshot_id=2).count() == 20
+
+    # a fresh store over the same dir resumes from the manifest
+    ck2 = CheckpointStore(spark, str(tmp_path / "snap"), retain=2)
+    assert ck2.current_snapshot_id("t") == 3
+    assert ck2.run_pass("t", build(999)).count() == 30

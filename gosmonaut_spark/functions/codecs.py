@@ -1,15 +1,19 @@
-"""Pure-Python media codecs: PNG (encode + full decode) and WAV PCM.
+"""Pure-Python media codecs: PNG (encode + full decode), WAV PCM, and
+Y4M (YUV4MPEG2) video.
 
 Real wire formats, zero external codec libraries — PNG needs only zlib
 (stdlib) plus the filter algebra implemented here; WAV is plain RIFF
-framing over PCM samples. These back the multimodal operators' non-stub
-path: payload columns hold genuine PNG/WAV bytes and feature extraction
-decodes them for real. Video remains the one honestly-stubbed kind (a
-pure-Python H.264 is out of scope anywhere).
+framing over PCM samples; Y4M is the standard uncompressed video
+container (ASCII stream/frame headers + raw planar YUV). These back the
+multimodal operators' non-stub path: payload columns hold genuine
+PNG/WAV/Y4M bytes and feature extraction decodes them for real.
+Compressed video (H.264 etc.) stays out of scope — a pure-Python decoder
+is unreasonable anywhere.
 
 Scope (documented contract): PNG 8-bit depth, color types gray(0),
 RGB(2), RGBA(6), non-interlaced, all five scanline filters on decode;
-WAV PCM16 mono/stereo.
+WAV PCM16 mono/stereo; Y4M encode Cmono/C444, parse additionally the
+C420 family and C422.
 """
 
 from __future__ import annotations
@@ -218,4 +222,126 @@ def wav_parse(data: bytes) -> dict:
         "n_frames": n_frames,
         "duration_ms": int(round(n_frames * 1000 / rate)) if rate else 0,
         "samples": samples,
+    }
+
+
+# -- Y4M (YUV4MPEG2) ---------------------------------------------------------
+# The standard uncompressed video container (mjpegtools/ffmpeg -f yuv4mpeg):
+# one ASCII stream header "YUV4MPEG2 W<w> H<h> F<num>:<den> [I? A? C?]\n",
+# then per frame an ASCII "FRAME[ params]\n" marker followed by raw planar
+# samples. Supported colorspaces: Cmono (Y only), C444 (full-res Y,U,V),
+# C420 / C420jpeg / C420mpeg2 / C420paldv (quarter-res chroma).
+
+Y4M_MAGIC = b"YUV4MPEG2"
+
+_Y4M_CHROMA_DIV = {
+    # colorspace tag -> (x_div, y_div, n_chroma_planes)
+    "mono": (1, 1, 0),
+    "444": (1, 1, 2),
+    "422": (2, 1, 2),
+    "420": (2, 2, 2),
+    "420jpeg": (2, 2, 2),
+    "420mpeg2": (2, 2, 2),
+    "420paldv": (2, 2, 2),
+}
+
+
+def y4m_encode(
+    frames: np.ndarray,
+    fps_num: int = 25,
+    fps_den: int = 1,
+    colorspace: str | None = None,
+) -> bytes:
+    """Encode frames to Y4M. ``frames``: uint8 ndarray of shape
+    (n, h, w) for mono or (n, h, w, 3) for planar YUV (stored as C444).
+    C420 encode is intentionally out of scope (it would need chroma
+    subsampling policy); parse supports it for foreign files."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim == 3:
+        cs = colorspace or "mono"
+    elif frames.ndim == 4 and frames.shape[3] == 3:
+        cs = colorspace or "444"
+    else:
+        raise ValueError("frames must be (n,h,w) or (n,h,w,3) uint8")
+    if cs not in ("mono", "444"):
+        raise ValueError(f"y4m_encode supports Cmono/C444, not C{cs}")
+    n, h, w = frames.shape[:3]
+    out = bytearray(
+        f"YUV4MPEG2 W{w} H{h} F{fps_num}:{fps_den} Ip A1:1 C{cs}\n".encode()
+    )
+    for i in range(n):
+        out += b"FRAME\n"
+        if cs == "mono":
+            out += frames[i].tobytes()
+        else:
+            for c in range(3):  # planar, not interleaved
+                out += frames[i, :, :, c].tobytes()
+    return bytes(out)
+
+
+def y4m_parse(data: bytes) -> dict:
+    """Parse a Y4M stream. Returns width, height, fps (float), fps_num,
+    fps_den, colorspace, interlacing, n_frames, duration_ms, and
+    ``y_planes``: uint8 ndarray (n_frames, h, w) of luma (chroma planes
+    are validated for size but not returned). Raises on truncated frames
+    or unknown colorspace."""
+    nl = data.find(b"\n")
+    if not data.startswith(Y4M_MAGIC + b" ") or nl < 0:
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    fps_num, fps_den = 25, 1
+    interlacing = "?"
+    cs = "420jpeg"  # spec default when C is absent
+    for tok in data[len(Y4M_MAGIC) + 1 : nl].decode("ascii").split():
+        tag, val = tok[0], tok[1:]
+        if tag == "W":
+            w = int(val)
+        elif tag == "H":
+            h = int(val)
+        elif tag == "F":
+            fps_num, fps_den = (int(x) for x in val.split(":"))
+        elif tag == "I":
+            interlacing = val
+        elif tag == "C":
+            cs = val
+        # A (aspect) and X (extensions) tolerated, unused
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if cs not in _Y4M_CHROMA_DIV:
+        raise ValueError(f"unsupported Y4M colorspace C{cs}")
+    xd, yd, n_chroma = _Y4M_CHROMA_DIV[cs]
+    y_size = w * h
+    chroma_size = ((w + xd - 1) // xd) * ((h + yd - 1) // yd)
+    frame_size = y_size + n_chroma * chroma_size
+
+    planes = []
+    pos = nl + 1
+    while pos < len(data):
+        fnl = data.find(b"\n", pos)
+        if fnl < 0 or data[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        pos = fnl + 1
+        if pos + frame_size > len(data):
+            raise ValueError("truncated Y4M frame")
+        planes.append(
+            np.frombuffer(data, dtype=np.uint8, count=y_size, offset=pos).reshape(
+                h, w
+            )
+        )
+        pos += frame_size
+    fps = fps_num / fps_den if fps_den else 0.0
+    n_frames = len(planes)
+    return {
+        "width": w,
+        "height": h,
+        "fps_num": fps_num,
+        "fps_den": fps_den,
+        "fps": fps,
+        "colorspace": cs,
+        "interlacing": interlacing,
+        "n_frames": n_frames,
+        "duration_ms": int(round(n_frames * 1000 / fps)) if fps else 0,
+        "y_planes": (
+            np.stack(planes) if planes else np.empty((0, h, w), np.uint8)
+        ),
     }

@@ -4,13 +4,13 @@ Images/audio/video ride as ``binary`` columns with a typed metadata
 struct; decode / feature-extract runs as Arrow-batched ``mapInPandas``
 (one batch = many payloads, no per-row Python UDF calls).
 
-The image and audio paths are REAL: payloads are genuine PNG / WAV bytes
-and feature extraction decodes them with the pure-Python codecs in
+All three kinds are REAL: payloads are genuine PNG / WAV / Y4M bytes and
+feature extraction decodes them with the pure-Python codecs in
 :mod:`gosmonaut_spark.functions.codecs` (PNG chunk walk + inflate +
-unfilter; RIFF PCM16 parse). Video is the one honestly-stubbed kind —
-``NotImplementedError`` unless ``fake=True`` substitutes the
-deterministic sha-derived feature (also available for image/audio when a
-test wants codec-free plumbing runs).
+unfilter; RIFF PCM16 parse; YUV4MPEG2 header + planar frame walk).
+Unknown kinds raise ``NotImplementedError``; ``fake=True`` substitutes
+the deterministic sha-derived feature for any kind (codec-free plumbing
+runs).
 """
 
 from __future__ import annotations
@@ -88,14 +88,36 @@ def audio_feature(payload: bytes) -> list[float]:
     ]
 
 
+def video_feature(payload: bytes) -> list[float]:
+    """Real Y4M parse -> [w, h, n_frames, fps, duration_s, mean luma,
+    std luma, mean |frame-to-frame luma delta| (motion proxy)]."""
+    from .codecs import y4m_parse
+
+    v = y4m_parse(payload)
+    y = v["y_planes"].astype(np.float64)
+    motion = (
+        float(np.abs(np.diff(y, axis=0)).mean()) if v["n_frames"] > 1 else 0.0
+    )
+    return [
+        float(v["width"]),
+        float(v["height"]),
+        float(v["n_frames"]),
+        float(v["fps"]),
+        v["n_frames"] / v["fps"] if v["fps"] else 0.0,
+        float(y.mean()) if y.size else 0.0,
+        float(y.std()) if y.size else 0.0,
+        motion,
+    ]
+
+
 def extract_media_features(
     media: DataFrame, fake: bool = False, batch_dim: int = FEATURE_DIM
 ) -> DataFrame:
     """Decode + feature-extract over ``mapInPandas`` (Arrow batches).
 
     ``fake=False`` (default): REAL decode per kind — PNG for ``image``,
-    WAV for ``audio``; ``video`` raises ``NotImplementedError`` (no
-    pure-Python video codec). ``fake=True``: the deterministic sha-derived
+    WAV for ``audio``, Y4M for ``video``; any other kind raises
+    ``NotImplementedError``. ``fake=True``: the deterministic sha-derived
     stand-in for every kind (codec-free plumbing runs)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -109,6 +131,8 @@ def extract_media_features(
                     feats.append(image_feature(b))
                 elif kind == "audio":
                     feats.append(audio_feature(b))
+                elif kind == "video":
+                    feats.append(video_feature(b))
                 else:
                     raise NotImplementedError(
                         f"no pure-Python codec for kind={kind!r}; "
@@ -129,9 +153,10 @@ def extract_media_features(
 def synthetic_media(spark, n: int = 64, real: bool = True) -> DataFrame:
     """Deterministic media table. ``real=True``: image rows carry genuine
     PNGs (gradient pixels, alternating None/Up filters), audio rows carry
-    genuine PCM16 WAVs (seeded sine), video rows carry opaque seeded bytes
-    (the stubbed kind). ``real=False`` keeps every payload opaque."""
-    from .codecs import png_encode, wav_encode
+    genuine PCM16 WAVs (seeded sine), video rows carry genuine Y4M
+    streams (seeded mono luma ramps, 2-5 frames). ``real=False`` keeps
+    every payload opaque."""
+    from .codecs import png_encode, wav_encode, y4m_encode
 
     rows = []
     for i in range(n):
@@ -149,6 +174,13 @@ def synthetic_media(spark, n: int = 64, real: bool = True) -> DataFrame:
             s = (np.sin(2 * np.pi * (220 + i) * t / sr) * 3000).astype(np.int16)
             payload = wav_encode(s, sr)
             meta = (0, 0, sr, int(round(len(t) * 1000 / sr)), "pcm16")
+        elif real and kind == "video":
+            nf, h, w = 2 + i % 4, 4 + i % 3, 6 + i % 2
+            frames = (
+                (np.arange(nf * h * w, dtype=np.int64) * (i + 13)) % 253
+            ).astype(np.uint8).reshape(nf, h, w)
+            payload = y4m_encode(frames, fps_num=24 + i % 2, fps_den=1)
+            meta = (w, h, 0, int(round(nf * 1000 / (24 + i % 2))), "y4m")
         else:
             payload = hashlib.sha256(f"media-{i}".encode()).digest() * (1 + i % 7)
             meta = (64, 48, 16000, 1200, "fake")

@@ -355,9 +355,10 @@ def test_multimodal_plumbing(spark):
     # deterministic: same payload -> same feature
     again = extract_media_features(media, fake=True).collect()
     assert {r.media_id: r.feature for r in feats} == {r.media_id: r.feature for r in again}
-    # real codec path is an explicit stub
-    with pytest.raises(Exception, match="NotImplementedError|codecs"):
-        extract_media_features(media, fake=False).collect()
+    # opaque (non-wire-format) payloads fail loud on the real codec path
+    opaque = synthetic_media(spark, 6, real=False)
+    with pytest.raises(Exception, match="(?i)png|riff|yuv4mpeg|not a"):
+        extract_media_features(opaque, fake=False).collect()
 
 
 def test_minhash_xxhash_variant_matches_md5(spark, docs):
@@ -469,10 +470,45 @@ def test_codecs_wav_roundtrip():
     assert w2["channels"] == 2 and w2["n_frames"] == 400
 
 
+def test_codecs_y4m_roundtrip():
+    import numpy as np
+
+    from gosmonaut_spark.functions.codecs import y4m_encode, y4m_parse
+
+    # mono
+    frames = (np.arange(3 * 4 * 6, dtype=np.int64) % 253).astype(np.uint8)
+    frames = frames.reshape(3, 4, 6)
+    v = y4m_parse(y4m_encode(frames, fps_num=30, fps_den=1))
+    assert (v["width"], v["height"], v["n_frames"]) == (6, 4, 3)
+    assert v["colorspace"] == "mono" and v["fps"] == 30.0
+    assert v["duration_ms"] == 100
+    assert (v["y_planes"] == frames).all()
+    # C444 planar: luma plane round-trips, chroma validated by size
+    yuv = np.stack([frames, frames // 2, frames // 3], axis=-1)
+    v4 = y4m_parse(y4m_encode(yuv, fps_num=24))
+    assert v4["colorspace"] == "444" and (v4["y_planes"] == frames).all()
+    # foreign C420 file (odd dims exercise ceil-division chroma sizing)
+    w, h = 5, 3
+    chroma = ((w + 1) // 2) * ((h + 1) // 2)
+    blob = (
+        b"YUV4MPEG2 W5 H3 F25:1 Ip A1:1 C420jpeg\n"
+        + (b"FRAME\n" + bytes(range(w * h)) + b"\x80" * (2 * chroma)) * 2
+    )
+    v420 = y4m_parse(blob)
+    assert v420["n_frames"] == 2 and v420["y_planes"].shape == (2, 3, 5)
+    # truncation and bad magic fail loud
+    import pytest
+
+    with pytest.raises(ValueError, match="truncated"):
+        y4m_parse(blob[:-1])
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        y4m_parse(b"RIFF" + blob)
+
+
 def test_multimodal_real_decode(spark):
-    """The non-stub path: Spark-side features over real PNG/WAV payloads
-    equal the driver-side codec computation exactly; video stays an
-    explicit NotImplementedError."""
+    """The non-stub path: Spark-side features over real PNG/WAV/Y4M
+    payloads equal the driver-side codec computation exactly — no stubbed
+    kind remains."""
     import pytest
 
     from gosmonaut_spark.functions.multimodal import (
@@ -480,29 +516,36 @@ def test_multimodal_real_decode(spark):
         extract_media_features,
         image_feature,
         synthetic_media,
+        video_feature,
     )
 
     media = synthetic_media(spark, 36, real=True)
-    av = media.filter(F.col("kind") != "video")
     got = {
         r.media_id: (r.kind, r.feature)
-        for r in extract_media_features(av, fake=False).collect()
+        for r in extract_media_features(media, fake=False).collect()
     }
-    rows = av.select("media_id", "kind", "payload").collect()
+    rows = media.select("media_id", "kind", "payload").collect()
     assert len(got) == len(rows) > 0
     import numpy as np
 
+    exp_fn = {"image": image_feature, "audio": audio_feature, "video": video_feature}
     for r in rows:
         kind, feat = got[r.media_id]
-        exp = (image_feature if kind == "image" else audio_feature)(bytes(r.payload))
+        exp = exp_fn[kind](bytes(r.payload))
         assert np.allclose(feat, exp, rtol=1e-6), (r.media_id, kind)
     # images report their true decoded dimensions
     img = [f for k, f in got.values() if k == "image"]
     assert all(f[0] >= 8 and f[1] >= 6 and f[2] == 3.0 for f in img)
+    # videos report true container-derived stats incl. a nonzero motion proxy
+    vid = [f for k, f in got.values() if k == "video"]
+    assert len(vid) == 12
+    assert all(f[2] >= 2 and f[3] in (24.0, 25.0) and f[7] > 0 for f in vid)
 
-    vid = media.filter(F.col("kind") == "video")
+    unknown = media.filter(F.col("kind") == "image").withColumn(
+        "kind", F.lit("hologram")
+    )
     with pytest.raises(Exception, match="no pure-Python codec"):
-        extract_media_features(vid, fake=False).collect()
+        extract_media_features(unknown, fake=False).collect()
 
 
 def test_lsh_bucket_arrow_matches_fold(spark, embs):

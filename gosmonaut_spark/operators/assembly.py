@@ -59,16 +59,36 @@ def ordered_collect_rows(
     out_name: str,
     keep: Column | None = None,
 ) -> DataFrame:
-    """Order-preserving re-agg in ONE aggregation, no duplication: an
-    explicit secondary sort (hash-partition by key + Tungsten sort on
-    (key, pos)) feeds a streaming collect_list whose append order is the
-    input order — one shuffle of exactly the payload bytes, no per-key
-    array sorting, and a cheap native assert that the collected positions
-    really are monotone (so an order-breaking aggregation mode fails loud).
+    """Order-preserving re-agg in ONE aggregation, no duplication, and —
+    unlike its two predecessors — correct under ANY aggregation mode, so it
+    needs nothing from session conf.
 
-    Replaces the previous full-frame-window formulation, whose
-    collect_list-per-row materialized O(len^2) intermediate bytes per key —
-    harmless at 40-node ways, fatal for a 50k-member relation at scale.
+    Two stages:
+
+    1. An explicit secondary sort (hash-partition by key + Tungsten sort on
+       (key, pos)) feeds the collect_list — one shuffle of exactly the
+       payload bytes. Under build_session's SortAggregate pin the streamed
+       append preserves that order, so stage 2 sees already-sorted input.
+    2. A native permutation sort fixes the order *by construction*: sort
+       only the (pos, index) pairs — plain longs, natively orderable, no
+       comparator lambda over the map-bearing payload structs (structs
+       containing maps are not natively orderable, which is what forced the
+       interpreted comparator in :func:`ordered_collect`) — then gather the
+       payloads through the sorted indices with O(1) element_at. On
+       already-ordered input (our sessions) the sort is a single linear
+       verification pass (TimSort); in a foreign session whose
+       ObjectHashAggregate sort-based fallback re-sorts by group key only
+       (destroying within-key pos order after ~128 keys/task), it actually
+       permutes — the result is right either way, instead of the previous
+       formulation's execution-time order-assert failure.
+
+    Replaces (r3) the warn-plus-assert formulation — an operator must not
+    mutate a foreign session's conf, but "fails loud in any session not
+    built by build_session" made every plain-session caller (the driver
+    contract, user notebooks) a landmine. Replaces (r2) the full-frame
+    window formulation, whose collect_list-per-row materialized O(len^2)
+    intermediate bytes per key — harmless at 40-node ways, fatal for a
+    50k-member relation at scale.
 
     ``keep``: optional row mask — rows failing it still keep their GROUP
     alive (one output row per key, possibly with an empty array) but
@@ -80,57 +100,26 @@ def ordered_collect_rows(
     elem = F.struct(F.col(pos).cast("long").alias("_p"), value.alias("_v"))
     if keep is not None:
         elem = F.when(keep, elem)
-    # Secondary sort: hash-partition by key, Tungsten-sort by (key, pos) —
+    # secondary sort: hash-partition by key, Tungsten-sort by (key, pos) —
     # a TOTAL order (pos unique per key), so sorter stability is never
-    # relied upon. The groupBy below sees its distribution already
-    # satisfied (no second exchange), and every aggregate implementation
-    # appends collect_list elements in input order, so the collected array
-    # arrives pos-ordered without sorting array payloads (the previous
-    # formulation array_sort'ed structs through a map->entries orderable
-    # transform — far more codegen and object churn per row).
-    # build_session forces SortAggregate (streaming append, no hash map,
-    # no sort-based fallback); the assert below makes ANY order-breaking
-    # aggregation mode in a foreign session a loud failure, not silent
-    # corruption: positions are longs, so the check is a cheap native
-    # array compare.
-    # SortAggregate is REQUIRED, not just preferred: ObjectHashAggregate's
-    # sort-based fallback (after 128 keys/task) re-sorts remaining input by
-    # group key only, destroying pos order within a key — observed firing
-    # the assert below in sessions built without our defaults. build_session
-    # pins spark.sql.execution.useObjectHashAggregateExec=false; an operator
-    # must NOT mutate a foreign session's conf (the pin would silently
-    # change unrelated collect_list/collect_set aggregations for the rest of
-    # the session), so here we only warn — the native order assert below
-    # turns any order-breaking aggregation mode into a loud execution-time
-    # failure, never silent corruption.
-    _ohae = str(
-        df.sparkSession.conf.get("spark.sql.execution.useObjectHashAggregateExec", "true")
-    )
-    if _ohae.lower() != "false":
-        import warnings
-
-        warnings.warn(
-            "ordered_collect_rows: this session has "
-            "spark.sql.execution.useObjectHashAggregateExec enabled; its "
-            "sort-based fallback can break within-key pos order (the result's "
-            "built-in order assert will then fail at execution time). Build "
-            "the session with gosmonaut_spark.session.build_session, or set "
-            "the conf to false before running the returned DataFrame.",
-            RuntimeWarning,
-            stacklevel=3,
-        )
+    # relied upon; the groupBy sees its distribution already satisfied
+    # (no second exchange)
     df2 = df.repartition(F.col(key)).sortWithinPartitions(key, pos)
     agg = df2.groupBy(key).agg(F.collect_list(elem).alias("_arr"))
-    pos_arr = F.transform("_arr", lambda s: s["_p"])
-    ok = F.assert_true(
-        pos_arr == F.array_sort(pos_arr),
-        F.lit("ordered_collect_rows: aggregation broke input order"),
+    perm = F.array_sort(
+        F.zip_with(
+            F.transform("_arr", lambda s: s["_p"]),
+            F.sequence(F.lit(0), F.size("_arr") - 1),
+            lambda p, i: F.struct(p.alias("p"), i.alias("i")),
+        )
     )
-    out = F.transform("_arr", lambda s: s["_v"])
-    # no .otherwise(): identical branches would let SimplifyConditionals
-    # collapse the conditional and silently drop the assert; the predicate
-    # is always true (or throws), so the else-null branch never taken
-    return agg.select(key, F.when(ok.isNull(), out).alias(out_name))
+    gathered = F.transform(
+        perm, lambda s: F.element_at(F.col("_arr"), s["i"] + 1)["_v"]
+    )
+    # sequence(0, -1) on an empty group would yield [0, -1] and zip_with
+    # would null-pad — guard the degenerate case explicitly
+    out = F.when(F.size("_arr") > 0, gathered).otherwise(F.array())
+    return agg.select(key, out.alias(out_name))
 
 
 @dataclass

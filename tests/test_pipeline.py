@@ -217,30 +217,62 @@ def test_ordered_collect_large_key(spark):
     assert vals[12345]["tags"] == {"a": "12345"}
 
 
-def test_ordered_collect_never_mutates_foreign_conf(spark):
-    """A foreign session that enables ObjectHashAggregate must keep its
-    setting: the operator only WARNS (the execution-time order assert is
-    the loud failure mode), never silently rewrites session conf."""
-    import warnings
-
+def test_ordered_collect_correct_in_foreign_session_conf(spark):
+    """The ordered collect must be exact under ANY aggregation mode, with
+    no session-conf requirement (ADVICE r2 / VERDICT r2 #4): a foreign
+    session enabling ObjectHashAggregate — including its sort-based
+    fallback, forced here via a threshold of 1 so it re-sorts remaining
+    input by group key only, scrambling within-key pos order — must still
+    get pos-ordered arrays, and the operator must not touch the conf."""
     from gosmonaut_spark.operators.assembly import ordered_collect_rows
 
     key = "spark.sql.execution.useObjectHashAggregateExec"
-    prev = spark.conf.get(key)
+    thr = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    prev, prev_thr = spark.conf.get(key), spark.conf.get(thr)
     spark.conf.set(key, "true")
+    spark.conf.set(thr, "1")  # force the order-breaking fallback path
     try:
-        df = spark.range(10).select(
-            F.lit(1).alias("k"), F.col("id").alias("pos"), F.col("id").alias("v")
+        df = (
+            spark.range(2000)
+            .select(
+                (F.col("id") % 50).alias("k"),
+                (F.col("id") / F.lit(50)).cast("long").alias("pos"),
+                F.struct(
+                    F.col("id").alias("v"),
+                    F.create_map(
+                        F.lit("a"), F.col("id").cast("string")
+                    ).alias("tags"),
+                ).alias("val"),
+            )
+            .repartition(4)
         )
-        with warnings.catch_warnings(record=True) as caught:
-            warnings.simplefilter("always")
-            out = ordered_collect_rows(df, "k", "pos", F.col("v"), "vals")
-        assert any("useObjectHashAggregateExec" in str(w.message) for w in caught)
+        out = ordered_collect_rows(df, "k", "pos", F.col("val"), "vals")
+        rows = {r.k: r.vals for r in out.collect()}
         assert spark.conf.get(key) == "true", "operator mutated session conf"
-        # tiny key set: no fallback fires, order assert passes
-        assert out.collect()[0].vals == list(range(10))
+        assert len(rows) == 50
+        for k, vals in rows.items():
+            assert [x["v"] for x in vals] == [k + 50 * p for p in range(40)]
     finally:
         spark.conf.set(key, prev)
+        spark.conf.set(thr, prev_thr)
+
+
+def test_ordered_collect_empty_group_via_keep_mask(spark):
+    """A key whose every element fails the keep mask must survive as one
+    row with an empty (not null) array — the SKIP_MISSING contract."""
+    from gosmonaut_spark.operators.assembly import ordered_collect_rows
+
+    df = spark.range(6).select(
+        (F.col("id") % 2).alias("k"),
+        F.col("id").alias("pos"),
+        F.col("id").alias("v"),
+    )
+    out = ordered_collect_rows(
+        df, "k", "pos", F.col("v"), "vals", keep=F.col("k") == 0
+    )
+    rows = {r.k: r.vals for r in out.collect()}
+    assert rows[0] == [0, 2, 4]
+    assert rows[1] == []
 
 
 def test_cached_scope_releases_operator_intermediates(spark):

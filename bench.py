@@ -60,6 +60,22 @@ def _cpu_stat() -> tuple[int, int]:
         return 0, 0
 
 
+def _ambient_steal(secs: float = 4.0) -> float:
+    """Steal %% sampled while WE are idle — the pure noisy-neighbor signal.
+
+    In-run steal conflates two causes: ambient storms (other tenants) and
+    self-induced oversubscription (our own 8 busy cores on a host that
+    can't deliver 32). r2's legs proved the conflation: the FASTEST big leg
+    recorded 2.8%% in-run steal, the slowest 0.4%% — gating in-run steal at
+    a tight threshold keeps the bad legs and discards the good ones.
+    Ambient steal, measured with nothing of ours running immediately before
+    the leg, isolates the storm component the gate is meant to catch."""
+    t0, s0 = _cpu_stat()
+    time.sleep(secs)
+    t1, s1 = _cpu_stat()
+    return round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
+
+
 def run_suite(
     cpus: int, sf_dir: str, pages_path: str, spatial_only: bool = False
 ) -> dict:
@@ -295,23 +311,98 @@ def _scaling_runs(sf_dir: str, cpus: int) -> dict:
         "SPARK_GRAFT_PIP_SAMPLE", "32" if profile == "scale" else "8"
     )
 
-    # interleave big/small legs: host noise is episodic (measured 3x wall
-    # swings between identical back-to-back legs), so grouping all big legs
-    # before all small ones would let one storm bias a whole side
-    big_runs: list[dict] = []
-    small_runs: list[dict] = []
-    for _ in range(repeats):
-        big_runs.append(
-            _run_isolated(big, sf_dir, spatial_only=True, pages_profile=profile)
+    # steal gate (VERDICT r2 #2): a leg measured during a hypervisor steal
+    # storm is contaminated regardless of best-of-K — r2's recorded 0.604
+    # efficiency came from legs measured during an all-day degraded window
+    # while the engine itself had gotten faster. Gating discipline:
+    #   * PRIMARY: ambient steal (idle-sampled immediately before the leg,
+    #     see _ambient_steal) must be <= AMBIENT_GATE, else skip the slot
+    #     entirely (short backoff — don't burn a 10-minute leg in a storm).
+    #   * BACKSTOP: in-run steal must be <= STEAL_GATE (loose: in-run steal
+    #     is partly self-induced on this oversubscribed box, so a tight
+    #     in-run gate would discard the *fastest* legs — measured r2).
+    # Discarded/storm-skipped slots are recorded; kept legs all satisfied
+    # both gates, so the recorded efficiency measures the engine.
+    ambient_gate = float(os.environ.get("SPARK_GRAFT_AMBIENT_GATE", "1.0"))
+    gate = float(os.environ.get("SPARK_GRAFT_STEAL_GATE", "5.0"))
+    max_attempts = repeats + int(os.environ.get("SPARK_GRAFT_GATE_RETRIES", "4"))
+
+    # interleave big/small slots: host noise is episodic (measured 3x wall
+    # swings between identical back-to-back legs) — grouping all big legs
+    # before all small ones would let one storm bias a whole SIDE of the
+    # efficiency ratio, which is exactly the r2 failure mode
+    kept: dict[int, list[dict]] = {big: [], small: []}
+    disc: dict[int, list[dict]] = {big: [], small: []}
+    attempts = {big: 0, small: 0}
+
+    def _one_slot(cpu_count: int) -> None:
+        attempts[cpu_count] += 1
+        amb = _ambient_steal()
+        if amb > ambient_gate:
+            print(
+                f"[bench gate] ambient steal {amb}% > {ambient_gate}% — "
+                f"storm; backing off 30s, cpus={cpu_count} slot discarded",
+                file=sys.stderr,
+                flush=True,
+            )
+            disc[cpu_count].append(
+                {"ambient_steal_pct": amb, "storm_skipped": True}
+            )
+            time.sleep(30)
+            return
+        r = _run_isolated(
+            cpu_count, sf_dir, spatial_only=True, pages_profile=profile
         )
-        small_runs.append(
-            _run_isolated(small, sf_dir, spatial_only=True, pages_profile=profile)
-        )
-    big_run = max(big_runs, key=lambda r: r["spatial_rows_per_sec"])
-    small_run = max(small_runs, key=lambda r: r["spatial_rows_per_sec"])
+        r["ambient_steal_pct"] = amb
+        side = kept if r.get("host_steal_pct", 0.0) <= gate else disc
+        side[cpu_count].append(r)
+
+    while True:
+        progressed = False
+        for cpu_count in (big, small):
+            if len(kept[cpu_count]) < repeats and attempts[cpu_count] < max_attempts:
+                _one_slot(cpu_count)
+                progressed = True
+        if not progressed:
+            break
+    for cpu_count in (big, small):
+        if not kept[cpu_count]:  # storm never let up: fall back, flag it
+            kept[cpu_count] = [
+                d for d in disc[cpu_count] if not d.get("storm_skipped")
+            ] or [
+                _run_isolated(
+                    cpu_count, sf_dir, spatial_only=True, pages_profile=profile
+                )
+            ]
+    big_kept, big_disc = kept[big], disc[big]
+    small_kept, small_disc = kept[small], disc[small]
+    big_run = max(big_kept, key=lambda r: r["spatial_rows_per_sec"])
+    small_run = max(small_kept, key=lambda r: r["spatial_rows_per_sec"])
     thr_big = big_run["spatial_rows_per_sec"]
     thr_small = small_run["spatial_rows_per_sec"]
     eff = (thr_big / thr_small) / (big / small)
+
+    def _leg_view(rs):
+        return [
+            (
+                {"storm_skipped": True, "ambient_steal_pct": r["ambient_steal_pct"]}
+                if r.get("storm_skipped")
+                else {
+                    "rows_per_sec": r["spatial_rows_per_sec"],
+                    "steal_pct": r.get("host_steal_pct"),
+                    "ambient_steal_pct": r.get("ambient_steal_pct"),
+                }
+            )
+            for r in rs
+        ]
+
+    def _gated(r: dict) -> bool:
+        # a leg with no ambient sample (ungated fallback run) never counts
+        return bool(
+            r.get("host_steal_pct", 0.0) <= gate
+            and r.get("ambient_steal_pct", float("inf")) <= ambient_gate
+        )
+
     return {
         "cpus_small": small,
         "cpus_big": big,
@@ -323,17 +414,16 @@ def _scaling_runs(sf_dir: str, cpus: int) -> dict:
         "repeats": repeats,
         "spatial_only_legs": True,
         "pages_profile": profile,
+        "steal_gate_pct": gate,
+        "ambient_gate_pct": ambient_gate,
+        "gate_satisfied": _gated(big_run) and _gated(small_run),
         "host_steal_pct_small": small_run.get("host_steal_pct"),
         "host_steal_pct_big": big_run.get("host_steal_pct"),
         "all_legs": {
-            "big": [
-                {"rows_per_sec": r["spatial_rows_per_sec"], "steal_pct": r.get("host_steal_pct")}
-                for r in big_runs
-            ],
-            "small": [
-                {"rows_per_sec": r["spatial_rows_per_sec"], "steal_pct": r.get("host_steal_pct")}
-                for r in small_runs
-            ],
+            "big": _leg_view(big_kept),
+            "small": _leg_view(small_kept),
+            "discarded_big": _leg_view(big_disc),
+            "discarded_small": _leg_view(small_disc),
         },
     }
 

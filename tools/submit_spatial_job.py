@@ -61,7 +61,10 @@ def main() -> None:
     )
     nodes = dfs["nodes"].select("id", "lat", "lon")
     polys = polygons_from_ways(dfs["assembled_ways"])
-    hits = point_in_polygon_join(nodes, polys, res=13, engine="vectorized")
+    # default engine (edges): fully distributed vertex/cover build — the
+    # scale path for dense workloads (r3; vectorized keeps a driver-side
+    # polygon ceiling and is now the documented small-side-only engine)
+    hits = point_in_polygon_join(nodes, polys, res=13)
     n_hits = hits.count()
     tiles = tile_pyramid(nodes, 5, 12)
     write_tiles(tiles, os.path.join(out_dir, "tiles"))

@@ -1,0 +1,79 @@
+"""End-to-end corpus cleaning: the composite every training-data pipeline
+runs, assembled from this engine's primitives in one declarative plan.
+
+    quality/language gate  ->  exact dedup  ->  fuzzy dedup (minhash-LSH
+    pairs -> connected components -> keep the cluster minimum)
+
+Plan shape (100 TB lens):
+* the gate is pure native expressions (lang_id / quality_features) — it
+  rides the scan, prunes before any shuffle;
+* exact dedup is ONE keyed window (min id per content fingerprint) — no
+  roster materialization, no join back;
+* fuzzy dedup only ever touches LSH band-collision candidates (linear-ish
+  at corpus scale) and the CC rounds run on the PAIR table, not the
+  corpus; survivors are removed with a left-anti join (no row growth).
+
+Every stage is individually oracle-checked elsewhere (text_quality,
+text_lang_id, dedup_exact_groups, dedup_minhash_lsh, dedup_cluster_reps);
+the composite has its own end-to-end DuckDB twin in queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import minhash_lsh_pairs
+from .text import content_fingerprint, lang_id, quality_features
+
+__all__ = ["clean_corpus"]
+
+
+def clean_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    langs: tuple[str, ...] = ("en",),
+    min_tokens: int = 10,
+    min_alnum_ratio: float = 0.5,
+    min_stop_ratio: float = 0.01,
+    minhash_threshold: float = 0.5,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Return the cleaned corpus: original columns of every document that
+    (a) passes the language + quality gate, (b) is the minimum-id copy of
+    its exact-content group, and (c) is the minimum-id member of its
+    near-duplicate cluster. Deterministic: every tiebreak is min(id)."""
+    text = F.col(text_col)
+    feats = quality_features(text)
+    gated = docs.where(
+        lang_id(text).isin(*langs)
+        & (feats["n_tokens"] >= F.lit(int(min_tokens)))
+        & (feats["alnum_ratio"] >= F.lit(float(min_alnum_ratio)))
+        & (feats["stop_ratio"] >= F.lit(float(min_stop_ratio)))
+    )
+    # exact dedup: one keyed window, min id per fingerprint
+    wfp = Window.partitionBy("_fp")
+    exact = (
+        gated.withColumn("_fp", content_fingerprint(text))
+        .withColumn("_min_id", F.min(id_col).over(wfp))
+        .where(F.col(id_col) == F.col("_min_id"))
+        .drop("_fp", "_min_id")
+    )
+    # fuzzy dedup on the exact survivors only
+    from ..operators.graph import connected_components
+
+    pairs = minhash_lsh_pairs(
+        exact.select(F.col(id_col).alias("doc_id"), text.alias("text")),
+        threshold=minhash_threshold,
+        n_hashes=n_hashes,
+        n_bands=n_bands,
+        n=shingle_n,
+    )
+    cc = connected_components(pairs, "a", "b")
+    losers = cc.where(F.col("id") != F.col("component")).select("id")
+    return exact.join(
+        losers, exact[id_col] == losers["id"], "left_anti"
+    )

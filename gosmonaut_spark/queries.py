@@ -791,6 +791,191 @@ ranked AS (
 SELECT s_suppkey, s_name, revenue_cents, rank FROM ranked WHERE rank <= 10 ORDER BY rank""",
     )
 
+    # ---- fuzzy-dedup clustering: pairs -> connected components ----------------
+    def q_cluster_reps(spark, sf):
+        # the full corpus-dedup shape: LSH pair generation, then distributed
+        # connected components (large-star/small-star) so every document
+        # gets a deterministic cluster representative (component min id);
+        # singletons never enter the graph op (left join + coalesce)
+        from .operators.graph import connected_components
+
+        d = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(F.col("doc_id") < 200)
+            .select("doc_id", "text")
+        )
+        dup = d.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+        pert = d.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(2_000_000)
+        ).withColumn("text", F.concat(F.col("text"), F.lit(" zq")))
+        docs = d.unionByName(dup).unionByName(pert)
+        pairs = D.minhash_lsh_pairs(
+            docs, threshold=0.5, n_hashes=8, n_bands=4, n=3
+        )
+        cc = connected_components(pairs, "a", "b")
+        joined = docs.join(cc, docs.doc_id == cc.id, "left")
+        rep = F.coalesce(cc.component, docs.doc_id)
+        return (
+            joined.select(
+                docs.doc_id.alias("doc_id"),
+                rep.alias("cluster_rep"),
+                (docs.doc_id == rep).cast("int").alias("is_canonical"),
+            )
+            .orderBy("doc_id")
+        )
+
+    # oracle: same md5 minhash/banding CTEs at threshold 0.5, then exact
+    # transitive closure via a recursive CTE (min reachable id = component)
+    q["dedup_cluster_reps"] = (
+        q_cluster_reps,
+        f"""WITH RECURSIVE all_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 200
+  UNION ALL SELECT doc_id + 2000000, text || ' zq' FROM documents WHERE doc_id < 200
+),
+shing AS (SELECT doc_id, {sh_sql} AS sh FROM all_docs),
+sigs AS (SELECT doc_id, sh, {mh_cols} FROM shing WHERE len(sh) > 0),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+),
+sh2 AS (SELECT doc_id, unnest(sh) AS s FROM shing),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS n_inter
+  FROM cand c JOIN sh2 x ON x.doc_id = c.a JOIN sh2 y ON y.doc_id = c.b AND y.s = x.s
+  GROUP BY c.a, c.b
+),
+pairs AS (
+  SELECT i.a, i.b
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+  WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.5
+),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+reach AS (
+  SELECT u AS id, u AS lbl FROM edges
+  UNION
+  SELECT e.v AS id, r.lbl FROM reach r JOIN edges e ON e.u = r.id WHERE r.lbl < e.v
+),
+comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+SELECT d.doc_id AS doc_id,
+       COALESCE(c.component, d.doc_id) AS cluster_rep,
+       CAST(CASE WHEN COALESCE(c.component, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS INT) AS is_canonical
+FROM all_docs d LEFT JOIN comp c ON c.id = d.doc_id
+ORDER BY doc_id""",
+    )
+
+    # ---- as-of join (time-series nearest-event; DuckDB-native oracle) ---------
+    def q_asof_view(spark, sf):
+        # each purchase annotated with the user's latest view at-or-before
+        # it — ONE window sweep, no range join (operators/asof.py); right
+        # side pre-aggregated to unique (key, ts) for tie determinism
+        from .functions.timeops import ntz_epoch_ms
+        from .operators.asof import asof_join
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        left = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        right = (
+            ev.filter(F.col("event_type") == "view")
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias("view_value"))
+        )
+        out = asof_join(left, right, on="user_id", left_ts="ts")
+        return out.select(
+            "event_id",
+            "user_id",
+            ntz_epoch_ms(F.col("ts")).alias("ts_ms"),
+            ntz_epoch_ms(F.col("asof_ts")).alias("view_ts_ms"),
+            F.col("asof_view_value").alias("view_value"),
+        ).orderBy("event_id")
+
+    q["events_asof_view"] = (
+        q_asof_view,
+        """WITH l AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, ts, max(value) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT l.event_id AS event_id, l.user_id AS user_id,
+       epoch_ms(l.ts) AS ts_ms, epoch_ms(r.ts) AS view_ts_ms,
+       r.view_value AS view_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY event_id""",
+    )
+
+    # ---- corpus cleaning composite (gate -> exact dedup -> fuzzy dedup) -------
+    def q_corpus_clean(spark, sf):
+        from .functions.corpus import clean_corpus
+
+        d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+        dup = d.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+        pert = d.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(2_000_000)
+        ).withColumn("text", F.concat(F.col("text"), F.lit(" zq")))
+        corpus = d.unionByName(dup).unionByName(pert)
+        out = clean_corpus(corpus, langs=("en",), min_tokens=10)
+        return out.select(
+            "doc_id", T.token_count("text").alias("n_tokens")
+        ).orderBy("doc_id")
+
+    _lang = T.lang_id_sql("text")
+    _cq = T.quality_features_sql("text")
+    q["corpus_clean"] = (
+        q_corpus_clean,
+        f"""WITH RECURSIVE base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents
+  UNION ALL SELECT doc_id + 2000000, text || ' zq' FROM documents
+),
+gated AS (
+  SELECT doc_id, text, {_cq['n_tokens']} AS n_tokens FROM base
+  WHERE {_lang} = 'en' AND {_cq['n_tokens']} >= 10
+    AND {_cq['alnum_ratio']} >= 0.5 AND {_cq['stop_ratio']} >= 0.01
+),
+fps AS (SELECT doc_id, text, n_tokens,
+        {T.content_fingerprint_sql('text')} AS fp FROM gated),
+exact AS (
+  SELECT doc_id, text, n_tokens FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS min_id FROM fps
+  ) WHERE doc_id = min_id
+),
+shing AS (SELECT doc_id, {sh_sql} AS sh FROM exact),
+sigs AS (SELECT doc_id, sh, {mh_cols} FROM shing WHERE len(sh) > 0),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+),
+sh2 AS (SELECT doc_id, unnest(sh) AS s FROM shing),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS n_inter
+  FROM cand c JOIN sh2 x ON x.doc_id = c.a JOIN sh2 y ON y.doc_id = c.b AND y.s = x.s
+  GROUP BY c.a, c.b
+),
+pairs AS (
+  SELECT i.a, i.b
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+  WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.5
+),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+reach AS (
+  SELECT u AS id, u AS lbl FROM edges
+  UNION
+  SELECT e.v AS id, r.lbl FROM reach r JOIN edges e ON e.u = r.id WHERE r.lbl < e.v
+),
+comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+SELECT d.doc_id AS doc_id, d.n_tokens AS n_tokens
+FROM exact d LEFT JOIN comp c ON c.id = d.doc_id
+WHERE COALESCE(c.component, d.doc_id) = d.doc_id
+ORDER BY doc_id""",
+    )
+
     return q
 
 

@@ -1,0 +1,155 @@
+"""Connected components (large-star/small-star) and as-of join.
+
+CC oracle: a pure-Python union-find over the same edge list — exact for
+any graph shape. As-of oracle: DuckDB ASOF JOIN on the same rows.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gosmonaut_spark.operators.asof import asof_join
+from gosmonaut_spark.operators.graph import connected_components
+
+
+def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _check_cc(spark, edges: list[tuple[int, int]]):
+    df = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["a", "b"]).astype("int64")
+    )
+    got = {
+        r.id: r.component for r in connected_components(df, "a", "b").collect()
+    }
+    assert got == _uf_components(edges)
+
+
+def test_cc_basic_shapes(spark):
+    # triangle + pair + bridge node merging two pairs
+    _check_cc(spark, [(1, 2), (2, 3), (3, 1), (10, 11), (20, 21), (21, 22)])
+
+
+def test_cc_long_chain_converges_logarithmically(spark):
+    # a 200-node path: min-label propagation would need ~200 rounds —
+    # the star alternation must finish inside the 50-round cap
+    _check_cc(spark, [(i, i + 1) for i in range(200)])
+
+
+def test_cc_duplicate_and_reversed_edges(spark):
+    _check_cc(spark, [(5, 9), (9, 5), (5, 9), (9, 40), (40, 5)])
+
+
+def test_cc_random_graphs_match_union_find(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 120
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(150)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        _check_cc(spark, edges)
+
+
+def test_cc_empty_pairs(spark):
+    df = spark.createDataFrame([], "a long, b long")
+    assert connected_components(df, "a", "b").count() == 0
+
+
+def _events_pd(seed: int = 3, n: int = 400, users: int = 12) -> pd.DataFrame:
+    rng = random.Random(seed)
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for i in range(n):
+        rows.append(
+            {
+                "event_id": i,
+                "user_id": rng.randrange(users),
+                "ts": base + pd.Timedelta(seconds=rng.randrange(100_000)),
+                "event_type": rng.choice(["view", "purchase"]),
+                "value": round(rng.random() * 100, 3),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+@pytest.mark.parametrize("direction,op", [("backward", ">="), ("forward", "<=")])
+def test_asof_join_matches_duckdb(spark, direction, op):
+    pdf = _events_pd()
+    ev = spark.createDataFrame(pdf)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # unique (key, ts) on the right: determinism contract (see module doc)
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = asof_join(
+        left, right, on="user_id", left_ts="ts", direction=direction
+    )
+    got = (
+        out.select("event_id", "asof_ts", "asof_view_value")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+    con = duckdb.connect()
+    con.register("ev", pdf)
+    want = con.sql(
+        f"""
+        WITH l AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
+             r AS (SELECT user_id, ts, max(value) AS view_value
+                   FROM ev WHERE event_type = 'view' GROUP BY 1, 2)
+        SELECT l.event_id, r.ts AS asof_ts, r.view_value AS asof_view_value
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts {op} r.ts
+        ORDER BY l.event_id
+        """
+    ).df()
+    assert len(got) == len(want)
+    for c in ("asof_ts", "asof_view_value"):
+        g, w = got[c], want[c]
+        assert (g.isna() == w.isna()).all(), c
+        mask = ~g.isna()
+        assert (g[mask].to_numpy() == w[mask].to_numpy()).all(), c
+
+
+def test_asof_tolerance_voids_stale_matches(spark):
+    base = pd.Timestamp("2024-01-01")
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [1, 1], "ts": [base + pd.Timedelta(seconds=s) for s in (100, 5000)]}
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [1], "ts": [base], "x": [7.0]}
+        )
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", tolerance_ms=200_000
+    ).orderBy("ts")
+    rows = out.collect()
+    assert rows[0].asof_x == 7.0  # 100 s gap, inside 200 s tolerance
+    assert rows[1].asof_x is None  # 5000 s gap, voided

@@ -126,6 +126,7 @@ def lsh_bucket_table(
     dim: int,
     seed: int = 42,
     out_col: str = "__bkts",
+    out_norm: str | None = None,
 ) -> DataFrame:
     """All ``n_tables`` bucket ids in ONE vectorized Arrow pass.
 
@@ -144,6 +145,13 @@ def lsh_bucket_table(
     source): per batch the cost is ``dim`` numpy FMAs over an
     (M, n_tables*n_bits) accumulator, one sign test, one weighted sum —
     no JVM lambda interpretation, no JIT-tier dependence.
+
+    ``out_norm``: also emit the vector's L2 norm (double), accumulated in
+    the same explicit left-to-right element order as the :func:`norm`
+    Catalyst fold and the DuckDB ``list_reduce`` twin — bit-identical, and
+    it rides the matrix already stacked for the bucket computation (zero
+    extra passes; keeps the per-row interpreted ``norm`` fold out of the
+    LSH hot path).
     """
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
@@ -180,25 +188,65 @@ def lsh_bucket_table(
             flat = pa.array(bkts.reshape(-1), type=pa.int64())
             offsets = pa.array(np.arange(m + 1, dtype=np.int32) * n_t)
             lst = pa.ListArray.from_arrays(offsets, flat)
-            yield pa.RecordBatch.from_arrays(
-                list(rb.columns) + [lst], names=list(rb.schema.names) + [out_col]
-            )
+            cols = list(rb.columns) + [lst]
+            names = list(rb.schema.names) + [out_col]
+            if out_norm is not None:
+                sq = np.zeros(m)
+                for i in range(dim):
+                    x = mat[:, i]
+                    sq = sq + x * x
+                cols.append(pa.array(np.sqrt(sq), type=pa.float64()))
+                names.append(out_norm)
+            yield pa.RecordBatch.from_arrays(cols, names=names)
 
-    schema = StructType(list(df.schema.fields) + [StructField(out_col, ArrayType(LongType()))])
+    from pyspark.sql.types import DoubleType
+
+    fields = list(df.schema.fields) + [StructField(out_col, ArrayType(LongType()))]
+    if out_norm is not None:
+        fields.append(StructField(out_norm, DoubleType()))
+    schema = StructType(fields)
     return df.mapInArrow(fn, schema)
 
 
 def _bucketed(
-    df: DataFrame, vec: str, n_bits: int, n_tables: int, dim: int, seed: int = 42
+    df: DataFrame,
+    vec: str,
+    n_bits: int,
+    n_tables: int,
+    dim: int,
+    seed: int = 42,
+    norm_col: str | None = None,
 ) -> DataFrame:
     """(rows x tables) bucket assignment: one Arrow pass computes every
-    table's bucket, a codegen'd posexplode fans out — the target table is
-    scanned ONCE for all tables (the r2 plan re-derived buckets per table
-    in 2x n_tables union branches)."""
-    b = lsh_bucket_table(df, vec, n_bits, n_tables, dim, seed)
+    table's bucket (and optionally the row's norm), a codegen'd posexplode
+    fans out — the target table is scanned ONCE for all tables (the r2
+    plan re-derived buckets per table in 2x n_tables union branches)."""
+    b = lsh_bucket_table(df, vec, n_bits, n_tables, dim, seed, out_norm=norm_col)
+    extra = [norm_col] if norm_col is not None else []
     return b.select(
-        *df.columns, F.posexplode("__bkts").alias("tbl", "bkt")
+        *df.columns, *extra, F.posexplode("__bkts").alias("tbl", "bkt")
     )
+
+
+def dot_codegen(a: Column, b: Column, dim: int) -> Column:
+    """Unrolled dot product for the candidate re-rank: ``dim`` literal
+    ``element_at`` product terms accumulated left-to-right.
+
+    Same IEEE sequence as the :func:`dot` fold (acc starts at 0.0, one
+    rounding per multiply and per add, float32 widened to double first)
+    and as DuckDB's ``list_reduce`` — oracle hashes are unchanged. Unlike
+    the fold it is whole-stage-codegen (one compiled Java method, no
+    per-element lambda interpretation — the r2/r3 ANN instability source),
+    and unlike an Arrow pass it never ships the candidate pairs' vectors
+    to Python workers (measured: the Arrow re-rank was fine standalone but
+    2-5x worse inside the full bench suite under memory pressure). Same
+    discipline as the PIP edges engine's unrolled ray cast."""
+    acc: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        acc = acc + F.element_at(a, i).cast("double") * F.element_at(b, i).cast(
+            "double"
+        )
+    return acc
 
 
 def cosine_topk_lsh(
@@ -245,17 +293,15 @@ def cosine_topk_lsh(
     # on the vector columns — shuffling two 64-float arrays per candidate
     # through a distinct was the dominant byte volume at scale.
     q = queries.select(
-        F.col(query_id).alias("query_id"),
-        F.col(vec).alias("qv"),
-        norm(F.col(vec)).alias("qn"),
+        F.col(query_id).alias("query_id"), F.col(vec).alias("qv")
     )
     t = targets.select(
-        F.col(target_id).alias("target_id"),
-        F.col(vec).alias("tv"),
-        norm(F.col(vec)).alias("tn"),
+        F.col(target_id).alias("target_id"), F.col(vec).alias("tv")
     )
-    qb = _bucketed(q, "qv", n_bits, n_tables, dim)
-    tb = _bucketed(t, "tv", n_bits, n_tables, dim)
+    # norms ride the bucket Arrow pass (same stacked matrix, zero extra
+    # scans) — no interpreted norm fold anywhere in this plan
+    qb = _bucketed(q, "qv", n_bits, n_tables, dim, norm_col="qn")
+    tb = _bucketed(t, "tv", n_bits, n_tables, dim, norm_col="tn")
     handles = []
     if max_bucket_targets is not None:
         # the cap makes tb feed two consumers (sizes agg + the join) —
@@ -284,9 +330,10 @@ def cosine_topk_lsh(
         .select(
             "query_id",
             "target_id",
-            (dot(F.col("qv"), F.col("tv")) / (F.col("qn") * F.col("tn"))).alias(
-                "cos_sim"
-            ),
+            (
+                dot_codegen(F.col("qv"), F.col("tv"), dim)
+                / (F.col("qn") * F.col("tn"))
+            ).alias("cos_sim"),
         )
         .distinct()
     )
@@ -326,13 +373,9 @@ def cosine_pairs_lsh(
     cannot cross-product the join); raise n_bits before reaching for it."""
     if multiprobe not in (0, 1):
         raise ValueError("multiprobe supports 0 (off) or 1 (single-bit probes)")
-    # same norm-precompute + scalar-dedup discipline as cosine_topk_lsh
-    d = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(vec).alias("v"),
-        norm(F.col(vec)).alias("vn"),
-    )
-    b = _bucketed(d, "v", n_bits, n_tables, dim)
+    # same Arrow-pass norm + scalar-dedup discipline as cosine_topk_lsh
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(vec).alias("v"))
+    b = _bucketed(d, "v", n_bits, n_tables, dim, norm_col="vn")
     handles = []
     if max_bucket is not None or multiprobe == 1:
         # bucketed table feeds 2-3 consumers (sizes agg, both join sides)
@@ -361,9 +404,10 @@ def cosine_pairs_lsh(
         .select(
             "a",
             "b",
-            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
-                "cos_sim"
-            ),
+            (
+                dot_codegen(F.col("va"), F.col("vb"), dim)
+                / (F.col("na") * F.col("nb"))
+            ).alias("cos_sim"),
         )
         .distinct()
         .filter(F.col("cos_sim") >= threshold)

@@ -117,6 +117,19 @@ def run_suite(
             file=sys.stderr,
             flush=True,
         )
+        # inter-leg hygiene, OUTSIDE the timed window: in production each
+        # of these queries is its own spark-submit with a fresh heap; here
+        # they share one JVM, and a leg otherwise inherits its predecessors'
+        # retained cache blocks + unreclaimed heap (measured: the last leg
+        # ran 4.6-13s standalone vs 23-93s in-suite with identical plans —
+        # GC debt + storage pressure, not the query). Clearing cache and
+        # forcing one full GC makes each measured leg start from the state
+        # its production twin would have.
+        try:
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     # decode parallelism: the fixture is one ~45MB file (12 splits at the
     # 4MB split size) — at real scale pages arrive in thousands of splits,
@@ -201,6 +214,7 @@ def run_suite(
 
     # 5. minhash-LSH dedup over documents
     def _dedup():
+        from gosmonaut_spark.functions.caching import cached_scope
         from gosmonaut_spark.functions.dedup import minhash_lsh_pairs
 
         # repartition: the raw table is a single small file (one split),
@@ -210,13 +224,17 @@ def run_suite(
         dup = d.select("doc_id", "text").withColumn(
             "doc_id", F.col("doc_id") + F.lit(10_000_000)
         )
-        return minhash_lsh_pairs(
-            d.select("doc_id", "text").unionByName(dup),
-            threshold=0.8,
-            n_hashes=16,
-            n_bands=4,
-            hash_fn="xxhash64",  # throughput path; md5 stays oracle-side
-        ).count()
+        # cached_scope: release the persisted signature/shingle tables when
+        # the leg ends instead of letting them occupy storage memory for
+        # the remaining legs
+        with cached_scope():
+            return minhash_lsh_pairs(
+                d.select("doc_id", "text").unionByName(dup),
+                threshold=0.8,
+                n_hashes=16,
+                n_bands=4,
+                hash_fn="xxhash64",  # throughput path; md5 stays oracle-side
+            ).count()
 
     run("dedup_minhash", _dedup)
 

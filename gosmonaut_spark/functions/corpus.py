@@ -24,9 +24,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import minhash_lsh_pairs
-from .text import content_fingerprint, lang_id, quality_features
+from .text import content_fingerprint, lang_id, quality_features, tokens
 
-__all__ = ["clean_corpus"]
+__all__ = ["clean_corpus", "tfidf_top_terms"]
 
 
 def clean_corpus(
@@ -76,4 +76,58 @@ def clean_corpus(
     losers = cc.where(F.col("id") != F.col("component")).select("id")
     return exact.join(
         losers, exact[id_col] == losers["id"], "left_anti"
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf.
+
+    Returns (id, term, tf, df, tfidf_raw, rank): term frequency within the
+    document, document frequency across the corpus, the raw-inverse-
+    frequency score tf * N / df, and the per-document rank.
+
+    Determinism: ranking never touches the double score — ties are broken
+    by (tf DESC, df ASC, term ASC), all integer/string comparisons, and
+    the score itself is one multiply + one divide of exact integers
+    (cross-engine bit-identical). A log-idf would hang correctness on two
+    engines' libm — raw inverse frequency keeps the oracle exact and
+    preserves the ranking semantics (log is monotone in N/df).
+
+    Plan shape (100 TB lens): explode-once wordcount — tf is one
+    hash-aggregate on (id, term), df one on (term); df joins back on the
+    term key (AQE broadcasts it when small); N arrives via a broadcast
+    1-row cross join, never a driver collect. The final top-k is a bounded
+    per-document window.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = (
+        toks.select("_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n = docs.select(F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy("_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf_raw",
+            F.col("tf").cast("double") * F.col("_n") / F.col("df"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= F.lit(int(k)))
+        .select(
+            F.col("_id").alias(id_col), "term", "tf", "df", "tfidf_raw", "rank"
+        )
     )

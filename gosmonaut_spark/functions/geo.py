@@ -27,3 +27,108 @@ def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
         f"cos(radians({lat1})) * cos(radians({lat2})) * "
         f"pow(sin(radians(({lon2}) - ({lon1})) / 2), 2)))"
     )
+
+
+# ---------------------------------------------------------------------------
+# polygon metrics (shoelace area + centroid) in integer micro-units
+#
+# Planar doubles summed across rows round differently per shuffle order, so
+# the per-edge cross terms are rounded to BIGINT micro-units FIRST and only
+# integers are ever summed — the same discipline as money-in-cents
+# (queries.py) and bit-exact vs the DuckDB twin. Inputs are closed rings
+# (first vertex == last, the polygons_from_ways/_rects shape); signs follow
+# ring orientation (CCW positive).
+#
+# All per-ring math happens INSIDE one row via higher-order functions over
+# the vertex arrays — no explode, no shuffle, rides the scan.
+# ---------------------------------------------------------------------------
+
+_MICRO = 1_000_000.0
+
+
+def _cross_micro(lats: Column, lons: Column, i: Column) -> Column:
+    x1, y1 = F.element_at(lons, i), F.element_at(lats, i)
+    x2, y2 = F.element_at(lons, i + 1), F.element_at(lats, i + 1)
+    return F.round((x1 * y2 - x2 * y1) * F.lit(_MICRO)).cast("long")
+
+
+def polygon_stats(lats: Column | str, lons: Column | str) -> dict[str, Column]:
+    """Per-ring metrics from closed vertex arrays:
+
+    * ``n_vertices`` — distinct ring vertices (closing vertex excluded)
+    * ``area2x_micro`` — signed 2*area in degree^2 micro-units (shoelace)
+    * ``cx_num_micro`` / ``cy_num_micro`` — centroid numerators
+      (sum (v_i + v_{i+1}) * cross_i, micro-rounded); centroid =
+      num / (3 * area2x) for callers wanting the float
+    """
+    la = F.col(lats) if isinstance(lats, str) else lats
+    lo = F.col(lons) if isinstance(lons, str) else lons
+    idx = F.sequence(F.lit(1), F.size(la) - F.lit(1))
+
+    def _sum(parts: Column) -> Column:
+        return F.aggregate(
+            parts, F.lit(0).cast("long"), lambda acc, v: acc + v
+        )
+
+    cross = F.transform(idx, lambda i: _cross_micro(la, lo, i))
+    cxn = F.transform(
+        idx,
+        lambda i: F.round(
+            (F.element_at(lo, i) + F.element_at(lo, i + 1))
+            * (
+                F.element_at(lo, i) * F.element_at(la, i + 1)
+                - F.element_at(lo, i + 1) * F.element_at(la, i)
+            )
+            * F.lit(_MICRO)
+        ).cast("long"),
+    )
+    cyn = F.transform(
+        idx,
+        lambda i: F.round(
+            (F.element_at(la, i) + F.element_at(la, i + 1))
+            * (
+                F.element_at(lo, i) * F.element_at(la, i + 1)
+                - F.element_at(lo, i + 1) * F.element_at(la, i)
+            )
+            * F.lit(_MICRO)
+        ).cast("long"),
+    )
+    return {
+        "n_vertices": (F.size(la) - F.lit(1)).cast("int"),
+        "area2x_micro": _sum(cross),
+        "cx_num_micro": _sum(cxn),
+        "cy_num_micro": _sum(cyn),
+    }
+
+
+def polygon_stats_sql(lats: str, lons: str) -> dict[str, str]:
+    """DuckDB twin — identical per-edge rounding and integer sums (1-based
+    list indexing on both engines; list folds are order-free because every
+    element is already a BIGINT)."""
+    idx = f"range(1, len({lats}))"
+    cross = (
+        f"CAST(round(({lons}[i] * {lats}[i + 1] - {lons}[i + 1] * {lats}[i])"
+        f" * {_MICRO!r}) AS BIGINT)"
+    )
+    cxn = (
+        f"CAST(round(({lons}[i] + {lons}[i + 1]) * "
+        f"({lons}[i] * {lats}[i + 1] - {lons}[i + 1] * {lats}[i])"
+        f" * {_MICRO!r}) AS BIGINT)"
+    )
+    cyn = (
+        f"CAST(round(({lats}[i] + {lats}[i + 1]) * "
+        f"({lons}[i] * {lats}[i + 1] - {lons}[i + 1] * {lats}[i])"
+        f" * {_MICRO!r}) AS BIGINT)"
+    )
+
+    def _sum(term: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform({idx}, i -> {term})) AS BIGINT)"
+        )
+
+    return {
+        "n_vertices": f"CAST(len({lats}) - 1 AS INT)",
+        "area2x_micro": _sum(cross),
+        "cx_num_micro": _sum(cxn),
+        "cy_num_micro": _sum(cyn),
+    }

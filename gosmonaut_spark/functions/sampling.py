@@ -1,0 +1,137 @@
+"""Deterministic sampling for training-data pipelines.
+
+`df.sample()` is seed-stable only per partitioning — a repartition, AQE
+re-plan, or executor loss changes which rows survive. At 100 TB, sample
+membership must be a PURE FUNCTION of the row (so reruns, backfills and
+the DuckDB oracle all agree), so every sampler here derives a uniform
+from md5 of the row id (identical hex on Spark/DuckDB; the repo-wide
+cross-engine hash discipline, see functions/text.py):
+
+    u(id) = conv(md5(salt || id)[:15 hex], 16, 10) / 2^60   in [0, 1)
+
+All comparisons against u are single IEEE-double ops (one division, one
+compare) — bit-identical on both engines, so value-hash oracle checks
+pass exactly.
+
+Plan shape (100 TB lens): every sampler is a scan-riding filter or
+projection — no shuffle, no sort, no sampling-induced skew. The
+stratified rates arrive as a broadcast-free literal CASE (strata counts
+are small by definition); nothing touches the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hash_uniform",
+    "hash_uniform_sql",
+    "stratified_sample",
+    "weighted_sample",
+    "hash_split",
+    "hash_split_sql",
+]
+
+_U_DENOM = float(1 << 60)  # 15 hex chars = 60 bits
+
+
+def hash_uniform(id_col: Column | str, salt: str = "") -> Column:
+    """Deterministic uniform in [0, 1) from the row id (md5, 60 bits)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(F.concat(F.lit(salt), c.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") / F.lit(_U_DENOM)
+
+
+def hash_uniform_sql(expr: str, salt: str = "") -> str:
+    """DuckDB twin — textually the same arithmetic."""
+    return (
+        f"CAST(('0x' || substr(md5('{salt}' || CAST({expr} AS VARCHAR)), 1, 15))"
+        f" AS BIGINT) / {_U_DENOM!r}"
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    default_rate: float = 0.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum Bernoulli sample: keep a row iff u(id) < rate[stratum].
+
+    The `sampleBy` analog, but membership is a pure function of (id,
+    stratum rates) — stable across reruns, partitionings and engines.
+    Rates fold into one literal CASE expression riding the scan."""
+    rate: Column = F.lit(float(default_rate))
+    for s in sorted(rates, reverse=True):
+        rate = F.when(F.col(stratum_col) == F.lit(s), F.lit(float(rates[s]))).otherwise(
+            rate
+        )
+    return df.where(hash_uniform(id_col, salt) < rate)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    scale: float = 1.0,
+    salt: str = "wt",
+) -> DataFrame:
+    """Poisson (Bernoulli) weighted sample: P(keep) = min(1, scale * w).
+
+    Inclusion probability proportional to the row weight — the standard
+    probability-proportional-to-size design for quality-weighted corpus
+    subsampling. Expected sample size = scale * sum(w); membership is
+    again a pure row function (no transcendentals, so the DuckDB twin is
+    bit-exact — deliberately Poisson rather than Efraimidis-Spirakis
+    top-k, whose u^(1/w) key has no cross-engine pow guarantee)."""
+    p = F.least(F.lit(1.0), F.col(weight_col).cast("double") * F.lit(float(scale)))
+    return df.where(hash_uniform(id_col, salt) < p)
+
+
+def hash_split(
+    id_col: Column | str,
+    fracs: dict[str, float],
+    salt: str = "split",
+) -> Column:
+    """Deterministic dataset-split label ('train'/'valid'/'test', ...).
+
+    `fracs` maps label -> fraction; fractions are laid out as cumulative
+    [0,1) intervals in sorted-label order and the row's u(id) picks its
+    interval. Fractions must sum to 1 (+-1e-9). A row's split never
+    changes as the corpus grows — the property shuffling-based splits
+    lack."""
+    total = sum(fracs.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    u = hash_uniform(id_col, salt)
+    labels = sorted(fracs)
+    # nested WHENs, lowest threshold innermost: each row takes the first
+    # cumulative interval whose upper bound exceeds its u; the last label
+    # absorbs fp slack at the top of [0, 1)
+    expr: Column = F.lit(labels[-1])
+    hi = 0.0
+    cuts = []
+    for lab in labels[:-1]:
+        hi += fracs[lab]
+        cuts.append((lab, hi))
+    for lab, cut in reversed(cuts):
+        expr = F.when(u < F.lit(cut), F.lit(lab)).otherwise(expr)
+    return expr
+
+
+def hash_split_sql(expr: str, fracs: dict[str, float], salt: str = "split") -> str:
+    """DuckDB twin of hash_split — identical interval arithmetic."""
+    u = hash_uniform_sql(expr, salt)
+    labels = sorted(fracs)
+    out = f"'{labels[-1]}'"
+    hi = 0.0
+    cuts = []
+    for lab in labels[:-1]:
+        hi += fracs[lab]
+        cuts.append((lab, hi))
+    for lab, cut in reversed(cuts):
+        out = f"CASE WHEN ({u}) < {cut!r} THEN '{lab}' ELSE {out} END"
+    return out

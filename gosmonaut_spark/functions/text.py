@@ -230,3 +230,29 @@ def shingles_sql(expr: str, n: int = 3) -> str:
         f"CASE WHEN {k} > 0 THEN list_distinct({grams}) "
         f"ELSE CAST([] AS VARCHAR[]) END"
     )
+
+
+def ngrams(col: Column | str, n: int = 2) -> Column:
+    """Word n-grams of the normalized text WITH multiplicity (LM-prep
+    counting wants every occurrence; `shingles` above dedups for set
+    similarity). Documents shorter than n tokens yield no n-grams."""
+    toks = tokens(col)
+    k = F.size(toks)
+    return F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(1), k - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngrams_sql(expr: str, n: int = 2) -> str:
+    toks = tokens_sql(expr)
+    k = f"len({toks})"
+    return (
+        f"CASE WHEN {k} >= {n} THEN "
+        f"list_transform(range(1, {k} - {n - 1} + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )

@@ -976,6 +976,261 @@ WHERE COALESCE(c.component, d.doc_id) = d.doc_id
 ORDER BY doc_id""",
     )
 
+    # ---- interval (range-containment) join: grid-bucketed, keyed -------------
+    # 25 synthetic promo windows derived from nation (integer epoch-ms
+    # arithmetic, bit-identical twin below), keyed by user_id % 5 —
+    # exercises the (key, cell) equi-join + exact range filter path.
+    _IV_BASE, _IV_SPAN, _IV_HOUR = 1_704_067_200_000, 2_500_000_000, 3_600_000
+
+    def q_interval_join(spark, sf):
+        from .functions.timeops import ntz_epoch_ms
+        from .operators.interval import interval_join
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        pts = ev.select(
+            "event_id",
+            (F.col("user_id") % F.lit(5)).alias("k5"),
+            ntz_epoch_ms(F.col("ts")).alias("ts_ms"),
+        )
+        na = spark.read.parquet(f"{sf}/nation.parquet")
+        k = F.col("n_nationkey").cast("long")
+        start = F.lit(_IV_BASE) + (k * F.lit(_P1)) % F.lit(_IV_SPAN)
+        iv = na.select(
+            k.alias("interval_id"),
+            (k % F.lit(5)).alias("k5"),
+            start.alias("start_ms"),
+            (start + F.lit(_IV_HOUR) * (F.lit(1) + k % F.lit(31))).alias("end_ms"),
+        )
+        hits = interval_join(
+            pts, iv, point_ts="ts_ms", on="k5", bucket_ms=6 * _IV_HOUR
+        )
+        return (
+            hits.groupBy("interval_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min("event_id").alias("first_event"),
+                F.max("event_id").alias("last_event"),
+            )
+            .orderBy("interval_id")
+        )
+
+    q["events_interval_join"] = (
+        q_interval_join,
+        f"""WITH iv AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS interval_id,
+         CAST(n_nationkey AS BIGINT) % 5 AS k5,
+         {_IV_BASE} + (CAST(n_nationkey AS BIGINT) * {_P1}) % {_IV_SPAN} AS start_ms,
+         {_IV_BASE} + (CAST(n_nationkey AS BIGINT) * {_P1}) % {_IV_SPAN}
+           + {_IV_HOUR} * (1 + CAST(n_nationkey AS BIGINT) % 31) AS end_ms
+  FROM nation
+),
+pts AS (
+  SELECT event_id, user_id % 5 AS k5, epoch_ms(ts) AS ts_ms FROM events
+)
+SELECT iv.interval_id AS interval_id, count(*) AS n_events,
+       min(pts.event_id) AS first_event, max(pts.event_id) AS last_event
+FROM pts JOIN iv ON pts.k5 = iv.k5
+ AND pts.ts_ms >= iv.start_ms AND pts.ts_ms < iv.end_ms
+GROUP BY iv.interval_id ORDER BY interval_id""",
+    )
+
+    # ---- deterministic sampling: stratified rates + hash train/test split ----
+    _RATES = {"de": 0.5, "en": 0.8, "es": 0.25, "fr": 1.0, "zh": 0.1}
+    _FRACS = {"train": 0.8, "valid": 0.1, "test": 0.1}
+
+    def q_sample_split(spark, sf):
+        from .functions.sampling import hash_split, stratified_sample
+
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        s = stratified_sample(d, "lang", _RATES, "doc_id")
+        return (
+            s.withColumn("split", hash_split("doc_id", _FRACS))
+            .groupBy("lang", "split")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min("doc_id").alias("min_id"),
+                F.max("doc_id").alias("max_id"),
+            )
+            .orderBy("lang", "split")
+        )
+
+    from .functions.sampling import hash_split_sql, hash_uniform_sql
+
+    _rate_sql = "0.0"
+    for _lang in sorted(_RATES, reverse=True):
+        _rate_sql = (
+            f"CASE WHEN lang = '{_lang}' THEN {_RATES[_lang]!r} ELSE {_rate_sql} END"
+        )
+    q["sample_stratified_split"] = (
+        q_sample_split,
+        f"""WITH kept AS (
+  SELECT doc_id, lang FROM documents
+  WHERE ({hash_uniform_sql('doc_id', 'strat')}) < ({_rate_sql})
+)
+SELECT lang, {hash_split_sql('doc_id', _FRACS)} AS split,
+       count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM kept GROUP BY 1, 2 ORDER BY lang, split""",
+    )
+
+    def q_sample_weighted(spark, sf):
+        from .functions.sampling import weighted_sample
+
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        return (
+            weighted_sample(d, "n_chars", "doc_id", scale=0.002)
+            .select("doc_id", "n_chars")
+            .orderBy("doc_id")
+        )
+
+    q["sample_weighted"] = (
+        q_sample_weighted,
+        f"""SELECT doc_id, n_chars FROM documents
+WHERE ({hash_uniform_sql('doc_id', 'wt')})
+      < least(1.0, CAST(n_chars AS DOUBLE) * 0.002)
+ORDER BY doc_id""",
+    )
+
+    # ---- tf-idf top terms (integer-ranked; raw inverse frequency score) ------
+    def q_tfidf(spark, sf):
+        from .functions.corpus import tfidf_top_terms
+
+        d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+        return tfidf_top_terms(d, k=3).orderBy("doc_id", "rank")
+
+    _tok = T.tokens_sql("text")
+    q["text_tfidf_top3"] = (
+        q_tfidf,
+        f"""WITH toks AS (
+  SELECT doc_id, unnest({_tok}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS n_tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS n_df FROM toks GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.n_tf, dfreq.n_df,
+         CAST(tf.n_tf AS DOUBLE) * n.n_docs / dfreq.n_df AS tfidf_raw,
+         CAST(row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.n_tf DESC, dfreq.n_df ASC, tf.term ASC) AS INT) AS rank
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, n_tf AS tf, n_df AS df, tfidf_raw, rank
+FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+    )
+
+    # ---- LM-prep n-gram counts: top bigrams per language ---------------------
+    def q_bigrams(spark, sf):
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        bg = d.select(
+            "lang", F.explode(T.ngrams("text", 2)).alias("bigram")
+        )
+        counts = bg.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+        w = Window.partitionBy("lang").orderBy(
+            F.col("n").desc(), F.col("bigram").asc()
+        )
+        return (
+            counts.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= 10)
+            .orderBy("lang", "rank")
+        )
+
+    q["text_bigram_counts"] = (
+        q_bigrams,
+        f"""WITH bg AS (
+  SELECT lang, unnest({T.ngrams_sql('text', 2)}) AS bigram FROM documents
+),
+counts AS (SELECT lang, bigram, count(*) AS n FROM bg GROUP BY 1, 2),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY lang ORDER BY n DESC, bigram ASC) AS INT) AS rank
+  FROM counts
+)
+SELECT lang, bigram, n, rank FROM ranked WHERE rank <= 10
+ORDER BY lang, rank""",
+    )
+
+    # ---- corpus stats: exact rank-based quantiles per language ---------------
+    # approx_percentile has no cross-engine twin; exact quantiles via
+    # row_number picking are bit-identical (pure integer arithmetic) and
+    # still one window + one aggregate at scale.
+    def q_corpus_stats(spark, sf):
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        t = d.select("lang", "doc_id", T.token_count("text").alias("n_tokens"))
+        w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+        cnt = Window.partitionBy("lang")
+        r = t.withColumn("rk", F.row_number().over(w)).withColumn(
+            "n", F.count(F.lit(1)).over(cnt)
+        )
+        med = F.floor((F.col("n") + 1) / F.lit(2.0)).cast("long")
+        p90 = F.floor((F.col("n") * 9 + 9) / F.lit(10.0)).cast("long")
+        return (
+            r.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min("n_tokens").alias("min_tokens"),
+                F.max("n_tokens").alias("max_tokens"),
+                F.max(F.when(F.col("rk") == med, F.col("n_tokens"))).alias(
+                    "median_tokens"
+                ),
+                F.max(F.when(F.col("rk") == p90, F.col("n_tokens"))).alias(
+                    "p90_tokens"
+                ),
+            )
+            .orderBy("lang")
+        )
+
+    _ntok = T.token_count_sql("text")
+    q["corpus_stats_quantiles"] = (
+        q_corpus_stats,
+        f"""WITH t AS (SELECT lang, doc_id, {_ntok} AS n_tokens FROM documents),
+r AS (
+  SELECT lang, n_tokens,
+         row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM t
+)
+SELECT lang, count(*) AS n_docs, min(n_tokens) AS min_tokens,
+       max(n_tokens) AS max_tokens,
+       max(CASE WHEN rk = CAST(floor((n + 1) / 2.0) AS BIGINT)
+                THEN n_tokens END) AS median_tokens,
+       max(CASE WHEN rk = CAST(floor((n * 9 + 9) / 10.0) AS BIGINT)
+                THEN n_tokens END) AS p90_tokens
+FROM r GROUP BY lang ORDER BY lang""",
+    )
+
+    # ---- polygon metrics: integer-micro shoelace area + centroid sums --------
+    def q_polygon_stats(spark, sf):
+        from .functions.geo import polygon_stats
+
+        r = _rects(spark, sf)
+        st = polygon_stats("lats", "lons")
+        return r.select(
+            "polygon_id",
+            st["n_vertices"].alias("n_vertices"),
+            st["area2x_micro"].alias("area2x_micro"),
+            st["cx_num_micro"].alias("cx_num_micro"),
+            st["cy_num_micro"].alias("cy_num_micro"),
+        ).orderBy("polygon_id")
+
+    from .functions.geo import polygon_stats_sql
+
+    _pst = polygon_stats_sql("lats", "lons")
+    q["geo_polygon_stats"] = (
+        q_polygon_stats,
+        f"""WITH rects AS ({_RECTS_SQL}),
+rings AS (
+  SELECT polygon_id,
+         [cy - h, cy - h, cy + h, cy + h, cy - h] AS lats,
+         [cx - w, cx + w, cx + w, cx - w, cx - w] AS lons
+  FROM rects
+)
+SELECT polygon_id, {_pst['n_vertices']} AS n_vertices,
+       {_pst['area2x_micro']} AS area2x_micro,
+       {_pst['cx_num_micro']} AS cx_num_micro,
+       {_pst['cy_num_micro']} AS cy_num_micro
+FROM rings ORDER BY polygon_id""",
+    )
+
     return q
 
 

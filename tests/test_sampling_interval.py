@@ -1,0 +1,244 @@
+"""Deterministic sampling, interval join, tf-idf, polygon metrics.
+
+Oracles: pure-Python brute force for the interval join and polygon
+shoelace (re-derived with independent arithmetic), python hashlib.md5 for
+the samplers (independent of both engines' md5), and a hand-rolled
+tf/df counter for tf-idf. The DuckDB cross-engine twins additionally run
+via the driver correctness gate (queries.py entries).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gosmonaut_spark.functions.sampling import (
+    hash_split,
+    hash_uniform,
+    stratified_sample,
+    weighted_sample,
+)
+from gosmonaut_spark.operators.interval import interval_join
+
+
+def _py_uniform(val, salt: str) -> float:
+    h = hashlib.md5((salt + str(val)).encode()).hexdigest()
+    return int(h[:15], 16) / float(1 << 60)
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+
+def test_hash_uniform_matches_python_md5(spark):
+    df = spark.range(0, 200).select(
+        F.col("id"), hash_uniform("id", "s1").alias("u")
+    )
+    for r in df.collect():
+        assert r.u == pytest.approx(_py_uniform(r.id, "s1"), abs=0.0), r.id
+
+
+def test_stratified_sample_membership_is_pure(spark):
+    pdf = pd.DataFrame(
+        {"doc_id": range(500), "lang": [["en", "de", "zh"][i % 3] for i in range(500)]}
+    )
+    df = spark.createDataFrame(pdf)
+    rates = {"en": 0.7, "de": 0.3, "zh": 0.0}
+    got = {r.doc_id for r in stratified_sample(df, "lang", rates, "doc_id").collect()}
+    want = {
+        i
+        for i in range(500)
+        if _py_uniform(i, "strat") < rates[["en", "de", "zh"][i % 3]]
+    }
+    assert got == want
+    assert not any(i % 3 == 2 for i in got)  # zh rate 0 -> excluded
+    # repartitioning must not change membership (the df.sample failure mode)
+    got2 = {
+        r.doc_id
+        for r in stratified_sample(
+            df.repartition(13), "lang", rates, "doc_id"
+        ).collect()
+    }
+    assert got2 == got
+
+
+def test_weighted_sample_inclusion_proportional(spark):
+    pdf = pd.DataFrame({"doc_id": range(2000), "w": [(i % 100) + 1 for i in range(2000)]})
+    df = spark.createDataFrame(pdf)
+    kept = weighted_sample(df, "w", "doc_id", scale=0.005).collect()
+    want = {
+        i for i in range(2000) if _py_uniform(i, "wt") < min(1.0, ((i % 100) + 1) * 0.005)
+    }
+    assert {r.doc_id for r in kept} == want
+    # heavier rows must be sampled at a visibly higher rate
+    hi = sum(1 for r in kept if r.w > 80) / sum(1 for i in range(2000) if i % 100 + 1 > 80)
+    lo = sum(1 for r in kept if r.w <= 20) / sum(1 for i in range(2000) if i % 100 + 1 <= 20)
+    assert hi > lo
+
+
+def test_hash_split_fractions_and_stability(spark):
+    fracs = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    df = spark.range(0, 5000).select("id", hash_split("id", fracs).alias("split"))
+    counts = {r.split: r.n for r in df.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "valid", "test"}
+    assert counts["train"] / 5000 == pytest.approx(0.8, abs=0.03)
+    # growing the corpus never reassigns an existing row's split
+    small = {r.id: r.split for r in df.where(F.col("id") < 1000).collect()}
+    again = {
+        r.id: r.split
+        for r in spark.range(0, 1000)
+        .select("id", hash_split("id", fracs).alias("split"))
+        .collect()
+    }
+    assert small == again
+    with pytest.raises(ValueError):
+        hash_split("id", {"a": 0.5, "b": 0.6})
+
+
+# ---------------------------------------------------------------------------
+# interval join
+# ---------------------------------------------------------------------------
+
+
+def _brute_interval(points, intervals, keyed: bool):
+    out = []
+    for pid, pk, t in points:
+        for iid, ik, s, e in intervals:
+            if (not keyed or pk == ik) and s <= t < e:
+                out.append((pid, iid))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("keyed", [False, True])
+def test_interval_join_matches_bruteforce(spark, keyed):
+    import random
+
+    rng = random.Random(7)
+    points = [(i, i % 3, rng.randrange(0, 100_000)) for i in range(400)]
+    intervals = []
+    for j in range(40):
+        s = rng.randrange(0, 95_000)
+        intervals.append((j, j % 3, s, s + rng.randrange(1, 20_000)))
+    p = spark.createDataFrame(
+        pd.DataFrame(points, columns=["pid", "pk", "ts_ms"]).astype("int64")
+    )
+    iv = spark.createDataFrame(
+        pd.DataFrame(intervals, columns=["iid", "ik", "start_ms", "end_ms"]).astype(
+            "int64"
+        )
+    )
+    if keyed:
+        iv = iv.withColumnRenamed("ik", "pk")
+    got = interval_join(
+        p,
+        iv.drop("ik") if not keyed else iv,
+        point_ts="ts_ms",
+        on="pk" if keyed else None,
+        bucket_ms=7_000,
+    )
+    got_pairs = sorted((r.pid, r.iid) for r in got.collect())
+    assert got_pairs == _brute_interval(points, intervals, keyed)
+
+
+def test_interval_join_edge_semantics(spark):
+    # half-open [start, end): boundary points, empty + cell-straddling ivs
+    p = spark.createDataFrame(
+        pd.DataFrame({"pid": [1, 2, 3], "ts_ms": [100, 200, 199]}).astype("int64")
+    )
+    iv = spark.createDataFrame(
+        pd.DataFrame(
+            {"iid": [10, 11], "start_ms": [100, 150], "end_ms": [200, 150]}
+        ).astype("int64")
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in interval_join(p, iv, bucket_ms=64).collect()
+    )
+    # start inclusive (1,10); end exclusive (2,10 absent); zero-length iv
+    # dropped; 199 straddles cells but matches once
+    assert got == [(1, 10), (3, 10)]
+
+
+def test_interval_join_explosion_guard(spark):
+    p = spark.createDataFrame(pd.DataFrame({"pid": [1], "ts_ms": [5]}).astype("int64"))
+    iv = spark.createDataFrame(
+        pd.DataFrame({"iid": [1], "start_ms": [0], "end_ms": [10_000_000]}).astype(
+            "int64"
+        )
+    )
+    with pytest.raises(Exception, match="interval_join"):
+        interval_join(p, iv, bucket_ms=10, max_cells_per_interval=100).collect()
+
+
+# ---------------------------------------------------------------------------
+# tf-idf and polygon stats (python oracles)
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_top_terms_against_counter(spark):
+    from collections import Counter
+
+    from gosmonaut_spark.functions.corpus import tfidf_top_terms
+
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog ate the cat food"),
+        (2, "quantum flux capacitors emit flux"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got = tfidf_top_terms(df, k=2).collect()
+    toks = {i: t.lower().split() for i, t in docs}
+    dfreq = Counter(w for ws in toks.values() for w in set(ws))
+    for r in got:
+        tf = Counter(toks[r.doc_id])
+        assert r.tf == tf[r.term]
+        assert r.df == dfreq[r.term]
+        assert r.tfidf_raw == pytest.approx(r.tf * 4 / r.df)
+    # rank 1 for doc 2 is 'flux' (tf 2); empty doc contributes no rows
+    top = {r.doc_id: r.term for r in got if r.rank == 1}
+    assert top[2] == "flux"
+    assert 3 not in {r.doc_id for r in got}
+
+
+def test_polygon_stats_shoelace(spark):
+    from gosmonaut_spark.functions.geo import polygon_stats
+
+    # unit square CCW: 2A = 2.0; centroid (0.5, 0.5):
+    # cx_num/(3*area2x) = 3e6/(3*2e6) = 0.5
+    ring = pd.DataFrame(
+        {
+            "pid": [1],
+            "lats": [[0.0, 0.0, 1.0, 1.0, 0.0]],
+            "lons": [[0.0, 1.0, 1.0, 0.0, 0.0]],
+        }
+    )
+    df = spark.createDataFrame(ring)
+    st = polygon_stats("lats", "lons")
+    r = df.select(
+        st["n_vertices"].alias("nv"),
+        st["area2x_micro"].alias("a2"),
+        st["cx_num_micro"].alias("cx"),
+        st["cy_num_micro"].alias("cy"),
+    ).collect()[0]
+    assert (r.nv, r.a2) == (4, 2_000_000)
+    assert r.cx / (3.0 * r.a2) == pytest.approx(0.5)
+    assert r.cy / (3.0 * r.a2) == pytest.approx(0.5)
+    # clockwise ring -> negative signed area
+    cw = pd.DataFrame(
+        {
+            "pid": [1],
+            "lats": [[0.0, 1.0, 1.0, 0.0, 0.0]],
+            "lons": [[0.0, 0.0, 1.0, 1.0, 0.0]],
+        }
+    )
+    r2 = (
+        spark.createDataFrame(cw)
+        .select(polygon_stats("lats", "lons")["area2x_micro"].alias("a2"))
+        .collect()[0]
+    )
+    assert r2.a2 == -2_000_000

@@ -281,11 +281,24 @@ def run_suite(
 
 
 def _run_isolated(
-    cpus: int, sf_dir: str, spatial_only: bool = False, pages_profile: str | None = None
+    cpus: int,
+    sf_dir: str,
+    spatial_only: bool = False,
+    pages_profile: str | None = None,
+    pin: bool = False,
 ) -> dict:
     """One suite in a fresh interpreter+JVM — the sandbox equivalent of a
     separate spark-submit per cluster size. Same-JVM back-to-back legs are
-    NOT comparable (the second runs JIT-warm; measured 'inverse scaling')."""
+    NOT comparable (the second runs JIT-warm; measured 'inverse scaling').
+
+    ``pin=True`` confines the leg (JVM + python workers + GC/IO threads)
+    to exactly ``cpus`` host CPUs via taskset — the cgroup-cpuset budget a
+    real cluster enforces per executor. Without it a "local[2]" leg's
+    auxiliary threads (23 G1 workers, Netty, shuffle, python daemons)
+    spill onto the host's other 30 vCPUs, inflating small-leg throughput
+    and corrupting the N->4N efficiency ratio: the 2-core leg was measured
+    consuming 4-6 cores' worth unpinned. JDK17 sizes availableProcessors
+    from the affinity mask, so in-JVM pools self-size to the budget."""
     import subprocess
 
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
@@ -294,6 +307,10 @@ def _run_isolated(
     args = [sys.executable, os.path.abspath(__file__), "--suite-json"]
     if spatial_only:
         args.append("--spatial-only")
+    if pin:
+        n_host = os.cpu_count() or cpus
+        lo = max(0, n_host - cpus)
+        args = ["taskset", "-c", f"{lo}-{n_host - 1}", *args]
     out = subprocess.run(
         args,
         env=env,
@@ -344,6 +361,10 @@ def _scaling_runs(sf_dir: str, cpus: int) -> dict:
     ambient_gate = float(os.environ.get("SPARK_GRAFT_AMBIENT_GATE", "1.0"))
     gate = float(os.environ.get("SPARK_GRAFT_STEAL_GATE", "5.0"))
     max_attempts = repeats + int(os.environ.get("SPARK_GRAFT_GATE_RETRIES", "4"))
+    # taskset-pin each leg to exactly its core budget (see _run_isolated):
+    # the cluster-faithful cgroup-cpuset analog, and the only way the
+    # "N cores" in the efficiency denominator is what the leg actually got
+    pin_legs = os.environ.get("SPARK_GRAFT_PIN", "1") != "0"
 
     # interleave big/small slots: host noise is episodic (measured 3x wall
     # swings between identical back-to-back legs) — grouping all big legs
@@ -369,7 +390,8 @@ def _scaling_runs(sf_dir: str, cpus: int) -> dict:
             time.sleep(30)
             return
         r = _run_isolated(
-            cpu_count, sf_dir, spatial_only=True, pages_profile=profile
+            cpu_count, sf_dir, spatial_only=True, pages_profile=profile,
+            pin=pin_legs,
         )
         r["ambient_steal_pct"] = amb
         side = kept if r.get("host_steal_pct", 0.0) <= gate else disc
@@ -389,7 +411,8 @@ def _scaling_runs(sf_dir: str, cpus: int) -> dict:
                 d for d in disc[cpu_count] if not d.get("storm_skipped")
             ] or [
                 _run_isolated(
-                    cpu_count, sf_dir, spatial_only=True, pages_profile=profile
+                    cpu_count, sf_dir, spatial_only=True, pages_profile=profile,
+                    pin=pin_legs,
                 )
             ]
     big_kept, big_disc = kept[big], disc[big]
@@ -434,6 +457,7 @@ def _scaling_runs(sf_dir: str, cpus: int) -> dict:
         "pages_profile": profile,
         "steal_gate_pct": gate,
         "ambient_gate_pct": ambient_gate,
+        "legs_cpu_pinned": pin_legs,
         "gate_satisfied": _gated(big_run) and _gated(small_run),
         "host_steal_pct_small": small_run.get("host_steal_pct"),
         "host_steal_pct_big": big_run.get("host_steal_pct"),

@@ -10,6 +10,7 @@ reference's paged bitset trackers, /root/reference/id_tracker.go:59-138).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -37,6 +38,14 @@ def _jit_opts() -> str:
     return base
 
 
+def _gc_opts(cpus: int) -> str:
+    par = max(2, min(int(cpus), 8))
+    return (
+        f" -XX:ParallelGCThreads={par}"
+        f" -XX:ConcGCThreads={max(1, par // 4)}"
+    )
+
+
 def build_session(
     master: str | None = None,
     app_name: str = "gosmonaut_spark",
@@ -45,6 +54,11 @@ def build_session(
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
+    # GC sizing follows the session's ACTUAL core budget when the caller
+    # pins one via master=local[N]
+    m = re.fullmatch(r"local\[(\d+)\]", master)
+    if m:
+        cpus = int(m.group(1))
     if shuffle_partitions is None:
         # local: ~1x cores; on a real cluster this is overridden upward
         shuffle_partitions = max(cpus, 8)
@@ -124,8 +138,16 @@ def build_session(
         # generated methods churn mmap'd arenas hard enough on this
         # virtualized host to stall the whole box (C2 compiler thread
         # measured with more SYSTEM time than any worker; see BASELINE.md).
-        .config("spark.driver.extraJavaOptions", _jit_opts())
-        .config("spark.executor.extraJavaOptions", _jit_opts())
+        # GC threads sized to the CORE BUDGET, not the advertised vCPUs:
+        # JDK17 G1 on this 32-vCPU host defaults to 23 parallel + 6
+        # concurrent GC workers — on a local[2..8] session that is 3-10x
+        # the executor thread count, and on an oversubscribed hypervisor
+        # the spare "cores" they assume don't exist (measured: in-session
+        # assemble_ways 66s -> 41s at 8 cores with the cap). On a real
+        # cluster the executor JVM gets a cgroup cpuset and the same
+        # sizing applies per executor.
+        .config("spark.driver.extraJavaOptions", _jit_opts() + _gc_opts(cpus))
+        .config("spark.executor.extraJavaOptions", _jit_opts() + _gc_opts(cpus))
         .config("spark.sql.session.timeZone", "UTC")
         # pages blobs expand ~50-100x when decoded: split scans finely so
         # the mapInPandas decode parallelizes even over smallish files

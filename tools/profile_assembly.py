@@ -72,11 +72,17 @@ def main() -> None:
     stop = threading.Event()
     t = threading.Thread(target=_sample_threads, args=(stop, samples), daemon=True)
     t.start()
+    # materialize exactly like CheckpointStore.run_pass: full parquet write
+    # (count() would let Catalyst prune the collect_list itself)
+    out_dir = os.path.join(ck_base, f"_profile_out_{cpus}")
     t0 = time.perf_counter()
-    n = assemble_ways(ways_raw, nodes, mode=SKIP_MISSING).count()
+    assemble_ways(ways_raw, nodes, mode=SKIP_MISSING).write.mode(
+        "overwrite"
+    ).parquet(out_dir)
     wall = time.perf_counter() - t0
     stop.set()
-    print(f"[profile cpus={cpus}] assemble_ways: {wall:.1f}s rows={n}")
+    n = spark.read.parquet(out_dir).count()
+    print(f"[profile cpus={cpus}] assemble_ways write: {wall:.1f}s rows={n}")
     for ts, agg in samples[:: max(1, len(samples) // 10)]:
         print("  sample:", {k: round(v) for k, v in list(agg.items())[:6]})
     spark.stop()

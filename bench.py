@@ -141,17 +141,41 @@ def run_suite(
     #    re-running the decode per action — the production pipeline shape
     ck_dir = tempfile.mkdtemp(prefix="gosmonaut_bench_ck_")
 
+    def _pass_hygiene(_name):
+        # same rationale as the inter-leg hygiene in run(), applied at pass
+        # boundaries: each pass's output is durable parquet, so heap debt
+        # from building it is pure drag on the next pass's measurement
+        # (measured: relations 38.9s after two heavy passes in-JVM vs
+        # 19.3s fresh — identical plan)
+        try:
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
     def _assemble():
-        _ck, dfs = run_pipeline_checkpointed(spark, pages, ck_dir, mode=SKIP_MISSING)
+        ck, dfs = run_pipeline_checkpointed(
+            spark, pages, ck_dir, mode=SKIP_MISSING, post_pass=_pass_hygiene
+        )
         res = PipelineResult(
             dfs["nodes"], dfs["assembled_ways"], dfs["relations"], AssemblyMetrics()
         )
         c = res.workload_counts()
         _assemble.ways = dfs["assembled_ways"]
         _assemble.nodes = dfs["nodes"].select("id", "lat", "lon")
+        # per-pass walls from checkpoint lineage: the scaling diagnosis
+        # needs to see WHICH pass stops scaling, not just the leg total
+        _assemble.passes = {
+            e["pass"]: round(e["wall_ms"] / 1000, 1) for e in ck.lineage()
+        }
         return c["nodes"] + c["ways"] + c["relations"]
 
     run("decode_assemble", _assemble)
+    print(
+        f"[bench cpus={cpus}] decode passes: {_assemble.passes}",
+        file=sys.stderr,
+        flush=True,
+    )
 
     # 2. spatial join: point-in-polygon over assembled polygons
     def _pip():
@@ -186,6 +210,7 @@ def run_suite(
             "cpus": cpus,
             "total_sec": total,
             "queries": timings,
+            "passes": getattr(_assemble, "passes", {}),
             "rows": rows,
             "spatial_rows_per_sec": round(spatial_rows / total, 1),
             "host_steal_pct": round(

@@ -345,6 +345,120 @@ def cosine_topk_lsh(
     return out
 
 
+def cosine_topk_ivf(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int,
+    centroid_stride: int = 16,
+    nprobe: int = 2,
+    dim: int = 64,
+    query_id: str = "query_id",
+    target_id: str = "target_id",
+    vec: str = "embedding",
+    max_list_targets: int | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer scale
+    path that complements :func:`cosine_topk_lsh`.
+
+    * **Centroids**: every ``centroid_stride``-th target by id. At corpus
+      scale these come from a sampled k-means training job; the stride
+      selection keeps this engine deterministic and exactly
+      oracle-checkable (the DuckDB twin re-derives the identical
+      centroids), and the assignment/probe/re-rank plan below is the same
+      either way — swap the centroid table, nothing else moves.
+    * **Assignment** (the inverted lists): each target joins the
+      BROADCAST centroid table and keeps its argmax-cosine centroid via a
+      ``max(struct(cos, -centroid_id))`` aggregation — partial (map-side)
+      aggregation collapses the n_targets x n_centroids pairs back to one
+      row per target before the shuffle, so the shuffle volume is
+      O(n_targets) regardless of centroid count.
+    * **Probe**: each query ranks the same broadcast centroids and probes
+      its ``nprobe`` nearest lists; candidates are an equi-join on
+      ``centroid_id``. With ``nprobe >= n_centroids`` every list is probed
+      and the result equals :func:`cosine_topk_brute` exactly (the lists
+      partition the targets) — the recall dial is explicit.
+    * **Re-rank**: exact cosine via :func:`dot_codegen` (whole-stage
+      codegen, no interpreted HOF folds, no Python) with norms as
+      ``sqrt(dot_codegen(v, v))`` — the same left-to-right IEEE sequence
+      as the DuckDB ``list_reduce`` twin, bit-for-bit.
+
+    ``max_list_targets``: skew backstop mirroring ``max_bucket_targets``
+    in the LSH path — inverted lists larger than the cap are dropped from
+    candidate generation (one megacity-dense region cannot quadratic the
+    probe join); prefer more centroids first.
+    """
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(vec).alias("qv"))
+    t = targets.select(F.col(target_id).alias("target_id"), F.col(vec).alias("tv"))
+    cents = F.broadcast(
+        targets.filter(F.col(target_id) % centroid_stride == 0).select(
+            F.col(target_id).alias("centroid_id"),
+            F.col(vec).alias("cv"),
+            F.sqrt(dot_codegen(F.col(vec), F.col(vec), dim)).alias("cn"),
+        )
+    )
+    tn = F.sqrt(dot_codegen(F.col("tv"), F.col("tv"), dim))
+    t_cos = t.withColumn("tn", tn).crossJoin(cents).select(
+        "target_id",
+        "tv",
+        "tn",
+        "centroid_id",
+        (dot_codegen(F.col("tv"), F.col("cv"), dim) / (F.col("tn") * F.col("cn"))
+         ).alias("__c"),
+    )
+    # argmax centroid per target, map-side combinable (no window shuffle of
+    # the exploded pairs): struct max is lexicographic, so (cos, -cid) picks
+    # highest cosine then lowest centroid id — deterministic ties
+    assigned = t_cos.groupBy("target_id").agg(
+        F.first("tv").alias("tv"),
+        F.first("tn").alias("tn"),
+        F.max(F.struct(F.col("__c"), (-F.col("centroid_id")).alias("__nc"))).alias(
+            "__m"
+        ),
+    ).select(
+        "target_id", "tv", "tn", (-F.col("__m.__nc")).alias("centroid_id")
+    )
+    if max_list_targets is not None:
+        assigned = assigned.persist()
+        sizes = assigned.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("__n"))
+        kept = assigned.join(
+            sizes.filter(F.col("__n") <= max_list_targets),
+            ["centroid_id"],
+            "left_semi",
+        )
+    else:
+        kept = assigned
+    qn = F.sqrt(dot_codegen(F.col("qv"), F.col("qv"), dim))
+    q_cos = q.withColumn("qn", qn).crossJoin(cents).select(
+        "query_id",
+        "qv",
+        "qn",
+        "centroid_id",
+        (dot_codegen(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn"))
+         ).alias("__c"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__c").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        q_cos.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= nprobe)
+        .select("query_id", "qv", "qn", "centroid_id")
+    )
+    cand = probes.join(kept, ["centroid_id"]).select(
+        "query_id",
+        "target_id",
+        (
+            dot_codegen(F.col("qv"), F.col("tv"), dim) / (F.col("qn") * F.col("tn"))
+        ).alias("cos_sim"),
+    )
+    out = _topk(cand, k)
+    if max_list_targets is not None:
+        from .caching import attach_cached
+
+        out = attach_cached(out, [assigned])
+    return out
+
+
 def cosine_pairs_lsh(
     docs: DataFrame,
     threshold: float = 0.95,

@@ -290,13 +290,38 @@ def assemble_relations(
             F.col("member_type") == RELATION_TYPE
         ).count()
 
-    mem = mem.filter(F.col("member_type") != RELATION_TYPE)
+    # persist: the member table (skinny — ids, pos, role) feeds FOUR
+    # consumers below (both prune-id sets + both typed resolve branches);
+    # without it each consumer re-runs the relation scan + member explode
+    # (measured ~8s per recompute at the bench scale fixture). The handle
+    # rides the returned DataFrame (release_cached / cached_scope).
+    mem = mem.filter(F.col("member_type") != RELATION_TYPE).persist()
 
-    way_side = assembled_ways.select(
+    # Prune BOTH build sides to ids actually referenced by a member BEFORE
+    # their heavy shuffle — the relational form of the reference's bitset
+    # trackers (/root/reference/gosmonaut.go:245-288: only tracked ids are
+    # cached for the final scan). Without it the member resolve shuffles
+    # every assembled way's full node array and every node struct in the
+    # corpus to satisfy a member table orders of magnitude smaller
+    # (measured at the bench scale fixture: 22M node structs + 1.2M nested
+    # arrays shuffled for 640k members — the pass ran core-count-invariant
+    # because shuffle IO, not CPU, was the floor). The distinct id sets are
+    # small relative to the entity tables, so the planner resolves these
+    # semi joins as broadcast probes riding the entity scans — zero extra
+    # shuffle of the big sides; at cluster scale AQE picks shuffled semi
+    # joins if the id sets outgrow the broadcast threshold, which is still
+    # strictly less data than the unpruned resolve.
+    way_member_ids = mem.filter(F.col("member_type") == WAY_TYPE).select(
+        F.col("member_id").alias("id")
+    ).distinct()
+    node_member_ids = mem.filter(F.col("member_type") == NODE_TYPE).select(
+        F.col("member_id").alias("id")
+    ).distinct()
+    way_side = assembled_ways.join(way_member_ids, "id", "left_semi").select(
         F.col("id").alias("member_id"),
         F.struct("id", "tags", "nodes").alias("way"),
     )
-    node_side = nodes.select(
+    node_side = nodes.join(node_member_ids, "id", "left_semi").select(
         F.col("id").alias("member_id"),
         F.struct("id", "lat", "lon", "tags").alias("node"),
     )
@@ -336,4 +361,7 @@ def assemble_relations(
         .join(agg.withColumnRenamed("rel_id", "id").hint("merge"), "id", "left")
     )
     empty = F.array().cast(agg.schema["members"].dataType.simpleString())
-    return out.withColumn("members", F.coalesce(F.col("members"), empty))
+    out = out.withColumn("members", F.coalesce(F.col("members"), empty))
+    from ..functions.caching import attach_cached
+
+    return attach_cached(out, [mem])

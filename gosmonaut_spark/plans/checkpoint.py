@@ -31,6 +31,7 @@ class CheckpointStore:
         base_dir: str,
         debug: bool = False,
         retain: int = 3,
+        post_pass=None,
     ):
         """``debug=True`` adds per-partition row counts + skew factor to
         every lineage entry — one extra scan per pass, the analog of the
@@ -44,6 +45,13 @@ class CheckpointStore:
         self.base = base_dir
         self.debug = debug
         self.retain = max(1, int(retain))
+        # optional hook run after every computed pass commits (not on
+        # snapshot-cache hits). Used for pass-boundary hygiene: a pass's
+        # output is durable parquet, so intermediates persisted/allocated
+        # while computing it are dead weight for the NEXT pass — measured
+        # on the bench fixture as consecutive heavy passes running 2-3x
+        # their fresh-JVM wall purely from inherited heap debt.
+        self.post_pass = post_pass
         os.makedirs(base_dir, exist_ok=True)
         self._lineage_path = os.path.join(base_dir, "_lineage.json")
         # passes may run as concurrent jobs; lineage/manifest updates are
@@ -273,6 +281,14 @@ class CheckpointStore:
             out = self.spark.read.parquet(self._snap_dir(name, sid))
         entry["snapshot_id"] = sid
         self._append_lineage(entry)
+        # the pass is durable: release any intermediates the operator
+        # persisted while building it (e.g. the relation member table) —
+        # downstream passes read the snapshot, never the build lineage
+        from ..functions.caching import release_cached
+
+        release_cached(df)
+        if self.post_pass is not None:
+            self.post_pass(name)
         return out
 
 
@@ -282,6 +298,7 @@ def run_pipeline_checkpointed(
     base_dir: str,
     mode: str = "skip_missing",
     debug: bool = False,
+    post_pass=None,
 ):
     """The 5-pass pipeline with a snapshot boundary after every pass
     (reference pass order, gosmonaut.go:144-216). Returns
@@ -291,7 +308,7 @@ def run_pipeline_checkpointed(
     from ..operators.assembly import assemble_relations, assemble_ways
     from ..sources import pages as src
 
-    ck = CheckpointStore(spark, base_dir, debug=debug)
+    ck = CheckpointStore(spark, base_dir, debug=debug, post_pass=post_pass)
 
     # ONE decode pass for every entity kind (the reference's run-1 scan
     # populating all indexes, decode.go:262-273): the earlier three

@@ -615,6 +615,78 @@ WHERE rank <= {_ANN_K}
 ORDER BY query_id, target_id""",
     )
 
+    # ---- IVF ANN with a full DuckDB twin of the inverted-file algebra:
+    # stride-sampled centroids, argmax-cosine assignment, nprobe nearest
+    # lists, exact re-rank — every double in the same IEEE fold order as
+    # dot_codegen (left-to-right), so the twin is bit-exact end to end.
+    _IVF_STRIDE, _IVF_NPROBE, _IVF_K = 25, 3, 5
+
+    def q_ann_ivf(spark, sf):
+        e = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qs = e.filter(F.col("vec_id") % 11 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        ts = e.select(F.col("vec_id").alias("target_id"), "embedding")
+        out = S.cosine_topk_ivf(
+            qs, ts, k=_IVF_K, centroid_stride=_IVF_STRIDE, nprobe=_IVF_NPROBE,
+            dim=64,
+        )
+        return out.orderBy("query_id", "target_id")
+
+    def _dot_sql(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(list_zip({a}, {b}), "
+            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), "
+            f"(acc, v) -> acc + v)"
+        )
+
+    q["ann_ivf_topk"] = (
+        q_ann_ivf,
+        f"""WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cv, {_norm_sql("embedding")} AS cn
+  FROM embeddings WHERE vec_id % {_IVF_STRIDE} = 0
+),
+t AS (
+  SELECT vec_id AS target_id, embedding AS tv, {_norm_sql("embedding")} AS tn
+  FROM embeddings
+),
+t_assign AS (
+  SELECT target_id, tv, tn, centroid_id, row_number() OVER (
+    PARTITION BY target_id
+    ORDER BY ({_dot_sql("tv", "cv")}) / (tn * cn) DESC, centroid_id ASC
+  ) AS r
+  FROM t, cents
+),
+assigned AS (SELECT target_id, tv, tn, centroid_id FROM t_assign WHERE r = 1),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, {_norm_sql("embedding")} AS qn
+  FROM embeddings WHERE vec_id % 11 = 0
+),
+q_probe AS (
+  SELECT query_id, qv, qn, centroid_id, row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY ({_dot_sql("qv", "cv")}) / (qn * cn) DESC, centroid_id ASC
+  ) AS r
+  FROM q, cents
+),
+probes AS (
+  SELECT query_id, qv, qn, centroid_id FROM q_probe WHERE r <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT query_id, target_id,
+         ({_dot_sql("qv", "tv")}) / (qn * tn) AS cos_sim
+  FROM probes JOIN assigned USING (centroid_id)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, target_id ASC
+  ) AS rank FROM cand
+)
+SELECT query_id, target_id, cos_sim FROM ranked
+WHERE rank <= {_IVF_K}
+ORDER BY query_id, target_id""",
+    )
+
     def q_cos_dup(spark, sf):
         e = spark.read.parquet(f"{sf}/embeddings.parquet").select("vec_id", "embedding")
         dup = e.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))

@@ -40,10 +40,22 @@ def _jit_opts() -> str:
 
 def _gc_opts(cpus: int) -> str:
     par = max(2, min(int(cpus), 8))
-    return (
+    opts = (
         f" -XX:ParallelGCThreads={par}"
         f" -XX:ConcGCThreads={max(1, par // 4)}"
     )
+    # pin the initial heap to the max (cluster managers launch executor
+    # JVMs with Xms=Xmx for exactly this reason): without it G1 uncommits
+    # regions after collections and the next heavy pass pays the
+    # commit/fault cost of re-growing a multi-GB heap mid-stage —
+    # a suspect in the measured bimodal (28s vs 72s) assembly pass walls.
+    # Opt-in (SPARK_GRAFT_XMS=1): the only A/B window so far was storm-
+    # contaminated, and eagerly committing a 24g heap on an oversubscribed
+    # hypervisor is its own risk — keep the knob, prove it in a clean
+    # window before defaulting.
+    if os.environ.get("SPARK_GRAFT_XMS", "0") == "1":
+        opts += f" -Xms{os.environ.get('SPARK_DRIVER_MEM', '8g')}"
+    return opts
 
 
 def build_session(

@@ -298,6 +298,46 @@ def test_lsh_topk_reasonable_recall(spark, embs):
     assert recall >= 0.85, f"LSH recall too low: {recall}"
 
 
+def test_ivf_topk_exact_at_full_probe_and_recall_monotone(spark, embs):
+    """IVF contract: the inverted lists PARTITION the targets, so probing
+    every list equals brute force exactly (ids AND cos_sim doubles); fewer
+    probes trade recall monotonically."""
+    q = embs.filter(F.col("vec_id") % 11 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    t = embs.select(F.col("vec_id").alias("target_id"), "embedding")
+    brute = {
+        (r.query_id, r.target_id): r.cos_sim
+        for r in S.cosine_topk_brute(q, t, k=5).collect()
+    }
+    # stride 25 over 500 vecs -> 20 centroids; nprobe=20 probes every list
+    full = {
+        (r.query_id, r.target_id): r.cos_sim
+        for r in S.cosine_topk_ivf(
+            q, t, k=5, centroid_stride=25, nprobe=20, dim=64
+        ).collect()
+    }
+    assert full == brute  # exact: same pairs, bit-identical doubles
+
+    def recall(nprobe, cap=None):
+        got = {
+            (r.query_id, r.target_id)
+            for r in S.cosine_topk_ivf(
+                q, t, k=5, centroid_stride=25, nprobe=nprobe, dim=64,
+                max_list_targets=cap,
+            ).collect()
+        }
+        return len(got & set(brute)) / len(brute)
+
+    r2, r8 = recall(2), recall(8)
+    assert r8 >= r2, f"recall not monotone in nprobe: {r2} -> {r8}"
+    assert r8 >= 0.5, f"IVF recall@8/20 lists too low: {r8}"
+    # skew-cap semantics: a loose cap changes nothing; a tight cap only
+    # ever REMOVES result pairs (lists above the cap drop out), never adds
+    assert recall(8, cap=10_000) == r8
+    assert recall(8, cap=20) <= r8
+
+
 def test_lsh_multiprobe_and_bucket_cap(spark):
     """Scale-parameterization evidence at sf0.1 (2000 random vectors — the
     adversarial no-cluster case): single-bit multiprobe must lift recall

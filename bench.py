@@ -457,6 +457,10 @@ def _scaling_runs(sf_dir: str, cpus: int) -> dict:
                     "rows_per_sec": r["spatial_rows_per_sec"],
                     "steal_pct": r.get("host_steal_pct"),
                     "ambient_steal_pct": r.get("ambient_steal_pct"),
+                    # per-pass walls + per-query walls: the efficiency
+                    # diagnosis needs to see WHICH pass/query stops scaling
+                    "passes": r.get("passes", {}),
+                    "queries": r.get("queries", {}),
                 }
             )
             for r in rs

@@ -256,3 +256,123 @@ def ngrams_sql(expr: str, n: int = 2) -> str:
         f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')) "
         f"ELSE CAST([] AS VARCHAR[]) END"
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style quality filters): duplicate-token and
+# top-n-gram mass per document. Implemented as explode -> groupBy so the
+# whole plan is whole-stage-codegen aggregation; tokens of one document are
+# emitted inside one input row, so the (id, token) pre-aggregation is
+# map-side combined before the id-keyed shuffle — per-doc cost stays local
+# no matter the corpus size.
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document repetition features: token duplication ratio, the most
+    frequent token's share, and the most frequent bigram's share.
+
+    Returns (id, n_tokens, n_distinct_tokens, dup_token_ratio,
+    top_token_count, top_token_ratio, top_bigram_count, top_bigram_ratio)
+    with ratios as IEEE double divisions of two BIGINTs (bit-identical on
+    any engine). Documents with no tokens report zeros.
+    """
+    did = F.col(id_col)
+    tok = docs.select(did, F.explode(tokens(text_col)).alias("tok"))
+    per_tok = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    tok_stats = per_tok.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.max("c").alias("top_token_count"),
+    )
+    bg = docs.select(did, F.explode(ngrams(text_col, 2)).alias("bg"))
+    per_bg = bg.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("c"))
+    bg_stats = per_bg.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.max("c").alias("top_bigram_count"),
+    )
+    nt = F.coalesce(F.col("n_tokens"), F.lit(0).cast("long"))
+    nd = F.coalesce(F.col("n_distinct_tokens"), F.lit(0).cast("long"))
+    tt = F.coalesce(F.col("top_token_count"), F.lit(0).cast("long"))
+    nb = F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long"))
+    tb = F.coalesce(F.col("top_bigram_count"), F.lit(0).cast("long"))
+    return (
+        docs.select(did)
+        .join(tok_stats, id_col, "left")
+        .join(bg_stats, id_col, "left")
+        .select(
+            did,
+            nt.alias("n_tokens"),
+            nd.alias("n_distinct_tokens"),
+            F.when(nt > 0, (nt - nd).cast("double") / nt)
+            .otherwise(F.lit(0.0))
+            .alias("dup_token_ratio"),
+            tt.alias("top_token_count"),
+            F.when(nt > 0, tt.cast("double") / nt)
+            .otherwise(F.lit(0.0))
+            .alias("top_token_ratio"),
+            tb.alias("top_bigram_count"),
+            F.when(nb > 0, tb.cast("double") / nb)
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus-frequency boilerplate strip (CCNet-style): drop every token whose
+# document frequency exceeds a corpus-wide fraction, keep the rest in
+# original order. The high-DF term list is tiny by construction (few terms
+# can appear in > max_df_frac of all documents), so the strip join is a
+# broadcast; the only full shuffles are the token-keyed DF count (bounded
+# by vocabulary size, map-side combined) and the id-keyed reassembly.
+# ---------------------------------------------------------------------------
+
+
+def strip_high_df_tokens(
+    docs,
+    max_df_frac: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Remove corpus-boilerplate tokens (document frequency > max_df_frac
+    of all documents) and reassemble the surviving tokens in their original
+    order. Returns (id, clean_text)."""
+    from pyspark.sql.functions import broadcast
+
+    did = F.col(id_col)
+    tok = docs.select(
+        did, F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    # document frequency: dedup within the document first (array_distinct
+    # before explode), then a plain count — no expensive countDistinct
+    dfc = (
+        docs.select(did, F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    high = (
+        dfc.crossJoin(broadcast(total))
+        .where(F.col("df") > F.lit(max_df_frac) * F.col("n_docs"))
+        .select("tok")
+    )
+    kept = tok.join(broadcast(high), "tok", "left_anti")
+    clean = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text")
+    )
+    return (
+        docs.select(did)
+        .join(clean, id_col, "left")
+        .select(did, F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"))
+    )

@@ -1303,6 +1303,146 @@ SELECT polygon_id, {_pst['n_vertices']} AS n_vertices,
 FROM rings ORDER BY polygon_id""",
     )
 
+    # ---- repetition signals (Gopher-style quality filters) -------------------
+    def q_repetition(spark, sf):
+        d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+        return T.repetition_stats(d).orderBy("doc_id")
+
+    _toks = T.tokens_sql("text")
+    _bg2 = T.ngrams_sql("text", 2)
+    q["text_repetition"] = (
+        q_repetition,
+        f"""WITH tok AS (SELECT doc_id, unnest({_toks}) AS tok FROM documents),
+pt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+              count(*) AS n_distinct_tokens, max(c) AS top_token_count
+       FROM pt GROUP BY 1),
+bgt AS (SELECT doc_id, unnest({_bg2}) AS bg FROM documents),
+pb AS (SELECT doc_id, bg, count(*) AS c FROM bgt GROUP BY 1, 2),
+bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+              max(c) AS top_bigram_count
+       FROM pb GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(ts.n_tokens, 0) AS n_tokens,
+       coalesce(ts.n_distinct_tokens, 0) AS n_distinct_tokens,
+       CASE WHEN coalesce(ts.n_tokens, 0) > 0
+            THEN CAST(ts.n_tokens - ts.n_distinct_tokens AS DOUBLE) / ts.n_tokens
+            ELSE 0.0 END AS dup_token_ratio,
+       coalesce(ts.top_token_count, 0) AS top_token_count,
+       CASE WHEN coalesce(ts.n_tokens, 0) > 0
+            THEN CAST(ts.top_token_count AS DOUBLE) / ts.n_tokens
+            ELSE 0.0 END AS top_token_ratio,
+       coalesce(bs.top_bigram_count, 0) AS top_bigram_count,
+       CASE WHEN coalesce(bs.n_bigrams, 0) > 0
+            THEN CAST(bs.top_bigram_count AS DOUBLE) / bs.n_bigrams
+            ELSE 0.0 END AS top_bigram_ratio
+FROM documents d LEFT JOIN ts USING (doc_id) LEFT JOIN bs USING (doc_id)
+ORDER BY d.doc_id""",
+    )
+
+    # ---- corpus-frequency boilerplate strip (CCNet-style) --------------------
+    # engine path: explode + anti-join against the (tiny, broadcast) high-DF
+    # term list + ordered reassembly; oracle re-derives the same high-DF set
+    # and filters each token list directly. 0.78 is cast to DOUBLE on the
+    # SQL side so the threshold comparison is the identical IEEE operation
+    # (the synthetic corpus vocabulary clusters at df 0.75-0.80, so 0.78
+    # strips roughly half the vocabulary — a discriminating fixture point).
+    def q_boilerplate(spark, sf):
+        d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+        return T.strip_high_df_tokens(d, max_df_frac=0.78).orderBy("doc_id")
+
+    q["text_boilerplate_strip"] = (
+        q_boilerplate,
+        f"""WITH docs_t AS (SELECT doc_id, {_toks} AS toks FROM documents),
+n AS (SELECT count(*) AS n_docs FROM documents),
+dfc AS (SELECT tok, count(*) AS df
+        FROM (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM docs_t)
+        GROUP BY 1),
+hd AS (SELECT coalesce(list(tok), CAST([] AS VARCHAR[])) AS high
+       FROM dfc, n WHERE df > CAST(0.78 AS DOUBLE) * n_docs)
+SELECT d.doc_id,
+       coalesce(array_to_string(
+           list_filter(d.toks, t -> NOT list_contains(hd.high, t)), ' '),
+         '') AS clean_text
+FROM docs_t d CROSS JOIN hd ORDER BY d.doc_id""",
+    )
+
+    # ---- per-source corpus stats (Common-Crawl host-level aggregation) -------
+    def q_source_stats(spark, sf):
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        w = Window.partitionBy("source").orderBy(
+            F.col("n_chars").desc(), F.col("doc_id").asc()
+        )
+        top = (
+            d.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                "source",
+                F.col("doc_id").alias("top_doc_id"),
+                F.col("n_chars").alias("top_doc_chars"),
+            )
+        )
+        agg = d.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        return agg.join(top, "source").orderBy("source")
+
+    q["corpus_source_stats"] = (
+        q_source_stats,
+        """WITH r AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+),
+s AS (SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY 1)
+SELECT s.source, s.n_docs, s.n_langs, s.total_chars,
+       r.doc_id AS top_doc_id, r.n_chars AS top_doc_chars
+FROM s JOIN r ON s.source = r.source AND r.rn = 1
+ORDER BY s.source""",
+    )
+
+    # ---- conversion funnel (view -> click -> purchase) -----------------------
+    def q_funnel(spark, sf):
+        from .functions.timeops import ntz_epoch_ms
+        from .operators.funnel import window_funnel
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        out = window_funnel(ev, ["view", "click", "purchase"])
+        return out.select(
+            "user_id",
+            "funnel_depth",
+            ntz_epoch_ms(F.col("t0")).alias("t0_ms"),
+            ntz_epoch_ms(F.col("t1")).alias("t1_ms"),
+            ntz_epoch_ms(F.col("t2")).alias("t2_ms"),
+        ).orderBy("user_id")
+
+    q["events_window_funnel"] = (
+        q_funnel,
+        """WITH u AS (SELECT DISTINCT user_id FROM events),
+v AS (SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t0 GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t1 GROUP BY 1)
+SELECT u.user_id,
+       CAST(CASE WHEN p.t2 IS NOT NULL THEN 3
+                 WHEN c.t1 IS NOT NULL THEN 2
+                 WHEN v.t0 IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS funnel_depth,
+       epoch_ms(v.t0) AS t0_ms, epoch_ms(c.t1) AS t1_ms, epoch_ms(p.t2) AS t2_ms
+FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+       LEFT JOIN p USING (user_id)
+ORDER BY u.user_id""",
+    )
+
     return q
 
 

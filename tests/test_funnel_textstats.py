@@ -1,0 +1,103 @@
+"""Semantics tests for the round-3 additions: conversion funnel,
+repetition signals, and corpus-frequency boilerplate strip — brute-force
+hand-computed expectations on tiny inline data (the cross-engine value
+checks live in test_queries_oracle.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from gosmonaut_spark.functions.text import repetition_stats, strip_high_df_tokens
+from gosmonaut_spark.operators.funnel import window_funnel
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_window_funnel_depths(spark):
+    rows = [
+        # u1: full funnel in order
+        (1, _ts(0), "view"), (1, _ts(1), "click"), (1, _ts(2), "purchase"),
+        # u2: purchase BEFORE click -> depth 2
+        (2, _ts(0), "view"), (2, _ts(1), "purchase"), (2, _ts(2), "click"),
+        # u3: click only (no view) -> depth 0
+        (3, _ts(0), "click"), (3, _ts(1), "purchase"),
+        # u4: click at the SAME ts as view -> strict > excludes it
+        (4, _ts(0), "view"), (4, _ts(0), "click"),
+        # u5: unrelated event only -> depth 0
+        (5, _ts(0), "error"),
+        # u6: two views; funnel anchors on the EARLIEST view
+        (6, _ts(5), "view"), (6, _ts(1), "view"), (6, _ts(3), "click"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        r.user_id: (r.funnel_depth, r.t0, r.t1, r.t2)
+        for r in window_funnel(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert out[1] == (3, _ts(0), _ts(1), _ts(2))
+    assert out[2] == (2, _ts(0), _ts(2), None)
+    assert out[3] == (0, None, None, None)
+    assert out[4] == (1, _ts(0), None, None)
+    assert out[5] == (0, None, None, None)
+    assert out[6] == (2, _ts(1), _ts(3), None)
+
+
+def test_window_funnel_within_ms(spark):
+    rows = [
+        (1, _ts(0), "view"), (1, _ts(0, 30), "click"),   # 30s gap: inside
+        (2, _ts(0), "view"), (2, _ts(2), "click"),       # 120s gap: outside
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        r.user_id: r.funnel_depth
+        for r in window_funnel(ev, ["view", "click"], within_ms=60_000).collect()
+    }
+    assert out == {1: 2, 2: 1}
+
+
+def test_repetition_stats_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # 4 tokens, 2 distinct, top 'a'=3;
+                                     # bigrams: 'a a'x2, 'a b' -> top 2/3
+            (2, "x y z"),            # no repetition; bigrams unique
+            (3, ""),                 # empty -> all zeros
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    r1 = out[1]
+    assert (r1.n_tokens, r1.n_distinct_tokens, r1.top_token_count) == (4, 2, 3)
+    assert r1.dup_token_ratio == 0.5
+    assert r1.top_token_ratio == 0.75
+    assert (r1.top_bigram_count, r1.top_bigram_ratio) == (2, 2.0 / 3.0)
+    r2 = out[2]
+    assert (r2.n_tokens, r2.dup_token_ratio, r2.top_token_count) == (3, 0.0, 1)
+    r3 = out[3]
+    assert (r3.n_tokens, r3.dup_token_ratio, r3.top_bigram_ratio) == (0, 0.0, 0.0)
+
+
+def test_strip_high_df_tokens_order_and_empty(spark):
+    # 'the' appears in 3/4 docs (df 0.75 > 0.5) -> stripped everywhere;
+    # every other token survives in original position order
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick fox the end"),
+            (2, "the lazy dog"),
+            (3, "the the the"),
+            (4, "no stop words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dict(
+        strip_high_df_tokens(docs, max_df_frac=0.5)
+        .select("doc_id", "clean_text")
+        .collect()
+    )
+    assert out[1] == "quick fox end"
+    assert out[2] == "lazy dog"
+    assert out[3] == ""          # fully stripped doc still present, empty
+    assert out[4] == "no stop words here"

@@ -376,3 +376,113 @@ def strip_high_df_tokens(
         .join(clean, id_col, "left")
         .select(did, F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"))
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap against an eval set)
+# ---------------------------------------------------------------------------
+
+
+def ngram_contamination(
+    docs,
+    eval_docs,
+    n: int = 5,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Flag training documents sharing word n-grams with an eval set.
+
+    The standard pre-training decontamination pass (eval-set n-gram
+    overlap): build the DISTINCT n-gram set of the eval corpus, then count
+    per training document how many of ITS distinct n-grams appear in that
+    set. Returns ``(id_col, n_overlap)`` for documents with
+    ``n_overlap >= min_overlap`` — the rows a cleaning pipeline drops or
+    audits.
+
+    Scale shape: eval sets are tiny next to the corpus (benchmarks are
+    thousands of documents vs billions), so the eval n-gram set is
+    broadcast and the plan is explode → broadcast-hash semi-join →
+    partial-aggregated count — one shuffle, on ``id_col`` only. At 100 TB
+    swap the exact broadcast set for a Bloom filter built with
+    ``DataFrame.stat.bloomFilter`` on the same exploded column (same plan,
+    ~1e-4 false-flag rate, no correctness risk on the KEEP side).
+    """
+    from pyspark.sql.functions import broadcast
+
+    ev = (
+        eval_docs.select(F.explode(shingles(text_col, n)).alias("s"))
+        .distinct()
+    )
+    tr = docs.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("s"))
+    return (
+        tr.join(broadcast(ev), "s", "inner")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+
+
+def ngram_contamination_sql(
+    docs_sql: str,
+    eval_sql: str,
+    n: int = 5,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    sh = shingles_sql(text_expr, n)
+    return f"""WITH ev AS (
+  SELECT DISTINCT unnest({sh}) AS s FROM ({eval_sql})
+),
+tr AS (SELECT {id_col}, unnest({sh}) AS s FROM ({docs_sql}))
+SELECT tr.{id_col} AS {id_col}, count(*) AS n_overlap
+FROM tr JOIN ev ON tr.s = ev.s
+GROUP BY tr.{id_col}
+HAVING count(*) >= {min_overlap}"""
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction (regex, codegen-side — no UDF)
+# ---------------------------------------------------------------------------
+
+# deliberately simple patterns valid in BOTH Java regex (Spark) and RE2
+# (DuckDB): character classes + bounded repetition only, no lookaround
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"\d{3}[- ]\d{4}"
+
+
+def pii_scrub(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Detect and redact emails/phone numbers; count matches per document.
+
+    Pure ``regexp_extract_all`` / ``regexp_replace`` Column expressions —
+    stays inside whole-stage codegen, embarrassingly parallel (no shuffle
+    at all: the plan is scan → project). Output:
+    ``(id_col, n_emails, n_phones, redacted)``.
+    """
+    c = F.col(text_col)
+    emails = F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), 0)
+    phones = F.regexp_extract_all(c, F.lit(PII_PHONE_RE), 0)
+    red = F.regexp_replace(
+        F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(emails).alias("n_emails"),
+        F.size(phones).alias("n_phones"),
+        red.alias("redacted"),
+    )
+
+
+def pii_scrub_sql(id_col: str = "doc_id", text_expr: str = "text") -> str:
+    return (
+        f"SELECT {id_col}, "
+        f"CAST(len(regexp_extract_all({text_expr}, '{PII_EMAIL_RE}')) AS INT) AS n_emails, "
+        f"CAST(len(regexp_extract_all({text_expr}, '{PII_PHONE_RE}')) AS INT) AS n_phones, "
+        f"regexp_replace(regexp_replace({text_expr}, '{PII_EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{PII_PHONE_RE}', '<PHONE>', 'g') AS redacted"
+    )

@@ -18,8 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.cells import cell_expr, cell_ring
-from ..functions.geo import haversine_m
+from ..functions.cells import cell_expr, cell_from_xy, cell_ring, cell_x, cell_y
+from ..functions.geo import EARTH_RADIUS_M, haversine_m
 
 
 def _topk(cand: DataFrame, k: int) -> DataFrame:
@@ -192,6 +192,124 @@ def knn_join_adaptive(
         F.col("query_id").alias(query_id),
         F.col("target_id").alias(target_id),
         "dist_m",
+    )
+
+
+def radius_join(
+    queries: DataFrame,
+    targets: DataFrame,
+    radius_m: float,
+    res: int = 6,
+    query_id: str = "query_id",
+    target_id: str = "target_id",
+) -> DataFrame:
+    """Distance-band join — ALL (query, target) pairs within ``radius_m``.
+
+    EXACT (no missed pairs), at equi-join cost: each query row explodes to
+    the cell neighborhood *its own latitude* requires. The latitude reach
+    is a constant (``radius/R`` radians → static ``dy`` fan-out); the
+    longitude reach grows with ``|lat|`` (meridian convergence), bounded
+    per row from the haversine identity
+    ``hav(d) >= cos²(phi_far)·sin²(dlon/2)``, so any pair within
+    ``radius_m`` satisfies ``|sin(dlon/2)| <= sin(r/2R)/cos(phi_far)`` —
+    a conservative per-row ``dx`` fan-out that can never miss a pair.
+    Near the poles the bound saturates and the ``dx`` window widens to a
+    full wrap (capped to one traversal of the row, so no duplicate cells
+    and therefore no duplicate output pairs: each target owns exactly one
+    cell and each query emits each cell at most once).
+
+    At 100 TB this is the plan you want: candidate generation is one
+    bounded explode + one shuffle-on-cell equi-join (AQE-splittable,
+    saltable on dense cells), verification is a whole-stage-codegen trig
+    filter — no UDF, no cross join, no driver-side state. Mirrors the
+    reference's dependency-pass shape (scan → bounded candidate set →
+    exact resolve, /root/reference/gosmonaut.go:147-216) recast as a
+    relational distance join.
+
+    Inputs: ``queries(query_id, lat, lon)``, ``targets(target_id, lat,
+    lon)``. Output: ``(query_id, target_id, dist_m)`` with
+    ``dist_m <= radius_m`` and ``target_id != query_id``.
+    """
+    import math
+
+    n = 1 << res
+    cell_h = 180.0 / n
+    cell_w = 360.0 / n
+    dlat_deg = math.degrees(radius_m / EARTH_RADIUS_M)
+    ry = int(dlat_deg // cell_h) + 1
+    sin_half = math.sin(radius_m / (2.0 * EARTH_RADIUS_M))
+
+    lat, lon = F.col("lat"), F.col("lon")
+    # most poleward latitude any within-radius target can sit at
+    phi_far = F.least(F.abs(lat) + F.lit(dlat_deg + cell_h), F.lit(90.0))
+    ratio = F.lit(sin_half) / F.greatest(
+        F.cos(F.radians(phi_far)), F.lit(1e-12)
+    )
+    dlon_deg = F.degrees(F.lit(2.0) * F.asin(F.least(ratio, F.lit(1.0))))
+    rx = (F.floor(dlon_deg / F.lit(cell_w)) + F.lit(1)).cast("int")
+    # one traversal of the row, never more: [-min(rx,(n-1)//2), min(rx,n//2)]
+    # spans at most n cells, and spans ALL n when rx saturates (full wrap)
+    dx_hi = F.least(rx, F.lit(n // 2))
+    dx_lo = -F.least(rx, F.lit((n - 1) // 2))
+
+    q = (
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col("lat").alias("q_lat"),
+            F.col("lon").alias("q_lon"),
+            cell_x(lon, res).alias("qx"),
+            cell_y(lat, res).alias("qy"),
+            dx_lo.alias("dx_lo"),
+            dx_hi.alias("dx_hi"),
+        )
+        .select(
+            "query_id",
+            "q_lat",
+            "q_lon",
+            "qx",
+            "qy",
+            F.explode(F.sequence(F.col("dx_lo"), F.col("dx_hi"))).alias("dx"),
+        )
+        .select(
+            "query_id",
+            "q_lat",
+            "q_lon",
+            "qx",
+            "qy",
+            "dx",
+            F.explode(F.array(*[F.lit(d) for d in range(-ry, ry + 1)])).alias("dy"),
+        )
+        # out-of-range rows have no cells (targets at the poles clamp INTO
+        # the grid edge rows, so dropping y<0 / y>=n misses nothing)
+        .filter((F.col("qy") + F.col("dy") >= 0) & (F.col("qy") + F.col("dy") < n))
+        .select(
+            "query_id",
+            "q_lat",
+            "q_lon",
+            cell_from_xy(
+                ((F.col("qx") + F.col("dx")) % n + n) % n,
+                F.col("qy") + F.col("dy"),
+                res,
+            ).alias("cell"),
+        )
+    )
+    t = targets.select(
+        F.col(target_id).alias("target_id"),
+        F.col("lat").alias("t_lat"),
+        F.col("lon").alias("t_lon"),
+        cell_expr("lat", "lon", res).alias("cell"),
+    )
+    return (
+        q.join(t, "cell", "inner")
+        .filter(F.col("target_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "target_id",
+            haversine_m(
+                F.col("q_lat"), F.col("q_lon"), F.col("t_lat"), F.col("t_lon")
+            ).alias("dist_m"),
+        )
+        .filter(F.col("dist_m") <= F.lit(float(radius_m)))
     )
 
 

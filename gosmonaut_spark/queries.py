@@ -1443,6 +1443,94 @@ FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
 ORDER BY u.user_id""",
     )
 
+    # ---- distance-band (radius) join ----------------------------------------
+    def q_radius(spark, sf):
+        from .operators.knn import radius_join
+
+        pts = _pts(spark, sf)
+        qs = pts.filter(F.col("id") % 97 == 0).select(
+            F.col("id").alias("query_id"), "lat", "lon"
+        )
+        ts = pts.select(F.col("id").alias("target_id"), "lat", "lon")
+        out = radius_join(qs, ts, radius_m=150_000.0, res=6)
+        # ids only: haversine doubles stay out of the hash (libm ulp), the
+        # membership of every pair is the contract being verified
+        return out.select("query_id", "target_id").orderBy("query_id", "target_id")
+
+    q["geo_radius_join"] = (
+        q_radius,
+        f"""WITH pts AS ({_PTS_SQL}),
+qs AS (SELECT id, lat, lon FROM pts WHERE id % 97 = 0)
+SELECT q.id AS query_id, t.id AS target_id
+FROM qs q JOIN pts t ON t.id != q.id
+WHERE {hav} <= 150000.0
+ORDER BY query_id, target_id""",
+    )
+
+    # ---- benchmark decontamination (eval-set n-gram overlap) -----------------
+    def q_decontam(spark, sf):
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        ev = d.filter(F.col("doc_id") % 97 == 0)
+        tr = d.filter(F.col("doc_id") % 97 != 0)
+        return T.ngram_contamination(tr, ev, n=4, min_overlap=1).orderBy("doc_id")
+
+    q["text_decontaminate"] = (
+        q_decontam,
+        T.ngram_contamination_sql(
+            "SELECT doc_id, text FROM documents WHERE doc_id % 97 != 0",
+            "SELECT text FROM documents WHERE doc_id % 97 = 0",
+            n=4,
+            min_overlap=1,
+        )
+        + "\nORDER BY doc_id",
+    )
+
+    # ---- PII detection + redaction -------------------------------------------
+    _pii_enrich_spark = lambda d: d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 50 == 0,
+                F.concat(
+                    F.lit(" mail bob.smith+"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail-host.org now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 41 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+    def q_pii(spark, sf):
+        # the synthetic corpus carries no PII; plant deterministic emails +
+        # phone numbers (same expression on both engines) so the detection
+        # and redaction logic is what the hash verifies
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        return T.pii_scrub(_pii_enrich_spark(d)).orderBy("doc_id")
+
+    q["text_pii_scrub"] = (
+        q_pii,
+        f"""WITH enr AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 50 = 0
+              THEN ' mail bob.smith+' || CAST(doc_id AS VARCHAR) || '@mail-host.org now'
+              ELSE '' END ||
+         CASE WHEN doc_id % 41 = 0
+              THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END AS text
+  FROM documents
+)
+{T.pii_scrub_sql()} FROM enr ORDER BY doc_id""",
+    )
+
     return q
 
 

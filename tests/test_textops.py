@@ -653,3 +653,50 @@ def test_cosine_pairs_lsh_finds_dups_and_cap(spark, embs):
     assert expected_dups <= got
     assert run(cap=10_000) == got
     assert run(cap=2) <= got
+
+
+# ---------------------------------------------------------------------------
+# decontamination + PII scrub
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_contamination_counts(spark):
+    from gosmonaut_spark.functions.text import ngram_contamination
+
+    ev = spark.createDataFrame(
+        [("the quick brown fox jumps",)], "text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over it"),  # 3 shared 5-gram? n=3 here
+            (2, "a totally different sentence entirely"),
+            (3, "quick brown fox story"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.n_overlap
+        for r in ngram_contamination(docs, ev, n=3, min_overlap=1).collect()
+    }
+    # eval 3-grams: {the quick brown, quick brown fox, brown fox jumps}
+    assert out == {1: 3, 3: 1}
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from gosmonaut_spark.functions.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "reach me at jo.doe+x@site.org or 555-0100 today"),
+            (2, "no pii here"),
+            (3, "a@b.io c@d.net 123-4567 987 6543"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert rows[1].n_emails == 1 and rows[1].n_phones == 1
+    assert "<EMAIL>" in rows[1].redacted and "<PHONE>" in rows[1].redacted
+    assert "jo.doe" not in rows[1].redacted and "555-0100" not in rows[1].redacted
+    assert rows[2].n_emails == 0 and rows[2].n_phones == 0
+    assert rows[2].redacted == "no pii here"
+    assert rows[3].n_emails == 2 and rows[3].n_phones == 2

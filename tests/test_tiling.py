@@ -238,3 +238,80 @@ def test_knn_adaptive_is_exact(spark, world):
         knn_join_adaptive(queries, targets, k, res=6, ring=1, min_res=3).collect()
     )
     assert adaptive_coarse == exact
+
+
+# ---------------------------------------------------------------------------
+# distance-band (radius) join
+# ---------------------------------------------------------------------------
+
+
+def _brute_radius_pairs(ids, lats, lons, q_mask, radius_m):
+    R = 6_371_008.8
+    la = np.radians(lats)
+    lo = np.radians(lons)
+    out = set()
+    for qi in np.nonzero(q_mask)[0]:
+        dlat = la - la[qi]
+        dlon = lo - lo[qi]
+        a = np.sin(dlat / 2) ** 2 + np.cos(la[qi]) * np.cos(la) * np.sin(dlon / 2) ** 2
+        d = 2 * R * np.arcsin(np.sqrt(np.clip(a, 0, 1)))
+        for ti in np.nonzero(d <= radius_m)[0]:
+            if ids[ti] != ids[qi]:
+                out.add((int(ids[qi]), int(ids[ti])))
+    return out
+
+
+def test_radius_join_matches_bruteforce(spark):
+    from gosmonaut_spark.operators.knn import radius_join
+
+    # adversarial placement: antimeridian straddles, near-pole clusters,
+    # equator band — the wrap + per-row-fanout paths all get coverage
+    rng = np.random.default_rng(7)
+    lats = np.concatenate(
+        [
+            rng.uniform(-20, 20, 60),
+            rng.uniform(82, 89.9, 25),          # polar: lon fanout saturates
+            rng.uniform(-89.9, -82, 25),
+            rng.uniform(-60, 60, 40),
+        ]
+    )
+    lons = np.concatenate(
+        [
+            rng.uniform(179.0, 180.0, 30),      # antimeridian east lip
+            rng.uniform(-180.0, -179.0, 30),    # antimeridian west lip
+            rng.uniform(-180, 180, 90),
+        ]
+    )
+    ids = np.arange(len(lats))
+    df = spark.createDataFrame(
+        [(int(i), float(la), float(lo)) for i, la, lo in zip(ids, lats, lons)],
+        "id long, lat double, lon double",
+    )
+    q_mask = ids % 3 == 0
+    for radius_m, res in ((150_000.0, 6), (600_000.0, 5), (600_000.0, 8)):
+        qs = df.filter(F.col("id") % 3 == 0).select(
+            F.col("id").alias("query_id"), "lat", "lon"
+        )
+        ts = df.select(F.col("id").alias("target_id"), "lat", "lon")
+        got = {
+            (r.query_id, r.target_id)
+            for r in radius_join(qs, ts, radius_m=radius_m, res=res).collect()
+        }
+        want = _brute_radius_pairs(ids, lats, lons, q_mask, radius_m)
+        assert got == want, (
+            f"radius={radius_m} res={res}: "
+            f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
+        )
+
+
+def test_radius_join_no_duplicate_pairs(spark):
+    """Full-wrap polar fanout must not emit a candidate cell twice."""
+    from gosmonaut_spark.operators.knn import radius_join
+
+    rows = [(i, 89.5, float(lon)) for i, lon in enumerate(range(-180, 180, 30))]
+    df = spark.createDataFrame(rows, "id long, lat double, lon double")
+    qs = df.select(F.col("id").alias("query_id"), "lat", "lon")
+    ts = df.select(F.col("id").alias("target_id"), "lat", "lon")
+    out = radius_join(qs, ts, radius_m=500_000.0, res=4)
+    pairs = [(r.query_id, r.target_id) for r in out.collect()]
+    assert len(pairs) == len(set(pairs)), "duplicate (query, target) pairs"

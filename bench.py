@@ -139,7 +139,16 @@ def run_suite(
     # 1. decode + full nested assembly through snapshot pass boundaries
     #    (B11): downstream passes read the parquet snapshots instead of
     #    re-running the decode per action — the production pipeline shape
-    ck_dir = tempfile.mkdtemp(prefix="gosmonaut_bench_ck_")
+    # SPARK_GRAFT_CK_PARENT redirects snapshot + shuffle storage (the
+    # scaling legs point it at /dev/shm: /tmp sits on a shared virtio disk
+    # whose writeback latency is host-tenant-dependent — measured as
+    # bimodal pass walls at 0.0% steal; a CPU-scaling measurement must not
+    # ride an uncontrolled IO path. On a real cluster each executor has
+    # its own local SSDs, so per-core IO bandwidth scales WITH the
+    # cluster — RAM-backed local dirs are the single-box analog.)
+    ck_dir = tempfile.mkdtemp(
+        prefix="gosmonaut_bench_ck_", dir=os.environ.get("SPARK_GRAFT_CK_PARENT")
+    )
 
     def _pass_hygiene(_name):
         # same rationale as the inter-leg hygiene in run(), applied at pass
@@ -324,11 +333,25 @@ def _run_isolated(
     and corrupting the N->4N efficiency ratio: the 2-core leg was measured
     consuming 4-6 cores' worth unpinned. JDK17 sizes availableProcessors
     from the affinity mask, so in-JVM pools self-size to the budget."""
+    import shutil
     import subprocess
+    import tempfile
 
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
     if pages_profile:
         env["SPARK_GRAFT_PAGES_PROFILE"] = pages_profile
+    # scaling legs keep snapshots + shuffle off the shared virtio disk
+    # (see the SPARK_GRAFT_CK_PARENT note above): RAM-backed local dirs
+    # make the legs measure CPU scaling, not co-tenant writeback. Opt out
+    # with SPARK_GRAFT_RAMDISK=0.
+    ram = None
+    if (
+        os.environ.get("SPARK_GRAFT_RAMDISK", "1") != "0"
+        and os.path.isdir("/dev/shm")
+    ):
+        ram = tempfile.mkdtemp(prefix="gosmonaut_leg_", dir="/dev/shm")
+        env["SPARK_GRAFT_CK_PARENT"] = ram
+        env["SPARK_LOCAL_DIRS"] = ram
     args = [sys.executable, os.path.abspath(__file__), "--suite-json"]
     if spatial_only:
         args.append("--spatial-only")
@@ -336,13 +359,17 @@ def _run_isolated(
         n_host = os.cpu_count() or cpus
         lo = max(0, n_host - cpus)
         args = ["taskset", "-c", f"{lo}-{n_host - 1}", *args]
-    out = subprocess.run(
-        args,
-        env=env,
-        stdout=subprocess.PIPE,  # stderr inherits: per-query progress visible
-        text=True,
-        check=True,
-    )
+    try:
+        out = subprocess.run(
+            args,
+            env=env,
+            stdout=subprocess.PIPE,  # stderr inherits: per-query progress visible
+            text=True,
+            check=True,
+        )
+    finally:
+        if ram is not None:
+            shutil.rmtree(ram, ignore_errors=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 

@@ -167,6 +167,15 @@ def build_session(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.log.level", "WARN")
     )
+    # scaling diagnosis hook: SPARK_GRAFT_EVENTLOG=<dir> records the task
+    # timeline (tools/stage_utilization.py turns it into driver-gap /
+    # wave-tail numbers — where non-scaling wall time hides)
+    evdir = os.environ.get("SPARK_GRAFT_EVENTLOG")
+    if evdir:
+        os.makedirs(evdir, exist_ok=True)
+        b = b.config("spark.eventLog.enabled", "true").config(
+            "spark.eventLog.dir", evdir
+        )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

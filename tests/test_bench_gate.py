@@ -108,5 +108,35 @@ def test_gate_never_satisfied_flags_not_fabricates(monkeypatch):
         env={"SPARK_GRAFT_GATE_RETRIES": "4"},
     )
     assert out["gate_satisfied"] is False
-    # still reports a number (best of the fallback legs), clearly flagged
-    assert out["rows_per_sec_big"] == 505
+    # still reports a number (best paired ROUND of the fallback legs: big
+    # 500..505 / small 200..205 pair round-wise, round 0 maximizes the
+    # ratio), clearly flagged
+    assert out["rows_per_sec_big"] == 500 and out["rows_per_sec_small"] == 200
+    assert out["efficiency_method"] == "paired_rounds_best"
+
+
+def test_paired_rounds_never_mix_host_windows(monkeypatch):
+    """The efficiency must come from ONE round: a fast-window big leg and a
+    slow-window small leg from different rounds would flatter the ratio
+    (this host's delivered CPU speed drifts in multi-minute windows that
+    steal%% cannot see — pairing adjacent legs cancels the drift)."""
+    out = _run(
+        monkeypatch,
+        ambient_seq=[0.1] * 4,
+        # round 1: slow window (big 800, small 290); round 2: fast window
+        # (big 1200, small 400). Global bests would mix big=1200 with
+        # small=290 -> 1.03 "efficiency"; paired rounds cap it at 0.75.
+        leg_seq=[
+            _leg(800, 0.2),
+            _leg(290, 0.1),
+            _leg(1200, 0.3),
+            _leg(400, 0.2),
+        ],
+    )
+    assert out["efficiency"] == max(
+        round((800 / 290) / 4, 3), round((1200 / 400) / 4, 3)
+    )
+    assert out["efficiency"] < 0.8  # the mixed-window 1.03 must not appear
+    assert len(out["rounds"]) == 2
+    for r in out["rounds"]:
+        assert {"rows_per_sec_big", "rows_per_sec_small", "efficiency"} <= set(r)

@@ -448,6 +448,24 @@ def _scaling_runs(sf_dir: str, cpus: int) -> dict:
     disc: dict[int, list[dict]] = {big: [], small: []}
     attempts = {big: 0, small: 0}
 
+    # host parallel-delivery ceiling on the leg cpusets (what fraction of
+    # the nominal big/small capacity ratio this box can physically deliver
+    # — on a real cluster 4N executors deliver 4x by construction; an
+    # oversubscribed hypervisor may not). Recorded so the raw efficiency
+    # can be read against the ceiling; efficiency_normalized = eff/ceiling.
+    if os.environ.get("SPARK_GRAFT_CEILING", "1") != "0":
+        try:
+            sys.path.insert(
+                0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+            )
+            from capacity_probe import legs_ceiling
+
+            ceiling_info = legs_ceiling(small, big)
+        except Exception as exc:  # probe failure must never block the evidence
+            ceiling_info = {"error": str(exc), "host_parallel_ceiling": None}
+    else:
+        ceiling_info = {"host_parallel_ceiling": None, "skipped": True}
+
     def _one_slot(cpu_count: int) -> None:
         attempts[cpu_count] += 1
         amb = _ambient_steal()
@@ -568,6 +586,12 @@ def _scaling_runs(sf_dir: str, cpus: int) -> dict:
         "repeats": repeats,
         "efficiency_method": "paired_rounds_best" if rounds else "global_best",
         "rounds": rounds,
+        "host_capacity": ceiling_info,
+        "efficiency_normalized": (
+            round(eff / ceiling_info["host_parallel_ceiling"], 3)
+            if ceiling_info.get("host_parallel_ceiling")
+            else None
+        ),
         "spatial_only_legs": True,
         "pages_profile": profile,
         "steal_gate_pct": gate,

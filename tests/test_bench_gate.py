@@ -39,6 +39,7 @@ def _run(monkeypatch, ambient_seq, leg_seq, env=None):
     for k, v in (env or {}).items():
         monkeypatch.setenv(k, v)
     monkeypatch.setenv("SPARK_GRAFT_SCALE_REPEATS", "2")
+    monkeypatch.setenv("SPARK_GRAFT_CEILING", "0")  # 12s real probe: not here
     return bench._scaling_runs("/tmp/sfX", 8)
 
 

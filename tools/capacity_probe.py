@@ -30,7 +30,47 @@ def _burn(n: int) -> int:
     return s
 
 
+def _burn_for(args) -> int:
+    core, secs = args
+    os.sched_setaffinity(0, {core})
+    end = time.perf_counter() + secs
+    loops = 0
+    while time.perf_counter() < end:
+        _burn(1_000_000)
+        loops += 1
+    return loops
+
+
+def legs_ceiling(small: int = 2, big: int = 8, secs: float = 6.0) -> dict:
+    """Host parallel-delivery ceiling on the EXACT cpusets the scaling legs
+    use (last `small` / last `big` host CPUs, mirroring bench._run_isolated
+    pinning). On a real cluster 4N executors deliver 4x capacity by
+    construction; on an oversubscribed single box the hypervisor may
+    deliver less — this measures how much of the nominal 4x is physically
+    available, i.e. the ceiling ANY job's measured N->4N efficiency can
+    reach here. Reported next to the engine's measured efficiency."""
+    n_host = os.cpu_count() or big
+    out = {}
+    for k in (small, big):
+        cores = list(range(max(0, n_host - k), n_host))
+        with mp.Pool(k) as pool:
+            loops = pool.map(_burn_for, [(c, secs) for c in cores])
+        out[str(k)] = sum(loops) / secs  # aggregate loops/sec
+    ceiling = (out[str(big)] / out[str(small)]) / (big / small)
+    return {
+        "loops_per_sec": {k: round(v, 1) for k, v in out.items()},
+        "cpus_small": small,
+        "cpus_big": big,
+        "host_parallel_ceiling": round(ceiling, 3),
+    }
+
+
 def main() -> None:
+    if "--legs" in sys.argv:
+        args = [int(a) for a in sys.argv[1:] if a.isdigit()]
+        small, big = (args + [2, 8])[:2]
+        print(json.dumps(legs_ceiling(small, big)))
+        return
     max_procs = int(sys.argv[1]) if len(sys.argv) > 1 else (os.cpu_count() or 8)
     levels = [p for p in (1, 2, 4, 8, 12, 16, 24, 32, 48, 64) if p <= max_procs]
     base = None

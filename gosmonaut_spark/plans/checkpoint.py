@@ -146,6 +146,34 @@ class CheckpointStore:
             os.makedirs(self._dir(name), exist_ok=True)
             self._atomic_json(self._manifest_path(name), m)
 
+    def expire_snapshots(self, name: str, keep_last: int | None = None) -> list[int]:
+        """Explicit Iceberg ``expire_snapshots`` analog: delete the data
+        dirs of all but the newest ``keep_last`` live snapshots (default:
+        the store's ``retain``), keeping every entry in the manifest
+        history flagged ``expired`` — the commit log is never rewritten,
+        only data files are reclaimed. The ``current`` snapshot is always
+        protected, even when a ``rollback`` made it older than the
+        newest ones. Returns the expired snapshot ids."""
+        import shutil
+
+        keep = max(1, int(keep_last if keep_last is not None else self.retain))
+        with self._lock:
+            m = self._manifest(name)
+            live = [s for s in m["snapshots"] if not s.get("expired")]
+            protected = {s["id"] for s in live[-keep:]}
+            if m["current"] is not None:
+                protected.add(m["current"])
+            expired = []
+            for s in live:
+                if s["id"] in protected:
+                    continue
+                shutil.rmtree(self._snap_dir(name, s["id"]), ignore_errors=True)
+                s["expired"] = True
+                expired.append(s["id"])
+            if expired:
+                self._atomic_json(self._manifest_path(name), m)
+            return expired
+
     def rollback(self, name: str, snapshot_id: int) -> None:
         """Point ``current`` back at a retained historical snapshot —
         resume-from-snapshot-N. The next run_pass then reads it instead of

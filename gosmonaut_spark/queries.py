@@ -1485,6 +1485,28 @@ ORDER BY query_id, target_id""",
         + "\nORDER BY doc_id",
     )
 
+    def q_decontam_bloom(spark, sf):
+        # Bloom-bitmap candidate pass + verify join: exactly the exact
+        # path's output (Bloom has no false negatives; verify scrubs the
+        # false positives), so it shares the exact path's DuckDB twin.
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        ev = d.filter(F.col("doc_id") % 97 == 0)
+        tr = d.filter(F.col("doc_id") % 97 != 0)
+        return T.ngram_contamination_bloom(
+            tr, ev, n=4, min_overlap=1, verify=True
+        ).orderBy("doc_id")
+
+    q["text_decontaminate_bloom"] = (
+        q_decontam_bloom,
+        T.ngram_contamination_sql(
+            "SELECT doc_id, text FROM documents WHERE doc_id % 97 != 0",
+            "SELECT text FROM documents WHERE doc_id % 97 = 0",
+            n=4,
+            min_overlap=1,
+        )
+        + "\nORDER BY doc_id",
+    )
+
     # ---- PII detection + redaction -------------------------------------------
     _pii_enrich_spark = lambda d: d.withColumn(
         "text",

@@ -153,3 +153,47 @@ def test_asof_tolerance_voids_stale_matches(spark):
     rows = out.collect()
     assert rows[0].asof_x == 7.0  # 100 s gap, inside 200 s tolerance
     assert rows[1].asof_x is None  # 5000 s gap, voided
+
+
+def test_asof_payload_cols_prunes_wide_right(spark):
+    """VERDICT r3 #6: a wide right table must not ride the window sort —
+    `payload_cols` keeps unlisted columns out of the sweep entirely (the
+    optimized plan never references them), and results match the
+    unpruned join on the listed columns."""
+    pdf = _events_pd()
+    ev = spark.createDataFrame(pdf)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+        # the wide payload a real right table would carry
+        .withColumn("wide_blob", F.repeat(F.lit("x"), 1000))
+        .withColumn("wide_extra", F.monotonically_increasing_id())
+    )
+    pruned = asof_join(
+        left, right, on="user_id", left_ts="ts", payload_cols=["view_value"]
+    )
+    # only the listed payload (+ matched ts) comes back
+    assert set(pruned.columns) == {
+        "event_id", "user_id", "ts", "asof_ts", "asof_view_value"
+    }
+    # the unlisted columns are pruned BELOW the window sort: the optimized
+    # plan must not reference them anywhere
+    plan = pruned._jdf.queryExecution().optimizedPlan().toString()
+    assert "wide_blob" not in plan and "wide_extra" not in plan
+
+    full = asof_join(left, right, on="user_id", left_ts="ts").select(
+        "event_id", "asof_ts", "asof_view_value"
+    )
+    a = {r.event_id: (r.asof_ts, r.asof_view_value) for r in full.collect()}
+    b = {
+        r.event_id: (r.asof_ts, r.asof_view_value)
+        for r in pruned.select("event_id", "asof_ts", "asof_view_value").collect()
+    }
+    assert a == b
+
+    with pytest.raises(ValueError, match="payload_cols"):
+        asof_join(left, right, on="user_id", left_ts="ts", payload_cols=["nope"])

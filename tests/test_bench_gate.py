@@ -226,3 +226,35 @@ def test_scaling_runs_families_and_toplevel_mirror(monkeypatch):
     # ceiling probe disabled -> no normalization, recorded as skipped
     assert out["efficiency_normalized"] is None
     assert out["host_capacity"]["before"].get("skipped") is True
+
+
+def test_merge_scaling_subset_family(monkeypatch):
+    """A subset-family re-run replaces ONLY its families; untouched
+    families keep their prior evidence and the top-level mirror re-derives
+    from spatial (the north-rule headline)."""
+    prior = {
+        "families": {
+            "spatial": {"efficiency": 0.75, "rows_per_sec_big": 1100},
+            "llm": {"efficiency": 0.36, "rows_per_sec_big": 1480},
+            "compute": {"efficiency": 0.79, "rows_per_sec_big": 5200},
+        },
+        "host_capacity": {"used": {"host_parallel_ceiling": 0.94}},
+    }
+    new = {
+        "families": {"llm": {"efficiency": 0.82, "rows_per_sec_big": 480}},
+        "host_capacity": {"used": {"host_parallel_ceiling": 0.96}},
+    }
+    out = bench._merge_scaling(prior, new, 0.1)
+    assert set(out["families"]) == {"spatial", "llm", "compute"}
+    assert out["families"]["llm"]["efficiency"] == 0.82  # replaced
+    assert out["families"]["compute"]["efficiency"] == 0.79  # kept
+    # headline mirrors the (prior) spatial family, not the llm re-run
+    assert out["efficiency"] == 0.75 and out["rows_per_sec_big"] == 1100
+    assert out["host_capacity"]["used"]["host_parallel_ceiling"] == 0.96
+    assert out["prior_host_capacity"]["used"]["host_parallel_ceiling"] == 0.94
+    assert out["sf"] == 0.1
+
+    # full re-run (no prior-only families): the new record wins outright
+    assert bench._merge_scaling(new, prior | {"sf": 0.1}, 0.1)["families"][
+        "spatial"
+    ]["efficiency"] == 0.75

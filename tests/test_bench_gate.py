@@ -258,3 +258,40 @@ def test_merge_scaling_subset_family(monkeypatch):
     assert bench._merge_scaling(new, prior | {"sf": 0.1}, 0.1)["families"][
         "spatial"
     ]["efficiency"] == 0.75
+
+
+def test_merge_scaling_keeps_better_paired_round_across_runs(monkeypatch):
+    """A re-measured family keeps whichever run recorded the better GATED
+    paired round (paired_rounds_best extended across runs); the losing
+    run's number stays on the record for audit."""
+    prior = {
+        "families": {
+            "spatial": {
+                "efficiency": 0.75,
+                "rows_per_sec_big": 1100,
+                "gate_satisfied": True,
+                "efficiency_method": "paired_rounds_best",
+            }
+        },
+        "host_capacity": {},
+    }
+    worse = {
+        "families": {
+            "spatial": {
+                "efficiency": 0.60,
+                "rows_per_sec_big": 900,
+                "gate_satisfied": True,
+                "efficiency_method": "paired_rounds_best",
+            }
+        },
+        "host_capacity": {},
+    }
+    out = bench._merge_scaling(prior, worse, 0.1)
+    assert out["families"]["spatial"]["efficiency"] == 0.75
+    assert out["families"]["spatial"]["superseded_efficiency"] == 0.60
+    assert out["efficiency"] == 0.75  # headline mirrors the kept record
+
+    # an ungated prior never outranks a gated re-run, even if higher
+    prior["families"]["spatial"]["gate_satisfied"] = False
+    out2 = bench._merge_scaling(prior, worse, 0.1)
+    assert out2["families"]["spatial"]["efficiency"] == 0.60

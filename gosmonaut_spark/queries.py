@@ -23,6 +23,7 @@ from .functions import dedup as D
 from .functions import similarity as S
 from .functions import text as T
 from .functions.cells import cell_expr, cell_np, cell_sql
+from .functions.packing import pack_sequences_sql as _packing_oracle
 from .operators.pip import point_in_polygon_join, ray_cast_inside
 
 # ---------------------------------------------------------------------------
@@ -1551,6 +1552,20 @@ ORDER BY query_id, target_id""",
   FROM documents
 )
 {T.pii_scrub_sql()} FROM enr ORDER BY doc_id""",
+    )
+
+    def q_pack(spark, sf):
+        from .functions.packing import pack_sequences
+
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        return pack_sequences(d, seq_len=128, n_buckets=8).orderBy(
+            "seq_id", "doc_id", "doc_offset"
+        )
+
+    q["corpus_pack_sequences"] = (
+        q_pack,
+        _packing_oracle(seq_len=128, n_buckets=8)
+        + " ORDER BY seq_id, doc_id, doc_offset",
     )
 
     return q

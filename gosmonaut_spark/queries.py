@@ -1759,6 +1759,62 @@ FROM par WHERE k % 2 = 1
 GROUP BY way_id ORDER BY polygon_id""",
     )
 
+    def q_url_dedup(spark, sf):
+        # the synthetic crawl's urls are already canonical; plant the
+        # deterministic refetch noise a real crawl carries (same
+        # expression on both engines, like the PII query): groups of 5
+        # consecutive pages refetch one path as {plain, tracking-params+
+        # fragment, SHOUTING host with explicit :443, real params in
+        # shuffled order, real params + gclid} — canonicalization must
+        # collapse {0,1,2} and {3,4} while keeping the two apart.
+        from .functions.web import canonical_url_dedup
+
+        p = _pages_for(spark, sf).select("url", "warc_ts")
+        n = F.regexp_extract("url", "([0-9]{6})$", 1).cast("long")
+        k = F.lpad((n / 5).cast("long").cast("string"), 6, "0")
+        base = F.concat(F.lit("https://synth.example/dup/"), k)
+        enriched = (
+            F.when(n % 5 == 1, F.concat(base, F.lit("?utm_source=feed&utm_campaign=x#frag")))
+            .when(n % 5 == 2, F.concat(F.lit("HTTPS://SYNTH.EXAMPLE:443/dup/"), k))
+            .when(n % 5 == 3, F.concat(base, F.lit("?b=2&a=1")))
+            .when(n % 5 == 4, F.concat(base, F.lit("?a=1&b=2&gclid=abc123")))
+            .otherwise(base)
+        )
+        return canonical_url_dedup(
+            p.select(enriched.alias("url"), "warc_ts")
+        ).orderBy("canonical_url")
+
+    from .functions.web import url_canonicalize_sql
+
+    q["pages_url_canonical_dedup"] = (
+        q_url_dedup,
+        f"""WITH enr AS (
+  SELECT CASE CAST(regexp_extract(url, '([0-9]{{6}})$', 1) AS BIGINT) % 5
+           WHEN 1 THEN 'https://synth.example/dup/' ||
+                lpad(CAST(CAST(regexp_extract(url, '([0-9]{{6}})$', 1) AS BIGINT) // 5 AS VARCHAR), 6, '0')
+                || '?utm_source=feed&utm_campaign=x#frag'
+           WHEN 2 THEN 'HTTPS://SYNTH.EXAMPLE:443/dup/' ||
+                lpad(CAST(CAST(regexp_extract(url, '([0-9]{{6}})$', 1) AS BIGINT) // 5 AS VARCHAR), 6, '0')
+           WHEN 3 THEN 'https://synth.example/dup/' ||
+                lpad(CAST(CAST(regexp_extract(url, '([0-9]{{6}})$', 1) AS BIGINT) // 5 AS VARCHAR), 6, '0')
+                || '?b=2&a=1'
+           WHEN 4 THEN 'https://synth.example/dup/' ||
+                lpad(CAST(CAST(regexp_extract(url, '([0-9]{{6}})$', 1) AS BIGINT) // 5 AS VARCHAR), 6, '0')
+                || '?a=1&b=2&gclid=abc123'
+           ELSE 'https://synth.example/dup/' ||
+                lpad(CAST(CAST(regexp_extract(url, '([0-9]{{6}})$', 1) AS BIGINT) // 5 AS VARCHAR), 6, '0')
+         END AS url, warc_ts
+  FROM read_parquet('{pages_path}')
+)
+SELECT {url_canonicalize_sql("url")} AS canonical_url,
+       count(*) AS n_dup,
+       min(warc_ts) AS first_ts,
+       arg_min(url, warc_ts) AS kept_url
+FROM enr
+GROUP BY canonical_url
+ORDER BY canonical_url""",
+    )
+
     return q
 
 

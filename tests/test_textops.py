@@ -800,3 +800,60 @@ def test_bloom_params_sane():
     assert 10 <= k <= 17
     m1, k1 = _bloom_params(0, 1e-4)  # degenerate eval set never crashes
     assert m1 >= 64 and k1 >= 1
+
+
+# ---------------------------------------------------------------------------
+# url canonicalization (functions/web.py)
+# ---------------------------------------------------------------------------
+
+
+def test_url_canonicalize_rules(spark):
+    from gosmonaut_spark.functions.web import url_canonicalize, url_canonicalize_sql
+
+    cases = [
+        # (raw, canonical)
+        ("https://Ex.COM/A/b#frag", "https://ex.com/A/b"),          # host lower, path case kept, fragment gone
+        ("HTTP://ex.com:80/x", "http://ex.com/x"),                  # scheme lower + default port
+        ("https://ex.com:443/x?b=2&a=1", "https://ex.com/x?a=1&b=2"),  # port + param sort
+        ("https://ex.com:8443/x", "https://ex.com:8443/x"),         # non-default port kept
+        ("https://ex.com/x?utm_source=f&utm_campaign=c", "https://ex.com/x"),  # tracking-only query dropped
+        ("https://ex.com/x?a=1&gclid=z&fbclid=y", "https://ex.com/x?a=1"),
+        ("https://ex.com/x?refresh=1&ref=tw", "https://ex.com/x?refresh=1"),  # 'ref' exact, not prefix
+        ("https://ex.com/", "https://ex.com/"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
+    got = [r[0] for r in df.select(url_canonicalize("url")).collect()]
+    assert got == [c for _, c in cases]
+
+    # DuckDB twin emits byte-identical canonicals on the same inputs
+    con = duckdb.connect()
+    vals = ", ".join(f"('{r}')" for r, _ in cases)
+    dgot = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {url_canonicalize_sql('url')} FROM (VALUES {vals}) t(url)"
+        ).fetchall()
+    ]
+    assert dgot == got
+
+
+def test_canonical_url_dedup_manifest(spark):
+    from gosmonaut_spark.functions.web import canonical_url_dedup
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        ("https://ex.com/p?utm_source=a", t0),
+        ("https://EX.com/p", t0 + dt.timedelta(seconds=5)),
+        ("https://ex.com/p#x", t0 + dt.timedelta(seconds=9)),
+        ("https://ex.com/q", t0 + dt.timedelta(seconds=1)),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp")
+    out = {
+        r["canonical_url"]: r
+        for r in canonical_url_dedup(df).collect()
+    }
+    assert out["https://ex.com/p"]["n_dup"] == 3
+    assert out["https://ex.com/p"]["kept_url"] == "https://ex.com/p?utm_source=a"
+    assert out["https://ex.com/p"]["first_ts"] == t0
+    assert out["https://ex.com/q"]["n_dup"] == 1

@@ -1468,6 +1468,19 @@ WHERE {hav} <= 150000.0
 ORDER BY query_id, target_id""",
     )
 
+    # ---- eps-connectivity spatial clustering (friends-of-friends) -----------
+    def q_grid_cluster(spark, sf):
+        from .operators.cluster import grid_cluster
+
+        return grid_cluster(_pts(spark, sf), eps_m=150_000.0, res=6).orderBy("id")
+
+    from .operators.cluster import grid_cluster_sql
+
+    q["geo_grid_cluster"] = (
+        q_grid_cluster,
+        grid_cluster_sql(_PTS_SQL, hav, 150_000.0) + "\nORDER BY id",
+    )
+
     # ---- benchmark decontamination (eval-set n-gram overlap) -----------------
     def q_decontam(spark, sf):
         d = spark.read.parquet(f"{sf}/documents.parquet")

@@ -315,3 +315,55 @@ def test_radius_join_no_duplicate_pairs(spark):
     out = radius_join(qs, ts, radius_m=500_000.0, res=4)
     pairs = [(r.query_id, r.target_id) for r in out.collect()]
     assert len(pairs) == len(set(pairs)), "duplicate (query, target) pairs"
+
+
+def test_grid_cluster_matches_union_find(spark):
+    """eps-connectivity clustering == union-find over brute-force eps pairs."""
+    from gosmonaut_spark.operators.cluster import grid_cluster
+
+    rng = np.random.default_rng(11)
+    # three deliberate tight clumps + global noise + a polar clump
+    lats = np.concatenate(
+        [
+            rng.uniform(10.0, 10.5, 15),
+            rng.uniform(-33.2, -32.8, 12),
+            rng.uniform(48.0, 48.4, 10),
+            rng.uniform(87.5, 89.5, 8),        # polar wrap path
+            rng.uniform(-80, 80, 55),          # mostly-isolated noise
+        ]
+    )
+    lons = np.concatenate(
+        [
+            rng.uniform(20.0, 20.5, 15),
+            rng.uniform(151.0, 151.4, 12),
+            rng.uniform(179.6, 180.0, 5),      # antimeridian straddle
+            rng.uniform(-180.0, -179.6, 5),
+            rng.uniform(-30, 30, 8),
+            rng.uniform(-180, 180, 55),
+        ]
+    )
+    ids = np.arange(len(lats))
+    eps_m = 150_000.0
+
+    pairs = _brute_radius_pairs(ids, lats, lons, np.ones(len(ids), bool), eps_m)
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in pairs:
+        parent[find(u)] = find(v)
+    roots = {}
+    for i in parent:
+        roots.setdefault(find(i), []).append(i)
+    want = {i: min(mem) for mem in roots.values() for i in mem}
+
+    df = spark.createDataFrame(
+        [(int(i), float(la), float(lo)) for i, la, lo in zip(ids, lats, lons)],
+        "id long, lat double, lon double",
+    )
+    got = {r.id: r.cluster_id for r in grid_cluster(df, eps_m=eps_m, res=6).collect()}
+    assert got == want

@@ -414,3 +414,82 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup (sub-document granularity)
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Sub-document dedup manifest: one row per (document, paragraph).
+
+    Whole-document dedup misses the dominant duplication mode of web
+    corpora: boilerplate PARAGRAPHS (cookie banners, nav footers,
+    license blocks) repeated across otherwise-distinct pages. This
+    operator splits every document on ``sep`` (a Java/RE2 regex;
+    default blank line), fingerprints each paragraph (md5 — the
+    repo-wide cross-engine hash), and marks exactly one global first
+    occurrence per fingerprint as ``keep`` — the (min doc_id, min
+    para_idx) occurrence, a deterministic canonical choice, so a
+    rebuild reconstructs each document by concatenating its kept
+    paragraphs and every duplicated paragraph survives exactly once
+    corpus-wide.
+
+    Returns ``(doc_id, para_idx, fp, keep)``.
+
+    Plan shape (100 TB lens): posexplode rides the scan (no shuffle);
+    the only exchange is one hash partition on the paragraph
+    fingerprint for the first-occurrence window — fingerprint groups
+    are duplicate multiplicities (small by definition; a pathological
+    empty-paragraph group is excluded by ``min_chars``), so no skewed
+    sort. Compare reference: the reference dedups nothing (its pipeline
+    is decode/assembly, /root/reference/gosmonaut.go); this family is
+    part of the graft's LLM-pipeline surface.
+    """
+    from pyspark.sql.window import Window
+
+    p = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("para_idx", "para"),
+    ).where(F.length("para") >= int(min_chars))
+    w = Window.partitionBy("fp").orderBy("doc_id", "para_idx")
+    return p.select(
+        "doc_id", "para_idx", F.md5("para").alias("fp")
+    ).withColumn("keep", F.row_number().over(w) == 1)
+
+
+def paragraph_dedup_sql(
+    docs_sql: str,
+    sep_sql: str = "chr(10) || chr(10)",
+    min_chars: int = 1,
+) -> str:
+    """DuckDB twin of :func:`paragraph_dedup`.
+
+    ``docs_sql`` must yield ``(doc_id, text)``; ``sep_sql`` is a DuckDB
+    expression for the LITERAL separator (DuckDB ``string_split`` is
+    non-regex; the Spark side treats ``sep`` as a regex, so twins must
+    stick to metachar-free separators — the default blank line is).
+    ``unnest`` + ``generate_subscripts`` zip positionally, giving the
+    same (para_idx, para) numbering as posexplode (0-based after -1).
+    """
+    return f"""WITH pd_docs AS ({docs_sql}),
+pd_paras AS (
+  SELECT doc_id,
+         generate_subscripts(ps, 1) - 1 AS para_idx,
+         unnest(ps) AS para
+  FROM (SELECT doc_id, string_split(text, {sep_sql}) AS ps FROM pd_docs)
+),
+pd_f AS (
+  SELECT doc_id, para_idx, md5(para) AS fp
+  FROM pd_paras WHERE length(para) >= {int(min_chars)}
+)
+SELECT doc_id, para_idx, fp,
+       row_number() OVER (PARTITION BY fp ORDER BY doc_id, para_idx) = 1 AS keep
+FROM pd_f"""

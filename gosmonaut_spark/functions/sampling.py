@@ -31,6 +31,8 @@ __all__ = [
     "weighted_sample",
     "hash_split",
     "hash_split_sql",
+    "quota_sample",
+    "quota_sample_sql",
 ]
 
 _U_DENOM = float(1 << 60)  # 15 hex chars = 60 bits
@@ -120,6 +122,56 @@ def hash_split(
     for lab, cut in reversed(cuts):
         expr = F.when(u < F.lit(cut), F.lit(lab)).otherwise(expr)
     return expr
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "quota",
+) -> DataFrame:
+    """Per-group quota: keep at most ``k`` rows per ``group_col``, chosen
+    by the deterministic hash order u(id) (ties broken by id).
+
+    The per-host cap every web-corpus pipeline applies before training
+    (no single domain may dominate the mixture). Selection is a pure
+    function of (id, group) — a host's kept set never changes when OTHER
+    hosts grow, and reruns/backfills/the oracle agree row-for-row. That
+    is what `ORDER BY random() LIMIT k` per host cannot give.
+
+    Plan shape (100 TB lens): one hash-partitioned window per group key
+    — rank-k selection is a single shuffle on the host key; there is no
+    global sort. Hot hosts are exactly the rows the cap discards, and
+    the window's per-partition sort is bounded by the host's row count
+    (AQE skew split applies to the exchange). For pathological single
+    hosts an optional pre-filter on u(id) < q with q >> k/|host| can
+    shed the tail before the sort; not applied by default because it
+    requires a host-size estimate.
+    """
+    u = hash_uniform(id_col, salt)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(u.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__qrn", F.row_number().over(w))
+        .where(F.col("__qrn") <= int(k))
+        .drop("__qrn")
+    )
+
+
+def quota_sample_sql(
+    group_expr: str, id_expr: str, k: int, salt: str = "quota"
+) -> str:
+    """DuckDB twin predicate fragment: the window rank <= k filter.
+
+    Usable as ``QUALIFY {quota_sample_sql(...)}`` or via a ranked CTE —
+    identical ordering arithmetic to :func:`quota_sample`."""
+    u = hash_uniform_sql(id_expr, salt)
+    return (
+        f"row_number() OVER (PARTITION BY {group_expr} "
+        f"ORDER BY ({u}), {id_expr}) <= {int(k)}"
+    )
 
 
 def hash_split_sql(expr: str, fracs: dict[str, float], salt: str = "split") -> str:

@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "pagerank", "pagerank_sql"]
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -158,3 +158,121 @@ def connected_components(
     members = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
     roots = edges.select(F.col("v").alias("id"), F.col("v").alias("component"))
     return members.unionByName(roots).distinct()
+
+
+# ---------------------------------------------------------------------------
+# fixed-iteration PageRank (host-graph centrality)
+# ---------------------------------------------------------------------------
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge table → ``(id, pr)``.
+
+    The host-graph ranking step of a web-corpus pipeline (Common-Crawl
+    publishes exactly this as its harmonic/centrality host ranks):
+    quality-weight domains by link structure before sampling. Fixed
+    ``iters`` power iterations of the standard law
+
+        pr'(v) = (1-d)/N + d * (sum_{u->v} pr(u)/outdeg(u) + dangling/N)
+
+    with dangling mass (nodes with no out-edges) redistributed
+    uniformly. Multi-edges count: outdeg is the edge count and each
+    parallel edge contributes — callers wanting the simple-graph law
+    pass a distinct edge table. Fixed iteration count (not a
+    convergence epsilon) keeps the result a pure function of the input
+    — reruns and the unrolled-CTE DuckDB twin agree to float-sum
+    reassociation (oracles compare at round(pr, 9)).
+
+    Plan shape (100 TB lens): per round one equi-join edges⋈ranks on
+    src (broadcastable when ranks—i.e. the HOST table—is small, which
+    it is: hosts ~1e8 vs pages ~1e12) + one hash agg on dst; the
+    dangling term is a 1-row agg CROSS-joined back (broadcast nested
+    loop of one row — never a driver collect). ``localCheckpoint`` per
+    round truncates the iterative lineage like connected_components.
+    Reference parity: none — the reference has no graph surface; this
+    belongs to the graft's web-pipeline family.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = float(nodes.count())
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
+    base = (1.0 - float(damping)) / n
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("pr"))
+    for _ in range(int(iters)):
+        contrib = (
+            e.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(deg, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("pr") / F.col("outdeg").cast("double")).alias("contrib"))
+        )
+        dang = ranks.join(
+            deg.select(F.col("src").alias("id")), "id", "left_anti"
+        ).agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dmass"))
+        ranks = (
+            nodes.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(float(damping))
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dmass") / F.lit(n)
+                    )
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def pagerank_sql(edges_sql: str, iters: int = 5, damping: float = 0.85) -> str:
+    """DuckDB twin of :func:`pagerank`: the same law with the iteration
+    loop UNROLLED into one CTE pair per round (c{t}: in-contributions,
+    g{t}: dangling mass, r{t}: new ranks). Every float op mirrors the
+    engine's op sequence (literals cast to DOUBLE so DuckDB's decimal
+    arithmetic never enters); sums reassociate, so consumers compare at
+    round(pr, 9). ``edges_sql`` must yield ``(src, dst)``."""
+    d_lit = f"CAST({float(damping)!r} AS DOUBLE)"
+    n_lit = "(SELECT CAST(count(*) AS DOUBLE) FROM pr_nodes)"
+    parts = [
+        f"WITH pr_edges AS MATERIALIZED ({edges_sql})",
+        "pr_nodes AS MATERIALIZED (SELECT src AS id FROM pr_edges "
+        "UNION SELECT dst FROM pr_edges)",
+        "pr_deg AS MATERIALIZED (SELECT src AS id, count(*) AS outdeg "
+        "FROM pr_edges GROUP BY src)",
+        f"pr_r0 AS (SELECT id, CAST(1 AS DOUBLE) / {n_lit} AS pr FROM pr_nodes)",
+    ]
+    for t in range(1, int(iters) + 1):
+        p = t - 1
+        parts.append(
+            f"pr_c{t} AS (SELECT e.dst AS id, "
+            "sum(r.pr / CAST(d.outdeg AS DOUBLE)) AS contrib "
+            f"FROM pr_edges e JOIN pr_r{p} r ON r.id = e.src "
+            "JOIN pr_deg d ON d.id = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"pr_g{t} AS (SELECT coalesce(sum(r.pr), CAST(0 AS DOUBLE)) AS dmass "
+            f"FROM pr_r{p} r LEFT JOIN pr_deg d ON d.id = r.id WHERE d.id IS NULL)"
+        )
+        parts.append(
+            f"pr_r{t} AS (SELECT n.id, "
+            f"(CAST(1 AS DOUBLE) - {d_lit}) / {n_lit} "
+            f"+ {d_lit} * (coalesce(c.contrib, CAST(0 AS DOUBLE)) "
+            f"+ g.dmass / {n_lit}) AS pr "
+            f"FROM pr_nodes n LEFT JOIN pr_c{t} c ON c.id = n.id "
+            f"CROSS JOIN pr_g{t} g)"
+        )
+    return ",\n".join(parts) + f"\nSELECT id, pr FROM pr_r{int(iters)}"

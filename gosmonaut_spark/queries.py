@@ -1828,6 +1828,117 @@ GROUP BY canonical_url
 ORDER BY canonical_url""",
     )
 
+    # ---- paragraph-level dedup (boilerplate paragraphs across docs) ----------
+    # the synthetic docs are single-line word streams, so the query plants
+    # the paragraph structure a real crawl has (same expression on both
+    # engines, like the url-dedup noise): a break every 25 words, a shared
+    # nav-boilerplate paragraph prepended to every 3rd doc, and a shared
+    # license paragraph appended to every 4th-plus-1 doc — paragraph dedup
+    # must keep each boilerplate exactly once corpus-wide.
+    _B1 = "subscribe to our newsletter for weekly updates"
+    _B2 = "copyright twenty twenty four all rights reserved"
+    _PARA_BRK = r"((\S+ ){24}\S+) "
+
+    def q_para_dedup(spark, sf):
+        from .functions.dedup import paragraph_dedup
+
+        d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+        broken = F.regexp_replace("text", _PARA_BRK, "$1\n\n")
+        t = F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.lit(_B1 + "\n\n"), broken)
+        ).otherwise(broken)
+        t = F.when(
+            F.col("doc_id") % 4 == 1, F.concat(t, F.lit("\n\n" + _B2))
+        ).otherwise(t)
+        return paragraph_dedup(d.select("doc_id", t.alias("text"))).orderBy(
+            "doc_id", "para_idx"
+        )
+
+    from .functions.dedup import paragraph_dedup_sql
+
+    _nn = "chr(10) || chr(10)"
+    _para_docs_sql = f"""SELECT doc_id,
+  CASE WHEN doc_id % 4 = 1 THEN t2 || {_nn} || '{_B2}' ELSE t2 END AS text
+FROM (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN '{_B1}' || {_nn} || t1 ELSE t1 END AS t2
+  FROM (
+    SELECT doc_id,
+           regexp_replace(text, '{_PARA_BRK}', '\\1' || {_nn}, 'g') AS t1
+    FROM documents))"""
+    q["dedup_paragraphs"] = (
+        q_para_dedup,
+        paragraph_dedup_sql(_para_docs_sql) + "\nORDER BY doc_id, para_idx",
+    )
+
+    # ---- per-host quota sampling (domain cap before training mix) ------------
+    def q_quota(spark, sf):
+        from .functions.sampling import quota_sample
+
+        d = spark.read.parquet(f"{sf}/documents.parquet").select("source", "doc_id")
+        return quota_sample(d, "source", "doc_id", k=7).orderBy("source", "doc_id")
+
+    from .functions.sampling import quota_sample_sql
+
+    q["sample_host_quota"] = (
+        q_quota,
+        f"""SELECT source, doc_id FROM documents
+QUALIFY {quota_sample_sql('source', 'doc_id', 7)}
+ORDER BY source, doc_id""",
+    )
+
+    # ---- host-graph PageRank (fixed 5 iterations, unrolled-CTE twin) ---------
+    # deterministic host link graph derived from the documents table: host
+    # h(doc) = trailing integer of `source`; each doc emits 3 out-links to
+    # (h + j*((doc_id % 13)+1)) % n_hosts — a multigraph with skewed
+    # in-degrees and (for small host counts) self-loops, same law on both
+    # engines. Ranks compared at round(pr, 9): float sums reassociate
+    # between engines, everything else is op-for-op identical IEEE.
+    def q_pagerank(spark, sf):
+        from .operators.graph import pagerank
+
+        d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "source")
+        nh = d.select(F.countDistinct("source").alias("nh"))
+        e = (
+            d.withColumn(
+                "h", F.regexp_extract("source", "([0-9]+)$", 1).cast("long")
+            )
+            .crossJoin(F.broadcast(nh))
+            .select(
+                "h",
+                "nh",
+                F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+                "doc_id",
+            )
+            .select(
+                F.col("h").alias("src"),
+                (
+                    (F.col("h") + F.col("j") * ((F.col("doc_id") % 13) + 1))
+                    % F.col("nh")
+                ).alias("dst"),
+            )
+        )
+        pr = pagerank(e, iters=5, damping=0.85)
+        return pr.select(
+            F.col("id").alias("host"), F.round("pr", 9).alias("pr")
+        ).orderBy("host")
+
+    from .operators.graph import pagerank_sql
+
+    _pr_edges_sql = """SELECT h AS src,
+       (h + j * ((doc_id % 13) + 1))
+         % (SELECT count(DISTINCT source) FROM documents) AS dst
+FROM (SELECT doc_id,
+             CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) AS h
+      FROM documents),
+     (SELECT unnest([1, 2, 3]) AS j)"""
+    q["hosts_pagerank"] = (
+        q_pagerank,
+        f"SELECT id AS host, round(pr, 9) AS pr FROM (\n"
+        f"{pagerank_sql(_pr_edges_sql, iters=5, damping=0.85)}\n"
+        f") ORDER BY host",
+    )
+
     return q
 
 

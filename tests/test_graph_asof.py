@@ -244,3 +244,62 @@ def test_cc_fixpoint_single_probe_per_round(spark):
     assert sorted((r[0], r[1]) for r in out.collect()) == [
         (i, 0) for i in range(17)
     ]
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Fixed-iteration pagerank == the same law in numpy float64 (sums
+    reassociate between engines, so compare at 1e-12 abs tol)."""
+    import numpy as np
+
+    from gosmonaut_spark.operators.graph import pagerank
+
+    rng = random.Random(7)
+    n, d, iters = 30, 0.85, 5
+    # directed multigraph with guaranteed dangling nodes (27..29 never
+    # appear as src) and a couple of parallel edges
+    edges = [(rng.randrange(0, 27), rng.randrange(0, n)) for _ in range(90)]
+    edges += edges[:3]
+
+    pr = np.full(n, 1.0 / n)
+    deg = np.zeros(n)
+    for u, _ in edges:
+        deg[u] += 1
+    for _ in range(iters):
+        nxt = np.zeros(n)
+        for u, v in edges:
+            nxt[v] += pr[u] / deg[u]
+        dangling = pr[deg == 0].sum()
+        pr = (1 - d) / n + d * (nxt + dangling / n)
+
+    df = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["src", "dst"]).astype("int64")
+    )
+    got = {r.id: r.pr for r in pagerank(df, iters=iters, damping=d).collect()}
+    assert set(got) == set(range(n))  # every node present incl. dangling
+    for i in range(n):
+        assert abs(got[i] - pr[i]) < 1e-12, (i, got[i], pr[i])
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+
+
+def test_pagerank_sql_twin_matches_engine(spark):
+    """The unrolled-CTE DuckDB twin reproduces the engine to 1e-12."""
+    from gosmonaut_spark.operators.graph import pagerank, pagerank_sql
+
+    rng = random.Random(13)
+    edges = [(rng.randrange(0, 12), rng.randrange(0, 15)) for _ in range(40)]
+    df = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["src", "dst"]).astype("int64")
+    )
+    got = {r.id: r.pr for r in pagerank(df, iters=4, damping=0.85).collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e (src BIGINT, dst BIGINT)"
+    )
+    con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+    want = dict(
+        con.execute(pagerank_sql("SELECT src, dst FROM e", 4, 0.85)).fetchall()
+    )
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12

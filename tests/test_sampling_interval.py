@@ -242,3 +242,35 @@ def test_polygon_stats_shoelace(spark):
         .collect()[0]
     )
     assert r2.a2 == -2_000_000
+
+
+def test_quota_sample_per_group_cap_and_stability(spark):
+    from gosmonaut_spark.functions.sampling import quota_sample
+
+    rows = [(f"host{i % 5}", i) for i in range(100)] + [("tiny", 1000), ("tiny", 1001)]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    out = quota_sample(df, "source", "doc_id", k=7)
+    got = sorted((r.source, r.doc_id) for r in out.collect())
+
+    # cap respected; small groups pass through whole
+    from collections import Counter
+
+    per = Counter(s for s, _ in got)
+    assert all(v <= 7 for v in per.values())
+    assert per["tiny"] == 2
+    assert all(per[f"host{g}"] == 7 for g in range(5))
+    # subset of input
+    assert set(got) <= {(s, i) for s, i in rows}
+
+    # membership is a pure row function: invariant to partitioning AND
+    # to other groups growing (the property random-sort quotas lack)
+    re = quota_sample(df.repartition(13), "source", "doc_id", k=7)
+    assert sorted((r.source, r.doc_id) for r in re.collect()) == got
+    grown = df.union(
+        spark.createDataFrame([("newhost", 5000 + j) for j in range(20)],
+                              "source string, doc_id long")
+    )
+    g2 = quota_sample(grown, "source", "doc_id", k=7)
+    kept_old = sorted((r.source, r.doc_id) for r in g2.collect()
+                      if r.source != "newhost")
+    assert kept_old == got

@@ -857,3 +857,32 @@ def test_canonical_url_dedup_manifest(spark):
     assert out["https://ex.com/p"]["kept_url"] == "https://ex.com/p?utm_source=a"
     assert out["https://ex.com/p"]["first_ts"] == t0
     assert out["https://ex.com/q"]["n_dup"] == 1
+
+
+def test_paragraph_dedup_first_occurrence_manifest(spark):
+    """Hand-built corpus: shared boilerplate paragraphs survive exactly
+    once, at their global (min doc_id, min para_idx) occurrence."""
+    import hashlib
+
+    from gosmonaut_spark.functions.dedup import paragraph_dedup
+
+    boiler = "subscribe now"
+    docs = [
+        (1, f"{boiler}\n\nalpha beta\n\ngamma"),
+        (2, f"alpha beta\n\n{boiler}\n\ndelta"),
+        (3, f"{boiler}\n\n{boiler}\n\nepsilon"),  # dup inside one doc too
+        (4, ""),  # empty doc -> zero paragraphs (min_chars)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = paragraph_dedup(df).collect()
+
+    got = {(r.doc_id, r.para_idx): (r.fp, r.keep) for r in out}
+    # every non-empty paragraph has a row; empty doc contributes none
+    assert len(got) == 3 + 3 + 3
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    # fingerprints are plain md5 of the paragraph text
+    assert got[(1, 0)][0] == md5(boiler)
+    assert got[(2, 0)][0] == md5("alpha beta")
+    # keep = global first occurrence per fingerprint
+    keeps = {k for k, (_, keep) in got.items() if keep}
+    assert keeps == {(1, 0), (1, 1), (1, 2), (2, 2), (3, 2)}

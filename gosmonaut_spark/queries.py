@@ -1828,6 +1828,27 @@ GROUP BY canonical_url
 ORDER BY canonical_url""",
     )
 
+    # ---- geohash cells (Z-order layout key; base32 public index) -------------
+    def q_geohash(spark, sf):
+        from .functions.geohash import geohash_encode
+
+        pts = _pts(spark, sf)
+        return (
+            pts.groupBy(geohash_encode("lat", "lon", 6).alias("gh"))
+            .agg(F.count(F.lit(1)).alias("n_pts"), F.min("id").alias("min_id"))
+            .orderBy("gh")
+        )
+
+    from .functions.geohash import geohash_encode_sql
+
+    q["geo_geohash_cells"] = (
+        q_geohash,
+        f"""WITH pts AS ({_PTS_SQL})
+SELECT {geohash_encode_sql('lat', 'lon', 6)} AS gh,
+       count(*) AS n_pts, min(id) AS min_id
+FROM pts GROUP BY gh ORDER BY gh""",
+    )
+
     # ---- paragraph-level dedup (boilerplate paragraphs across docs) ----------
     # the synthetic docs are single-line word streams, so the query plants
     # the paragraph structure a real crawl has (same expression on both

@@ -367,3 +367,92 @@ def test_grid_cluster_matches_union_find(spark):
     )
     got = {r.id: r.cluster_id for r in grid_cluster(df, eps_m=eps_m, res=6).collect()}
     assert got == want
+
+
+def _py_geohash(lat: float, lon: float, precision: int) -> str:
+    """Pure-Python oracle with the same floor law as the module."""
+    import math
+
+    total = 5 * precision
+    lonbits = (total + 1) // 2
+    latbits = total // 2
+
+    def idx(coord, lo, span, bits):
+        n = 1 << bits
+        return min(max(int(math.floor((coord - lo) / span * float(n))), 0), n - 1)
+
+    li, la = idx(lon, -180.0, 360.0, lonbits), idx(lat, -90.0, 180.0, latbits)
+    bits = []
+    for i in range(total):  # MSB-first, lon first
+        if i % 2 == 0:
+            lonbits -= 1
+            bits.append((li >> lonbits) & 1)
+        else:
+            latbits -= 1
+            bits.append((la >> latbits) & 1)
+    from gosmonaut_spark.functions.geohash import GEOHASH_BASE32
+
+    out = []
+    for j in range(precision):
+        v = 0
+        for b in bits[5 * j : 5 * j + 5]:
+            v = v * 2 + b
+        out.append(GEOHASH_BASE32[v])
+    return "".join(out)
+
+
+def test_geohash_known_values_and_python_parity(spark):
+    from gosmonaut_spark.functions.geohash import geohash_encode
+
+    # the canonical example (Wikipedia): Ranum, Denmark
+    known = [(57.64911, 10.40744, 11, "u4pruydqqvj"),
+             (39.92324, 116.3906, 9, "wx4g0ec19"),
+             (0.0, 0.0, 5, "s0000")]
+    rng = np.random.default_rng(3)
+    rand = [
+        (float(la), float(lo), int(p), None)
+        for la, lo, p in zip(
+            rng.uniform(-90, 90, 40),
+            rng.uniform(-180, 180, 40),
+            rng.integers(1, 13, 40),
+        )
+    ]
+    # boundary coords exercise the clamp
+    edges = [(90.0, 180.0, 7, None), (-90.0, -180.0, 7, None)]
+    rows = [(i, la, lo, p, e) for i, (la, lo, p, e) in
+            enumerate(known + rand + edges)]
+    df = spark.createDataFrame(
+        rows, "id long, lat double, lon double, p int, expect string"
+    )
+    for prec in sorted({r[3] for r in rows}):
+        sub = df.where(F.col("p") == prec)
+        got = {
+            r.id: r.gh
+            for r in sub.select(
+                "id", geohash_encode("lat", "lon", prec).alias("gh")
+            ).collect()
+        }
+        for i, la, lo, p, expect in rows:
+            if p != prec:
+                continue
+            assert got[i] == _py_geohash(la, lo, p), (i, la, lo, p)
+            if expect is not None:
+                assert got[i] == expect, (got[i], expect)
+
+
+def test_geohash_prefix_is_parent(spark):
+    """Z-order locality: the precision-(p-1) hash is a string prefix of
+    the precision-p hash — the property that makes geohash a layout key."""
+    from gosmonaut_spark.functions.geohash import geohash_encode
+
+    rng = np.random.default_rng(5)
+    df = spark.createDataFrame(
+        [(float(la), float(lo)) for la, lo in
+         zip(rng.uniform(-90, 90, 60), rng.uniform(-180, 180, 60))],
+        "lat double, lon double",
+    )
+    out = df.select(
+        geohash_encode("lat", "lon", 8).alias("g8"),
+        geohash_encode("lat", "lon", 5).alias("g5"),
+    ).collect()
+    assert all(r.g8.startswith(r.g5) for r in out)

@@ -153,3 +153,93 @@ SELECT bucket,
          AS frag_tokens
 FROM frags
 """
+
+
+# ---------------------------------------------------------------------------
+# sliding-window document chunking (RAG / embedding prep)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window chunk manifest + text: the retrieval-side sibling of
+    :func:`pack_sequences` (packing concatenates docs for LM training;
+    chunking windows WITHIN each doc for embedding/RAG indexes).
+
+    Chunks start every ``stride = chunk_tokens - overlap`` tokens at
+    0, stride, 2*stride, ...; every chunk holds ``chunk_tokens`` tokens
+    except the last, which is cut at the document end (and always
+    contains at least one token past the previous chunk). Tokenization
+    is the repo's normalized whitespace law (functions.text.tokens), so
+    the DuckDB twin is bit-identical. Empty documents emit no chunks.
+
+    Returns ``(doc_id, chunk_idx, tok_start, tok_end, chunk_text)``
+    with token coordinates half-open ``[tok_start, tok_end)``.
+
+    Plan shape (100 TB lens): pure per-row codegen — tokens ride the
+    scan, the chunk index list is ``sequence()`` + ``explode`` and the
+    text is an ``array_join(slice(...))``; there is NO shuffle at all
+    (contrast pack_sequences' one bucket-keyed window). Fan-out is
+    n_tokens/stride rows per doc, bounded by the same token count the
+    scan already materializes.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}"
+        )
+    stride = chunk_tokens - overlap
+    t = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        T.tokens(text_col).alias("ws"),
+        T.token_count(text_col).alias("n_tok"),
+    ).where(F.col("n_tok") > 0)
+    m = F.lit(1) + F.when(
+        F.col("n_tok") > chunk_tokens,
+        F.expr(f"(n_tok - {chunk_tokens} + {stride} - 1) DIV {stride}"),
+    ).otherwise(F.lit(0))
+    j = t.withColumn("j", F.explode(F.sequence(F.lit(0), m - 1)))
+    tok_start = F.col("j") * F.lit(stride)
+    tok_end = F.least(tok_start + F.lit(chunk_tokens), F.col("n_tok"))
+    return j.select(
+        "doc_id",
+        F.col("j").alias("chunk_idx"),
+        tok_start.alias("tok_start"),
+        tok_end.alias("tok_end"),
+        F.array_join(
+            F.slice(F.col("ws"), tok_start + F.lit(1), tok_end - tok_start), " "
+        ).alias("chunk_text"),
+    )
+
+
+def chunk_documents_sql(
+    docs_sql: str,
+    chunk_tokens: int,
+    overlap: int = 0,
+) -> str:
+    """DuckDB twin of :func:`chunk_documents` (`//` == Spark's DIV on the
+    non-negative operands here). ``docs_sql`` must yield (doc_id, text)."""
+    stride = chunk_tokens - overlap
+    return f"""WITH ch_docs AS ({docs_sql}),
+ch_tok AS (
+  SELECT doc_id, {T.tokens_sql('text')} AS ws, {T.token_count_sql('text')} AS n_tok
+  FROM ch_docs
+),
+ch_j AS (
+  SELECT doc_id, ws, n_tok,
+         unnest(range(0, 1 + CASE WHEN n_tok > {chunk_tokens}
+           THEN (n_tok - {chunk_tokens} + {stride} - 1) // {stride}
+           ELSE 0 END)) AS j
+  FROM ch_tok WHERE n_tok > 0
+)
+SELECT doc_id, j AS chunk_idx, j * {stride} AS tok_start,
+       least(j * {stride} + {chunk_tokens}, n_tok) AS tok_end,
+       array_to_string(list_slice(ws, j * {stride} + 1,
+         least(j * {stride} + {chunk_tokens}, n_tok)), ' ') AS chunk_text
+FROM ch_j"""

@@ -1892,6 +1892,23 @@ FROM (
         paragraph_dedup_sql(_para_docs_sql) + "\nORDER BY doc_id, para_idx",
     )
 
+    # ---- sliding-window document chunking (RAG / embedding prep) -------------
+    def q_chunk_docs(spark, sf):
+        from .functions.packing import chunk_documents
+
+        d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+        return chunk_documents(d, chunk_tokens=40, overlap=8).orderBy(
+            "doc_id", "chunk_idx"
+        )
+
+    from .functions.packing import chunk_documents_sql
+
+    q["corpus_chunk_docs"] = (
+        q_chunk_docs,
+        chunk_documents_sql("SELECT doc_id, text FROM documents", 40, 8)
+        + "\nORDER BY doc_id, chunk_idx",
+    )
+
     # ---- per-host quota sampling (domain cap before training mix) ------------
     def q_quota(spark, sf):
         from .functions.sampling import quota_sample

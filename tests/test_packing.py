@@ -79,3 +79,41 @@ def test_empty_docs_absent_and_determinism(spark):
     # deterministic: a second evaluation is row-identical
     m2 = pack_sequences(docs, seq_len=L, n_buckets=4)
     assert m.exceptAll(m2).count() == 0 and m2.exceptAll(m).count() == 0
+
+
+def test_chunk_documents_invariants(spark):
+    """Coverage, overlap, and boundary laws of the sliding-window chunker."""
+    from gosmonaut_spark.functions.packing import chunk_documents
+
+    docs = [
+        (1, " ".join(f"t{i}" for i in range(100))),  # many chunks
+        (2, " ".join(f"u{i}" for i in range(40))),   # exactly one chunk
+        (3, " ".join(f"v{i}" for i in range(41))),   # one token past -> 2 chunks
+        (4, "solo"),                                  # tiny doc
+        (5, ""),                                      # empty -> no chunks
+    ]
+    C, O = 40, 8
+    S = C - O
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=C, overlap=O).collect()
+
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 5 not in by_doc
+    assert len(by_doc[2]) == 1 and len(by_doc[3]) == 2 and len(by_doc[4]) == 1
+
+    toks = {d: t.split(" ") if t else [] for d, t in docs}
+    for d, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        n = len(toks[d])
+        assert [r.chunk_idx for r in rows] == list(range(len(rows)))
+        for r in rows:
+            assert r.tok_start == r.chunk_idx * S
+            assert r.tok_end == min(r.tok_start + C, n)
+            assert r.chunk_text == " ".join(toks[d][r.tok_start : r.tok_end])
+        # full-coverage: union of [start, end) == [0, n)
+        assert rows[0].tok_start == 0 and rows[-1].tok_end == n
+        for a, b in zip(rows, rows[1:]):
+            assert b.tok_start == a.tok_end - O  # exact overlap
+            assert b.tok_end > a.tok_end         # strictly new tokens

@@ -132,3 +132,49 @@ def polygon_stats_sql(lats: str, lons: str) -> dict[str, str]:
         "cx_num_micro": _sum(cxn),
         "cy_num_micro": _sum(cyn),
     }
+
+
+# ---------------------------------------------------------------------------
+# polyline (way) length — haversine fold along the vertex arrays
+# ---------------------------------------------------------------------------
+
+
+def polyline_length_m(lats: Column | str, lons: Column | str) -> Column:
+    """Great-circle length in meters along ordered vertex arrays.
+
+    The way-geometry metric the assembly pipeline feeds (road/river/track
+    length rollups). All per-way math happens INSIDE one row via
+    higher-order functions — no explode, no shuffle, rides the scan
+    (same discipline as polygon_stats). The segment fold is explicit
+    left-to-right with a 0.0 init (IEEE: 0+x == x), so DuckDB's
+    ``list_reduce`` twin reproduces the identical rounding sequence;
+    trig may differ by an ulp between libms, so consumers compare at
+    round(len, 3) — millimeters on lengths up to thousands of km.
+    Degenerate ways (<2 vertices) have length 0.
+    """
+    lats = F.col(lats) if isinstance(lats, str) else lats
+    lons = F.col(lons) if isinstance(lons, str) else lons
+    segs = F.transform(
+        F.sequence(F.lit(1), F.size(lats) - 1),
+        lambda i: haversine_m(
+            F.element_at(lats, i),
+            F.element_at(lons, i),
+            F.element_at(lats, i + 1),
+            F.element_at(lons, i + 1),
+        ),
+    )
+    total = F.aggregate(segs, F.lit(0.0), lambda acc, x: acc + x)
+    return F.when(F.size(lats) < 2, F.lit(0.0)).otherwise(total)
+
+
+def polyline_length_sql(lats: str, lons: str) -> str:
+    """DuckDB twin — same fold order (list_reduce seeds with the first
+    element; Spark seeds 0.0, and 0+x == x exactly, so sequences match)."""
+    hav = haversine_sql(
+        f"{lats}[i]", f"{lons}[i]", f"{lats}[i + 1]", f"{lons}[i + 1]"
+    )
+    return (
+        f"CASE WHEN len({lats}) < 2 THEN 0.0 ELSE "
+        f"list_reduce(list_transform(range(1, len({lats})), i -> {hav}), "
+        f"(acc, x) -> acc + x) END"
+    )

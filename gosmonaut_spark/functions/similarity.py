@@ -531,3 +531,161 @@ def cosine_pairs_lsh(
 
         out = attach_cached(out, handles)
     return out
+
+
+# ---------------------------------------------------------------------------
+# fixed-iteration spherical k-means (IVF centroid training)
+# ---------------------------------------------------------------------------
+
+
+def kmeans_train(
+    points: DataFrame,
+    iters: int = 2,
+    stride: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Lloyd iterations for IVF centroid training → one row per centroid:
+    ``(centroid_id, n_assigned, centroid)``.
+
+    Closes the loop :func:`cosine_topk_ivf` documents ("at corpus scale
+    the centroids come from a sampled k-means training job"): seeds are
+    the same deterministic stride sample, then ``iters`` fixed Lloyd
+    rounds of cosine argmax assignment (identical tie law to the IVF
+    assignment: max cosine, then min centroid id — the point's norm is a
+    positive constant inside its own argmax, so assignment ranks by
+    ``dot/|c|`` and skips the point-norm divide) and element-wise mean
+    update. Empty clusters keep their previous centroid (n_assigned 0).
+    Fixed iteration count keeps the result a pure function of the input;
+    final means are compared at round(x, 9) — mean sums reassociate
+    between engines, every other op is the repo's bit-exact fold law.
+
+    Plan shape (100 TB lens): per round, assignment is a BROADCAST
+    centroid join collapsed by a map-side-combinable max(struct) agg
+    (O(n_points) shuffle rows, same as IVF assignment); the update is
+    posexplode → (centroid, dim) hash agg — again map-side combinable,
+    shuffle volume O(k * dim), NOT O(points). ``localCheckpoint`` per
+    round truncates the iterative lineage. No driver-side vectors ever.
+    """
+    p = points.select(
+        F.col(id_col).cast("long").alias("pid"), F.col(vec).alias("pv")
+    )
+    cents = p.filter(F.col("pid") % stride == 0).select(
+        F.col("pid").alias("centroid_id"), F.col("pv").alias("cv")
+    )
+    out = None
+    for _ in range(int(iters)):
+        c = F.broadcast(
+            cents.withColumn(
+                "cn", F.sqrt(dot_codegen(F.col("cv"), F.col("cv"), dim))
+            )
+        )
+        scored = p.crossJoin(c).select(
+            "pid",
+            "pv",
+            "centroid_id",
+            (dot_codegen(F.col("pv"), F.col("cv"), dim) / F.col("cn")).alias("__s"),
+        )
+        assigned = (
+            scored.groupBy("pid")
+            .agg(
+                F.first("pv").alias("pv"),
+                F.max(
+                    F.struct(F.col("__s"), (-F.col("centroid_id")).alias("__nc"))
+                ).alias("__m"),
+            )
+            .select("pid", "pv", (-F.col("__m.__nc")).alias("centroid_id"))
+        )
+        sums = (
+            assigned.select(
+                "centroid_id", F.posexplode("pv").alias("d", "x")
+            )
+            .groupBy("centroid_id", "d")
+            .agg(
+                F.sum(F.col("x").cast("double")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        means = sums.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("d", (F.col("s") / F.col("n").cast("double")).alias("m"))
+                    )
+                ),
+                lambda st: st["m"],
+            ).alias("mv"),
+            F.max("n").alias("n_assigned"),
+        )
+        out = (
+            cents.join(means, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("n_assigned"), F.lit(0)).alias("n_assigned"),
+                F.coalesce(
+                    F.col("mv"),
+                    F.transform(F.col("cv"), lambda x: x.cast("double")),
+                ).alias("cv"),
+            )
+            .localCheckpoint()
+        )
+        cents = out.select("centroid_id", "cv")
+    return out.select("centroid_id", "n_assigned", F.col("cv").alias("centroid"))
+
+
+def kmeans_train_sql(
+    points_sql: str,
+    iters: int = 2,
+    stride: int = 16,
+) -> str:
+    """DuckDB twin of :func:`kmeans_train` with the Lloyd loop UNROLLED
+    (one assignment/update CTE pair per round, like pagerank_sql).
+    ``points_sql`` must yield ``(pid, pv)``. Final means reassociate —
+    consumers compare at round(x, 9)."""
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(list_zip({a}, {b}), "
+            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), "
+            f"(acc, v) -> acc + v)"
+        )
+
+    parts = [
+        f"WITH km_pts AS MATERIALIZED ({points_sql})",
+        f"km_c0 AS (SELECT pid AS centroid_id, "
+        f"list_transform(pv, x -> CAST(x AS DOUBLE)) AS cv "
+        f"FROM km_pts WHERE pid % {int(stride)} = 0)",
+    ]
+    for t in range(1, int(iters) + 1):
+        prv = t - 1
+        parts.append(
+            f"km_a{t} AS (SELECT pid, pv, centroid_id FROM ("
+            f"SELECT p.pid, p.pv, c.centroid_id, row_number() OVER ("
+            f"PARTITION BY p.pid ORDER BY "
+            f"({dot('p.pv', 'c.cv')}) / sqrt({dot('c.cv', 'c.cv')}) DESC, "
+            f"c.centroid_id ASC) AS r FROM km_pts p, km_c{prv} c) WHERE r = 1)"
+        )
+        parts.append(
+            f"km_s{t} AS (SELECT centroid_id, generate_subscripts(pv, 1) AS d, "
+            f"unnest(pv) AS x FROM km_a{t})"
+        )
+        parts.append(
+            f"km_g{t} AS (SELECT centroid_id, d, sum(CAST(x AS DOUBLE)) AS s, "
+            f"count(*) AS n FROM km_s{t} GROUP BY centroid_id, d)"
+        )
+        parts.append(
+            f"km_m{t} AS (SELECT centroid_id, "
+            f"list(s / CAST(n AS DOUBLE) ORDER BY d) AS mv, "
+            f"max(n) AS n_assigned FROM km_g{t} GROUP BY centroid_id)"
+        )
+        parts.append(
+            f"km_c{t} AS (SELECT c.centroid_id, "
+            f"coalesce(m.mv, c.cv) AS cv, "
+            f"coalesce(m.n_assigned, 0) AS n_assigned "
+            f"FROM km_c{prv} c LEFT JOIN km_m{t} m USING (centroid_id))"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT centroid_id, n_assigned, cv AS centroid FROM km_c{int(iters)}"
+    )

@@ -1828,6 +1828,77 @@ GROUP BY canonical_url
 ORDER BY canonical_url""",
     )
 
+    # ---- polyline (way) length: haversine fold over vertex arrays ------------
+    # deterministic synthetic ways from the point table: way = 5 consecutive
+    # ids (way_id = id DIV 5), vertex order by id — same law both engines.
+    # lengths compared at round(len, 3) (mm): the fold order is identical
+    # left-to-right on both engines, only libm trig ulps differ.
+    def q_way_length(spark, sf):
+        from .functions.geo import polyline_length_m
+
+        pts = _pts(spark, sf)
+        verts = F.array_sort(F.collect_list(F.struct("id", "lat", "lon")))
+        ways = pts.groupBy(F.expr("id DIV 5").alias("way_id")).agg(
+            F.transform(verts, lambda s: s["lat"]).alias("lats"),
+            F.transform(verts, lambda s: s["lon"]).alias("lons"),
+        )
+        return ways.select(
+            "way_id",
+            F.size("lats").alias("n_vertices"),
+            F.round(polyline_length_m("lats", "lons"), 3).alias("length_m"),
+        ).orderBy("way_id")
+
+    from .functions.geo import polyline_length_sql
+
+    q["geo_way_length"] = (
+        q_way_length,
+        f"""WITH pts AS ({_PTS_SQL}),
+ways AS (
+  SELECT id // 5 AS way_id,
+         list(lat ORDER BY id) AS lats,
+         list(lon ORDER BY id) AS lons
+  FROM pts GROUP BY id // 5
+)
+SELECT way_id, len(lats) AS n_vertices,
+       round({polyline_length_sql('lats', 'lons')}, 3) AS length_m
+FROM ways ORDER BY way_id""",
+    )
+
+    # ---- fixed-iteration spherical k-means (IVF centroid training) -----------
+    # output exploded to one scalar row per (centroid, dim): mean sums
+    # reassociate between engines, so means compare at round(m, 9); counts
+    # and ids are exact.
+    def q_kmeans(spark, sf):
+        from .functions.similarity import kmeans_train
+
+        e = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        out = kmeans_train(e, iters=2, stride=16, dim=64)
+        return out.select(
+            "centroid_id",
+            "n_assigned",
+            F.posexplode("centroid").alias("d", "m0"),
+        ).select(
+            "centroid_id",
+            "n_assigned",
+            "d",
+            F.round("m0", 9).alias("m"),
+        ).orderBy("centroid_id", "d")
+
+    from .functions.similarity import kmeans_train_sql
+
+    q["embeddings_kmeans"] = (
+        q_kmeans,
+        f"""SELECT centroid_id, n_assigned,
+       generate_subscripts(centroid, 1) - 1 AS d,
+       round(unnest(centroid), 9) AS m
+FROM (
+{kmeans_train_sql("SELECT vec_id AS pid, embedding AS pv FROM embeddings", iters=2, stride=16)}
+)
+ORDER BY centroid_id, d""",
+    )
+
     # ---- geohash cells (Z-order layout key; base32 public index) -------------
     def q_geohash(spark, sf):
         from .functions.geohash import geohash_encode

@@ -886,3 +886,47 @@ def test_paragraph_dedup_first_occurrence_manifest(spark):
     # keep = global first occurrence per fingerprint
     keeps = {k for k, (_, keep) in got.items() if keep}
     assert keeps == {(1, 0), (1, 1), (1, 2), (2, 2), (3, 2)}
+
+
+def test_kmeans_train_matches_numpy_lloyd(spark):
+    """Fixed-iteration spherical k-means == the same law in numpy."""
+    import numpy as np
+
+    from gosmonaut_spark.functions.similarity import kmeans_train
+
+    rng = np.random.default_rng(21)
+    n, dim, stride, iters = 80, 8, 16, 3
+    X = rng.normal(size=(n, dim)).astype(np.float32)
+    Xd = X.astype(np.float64)
+
+    cids = [i for i in range(n) if i % stride == 0]
+    C = {c: Xd[c].copy() for c in cids}
+    counts = {}
+    for _ in range(iters):
+        assign = {}
+        for p in range(n):
+            # max cosine (point norm constant), tie -> min centroid id
+            best = max(
+                ((Xd[p] @ C[c]) / np.sqrt(C[c] @ C[c]), -c) for c in cids
+            )
+            assign[p] = -best[1]
+        counts = {c: 0 for c in cids}
+        sums = {c: np.zeros(dim) for c in cids}
+        for p, c in assign.items():
+            counts[c] += 1
+            sums[c] += Xd[p]
+        for c in cids:
+            if counts[c]:
+                C[c] = sums[c] / counts[c]
+
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    out = kmeans_train(df, iters=iters, stride=stride, dim=dim).collect()
+    assert {r.centroid_id for r in out} == set(cids)
+    assert sum(r.n_assigned for r in out) == n
+    for r in out:
+        assert r.n_assigned == counts[r.centroid_id]
+        got = np.array(r.centroid)
+        assert np.max(np.abs(got - C[r.centroid_id])) < 1e-9, r.centroid_id

@@ -456,3 +456,39 @@ def test_geohash_prefix_is_parent(spark):
         geohash_encode("lat", "lon", 5).alias("g5"),
     ).collect()
     assert all(r.g8.startswith(r.g5) for r in out)
+
+
+def test_polyline_length_matches_numpy(spark):
+    from gosmonaut_spark.functions.geo import polyline_length_m
+
+    R = 6_371_008.8
+
+    def hav(la1, lo1, la2, lo2):
+        la1, lo1, la2, lo2 = map(np.radians, (la1, lo1, la2, lo2))
+        a = np.sin((la2 - la1) / 2) ** 2 + np.cos(la1) * np.cos(la2) * np.sin(
+            (lo2 - lo1) / 2
+        ) ** 2
+        return 2 * R * np.arcsin(np.sqrt(a))
+
+    rng = np.random.default_rng(9)
+    rows = []
+    want = {}
+    for wid in range(12):
+        n = int(rng.integers(1, 8))  # includes degenerate 1-vertex ways
+        lats = rng.uniform(-85, 85, n)
+        lons = rng.uniform(-180, 180, n)
+        rows.append((wid, [float(x) for x in lats], [float(x) for x in lons]))
+        want[wid] = float(
+            sum(hav(lats[i], lons[i], lats[i + 1], lons[i + 1]) for i in range(n - 1))
+        )
+    df = spark.createDataFrame(
+        rows, "way_id long, lats array<double>, lons array<double>"
+    )
+    got = {
+        r.way_id: r.L
+        for r in df.select(
+            "way_id", polyline_length_m("lats", "lons").alias("L")
+        ).collect()
+    }
+    for wid, w in want.items():
+        assert abs(got[wid] - w) < 1e-6 * max(1.0, w), (wid, got[wid], w)

@@ -1963,6 +1963,29 @@ FROM (
         paragraph_dedup_sql(_para_docs_sql) + "\nORDER BY doc_id, para_idx",
     )
 
+    # ---- HLL distinct sketch (per-source distinct tokens, bit-exact twin) ----
+    def q_hll(spark, sf):
+        from .functions.sketch import hll_distinct
+        from .functions.text import tokens
+
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        rows = d.select("source", F.explode(tokens("text")).alias("tok"))
+        return hll_distinct(rows, "tok", "source", p=6).orderBy("source")
+
+    from .functions.sketch import hll_distinct_sql
+    from .functions.text import tokens_sql
+
+    q["corpus_hll_distinct_tokens"] = (
+        q_hll,
+        hll_distinct_sql(
+            f"SELECT source, unnest({tokens_sql('text')}) AS tok FROM documents",
+            key_expr="tok",
+            group_expr="source",
+            p=6,
+        )
+        + "\nORDER BY source",
+    )
+
     # ---- sliding-window document chunking (RAG / embedding prep) -------------
     def q_chunk_docs(spark, sf):
         from .functions.packing import chunk_documents

@@ -930,3 +930,50 @@ def test_kmeans_train_matches_numpy_lloyd(spark):
         assert r.n_assigned == counts[r.centroid_id]
         got = np.array(r.centroid)
         assert np.max(np.abs(got - C[r.centroid_id])) < 1e-9, r.centroid_id
+
+
+def test_hll_distinct_exact_law_and_accuracy(spark):
+    """The estimate is a bit-exact pure function (python oracle, exact ==)
+    and lands within the HLL error envelope of the true cardinality."""
+    import hashlib
+
+    from gosmonaut_spark.functions.sketch import hll_distinct
+
+    p, m = 6, 64
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    C = alpha * m * m * float(1 << 33)
+
+    def py_hll(keys):
+        regs = {}
+        for k in keys:
+            h = hashlib.md5(("hll" + str(k)).encode()).hexdigest()
+            b = int(h[:4], 16) % m
+            v = int(h[4:12], 16)
+            rank = 33 - len(bin(v)[2:]) if v else 32
+            regs[b] = max(regs.get(b, 0), rank)
+        s = sum(1 << (33 - r) for r in regs.values())
+        s += (m - len(regs)) * (1 << 33)
+        return C / s
+
+    rows = [("g1", f"k{i % 700}") for i in range(5000)] + [
+        ("g2", f"x{i}") for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "g string, key string")
+    got = {r.g: r.hll_estimate for r in hll_distinct(df, "key", "g").collect()}
+
+    want = {
+        "g1": py_hll({k for g, k in rows if g == "g1"}),
+        "g2": py_hll({k for g, k in rows if g == "g2"}),
+    }
+    assert got == want  # EXACT double equality — the whole point
+    assert abs(got["g1"] - 700) / 700 < 0.35
+    # g2 (n=50 << 2.5*m) is the documented small-range regime: the raw
+    # estimator overestimates there (standard HLL would switch to linear
+    # counting, whose ln() has no cross-engine ulp guarantee) — assert
+    # the bias stays within its known envelope rather than the mid-range
+    # error bound.
+    assert 50 <= got["g2"] < 2.5 * 64
+    # pure function: invariant to partitioning
+    re = {r.g: r.hll_estimate
+          for r in hll_distinct(df.repartition(17), "key", "g").collect()}
+    assert re == got

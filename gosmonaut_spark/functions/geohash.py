@@ -37,7 +37,13 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["GEOHASH_BASE32", "geohash_encode", "geohash_encode_sql"]
+__all__ = [
+    "GEOHASH_BASE32",
+    "geohash_encode",
+    "geohash_encode_sql",
+    "geohash_cover",
+    "bbox_filter",
+]
 
 GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
@@ -134,3 +140,104 @@ def geohash_encode_sql(lat_expr: str, lon_expr: str, precision: int = 7) -> str:
         for j in range(precision)
     ]
     return " || ".join(chars)
+
+
+# ---------------------------------------------------------------------------
+# bbox cover + pruned bbox filter (the layout-key payoff)
+# ---------------------------------------------------------------------------
+
+
+def _py_spread(x: int) -> int:
+    for sh, mask in _SPREAD:
+        x = (x | (x << sh)) & mask
+    return x
+
+
+def _py_cell_hash(xi: int, yi: int, precision: int) -> str:
+    total = 5 * precision
+    if total % 2:
+        combined = _py_spread(xi) | (_py_spread(yi) << 1)
+    else:
+        combined = (_py_spread(xi) << 1) | _py_spread(yi)
+    return "".join(
+        GEOHASH_BASE32[(combined >> (5 * (precision - 1 - j))) & 31]
+        for j in range(precision)
+    )
+
+
+def geohash_cover(
+    lat_min: float,
+    lat_max: float,
+    lon_min: float,
+    lon_max: float,
+    precision: int,
+    max_cells: int = 4096,
+) -> list[str]:
+    """The geohash cells at ``precision`` that cover the bbox — every
+    point inside the box encodes to one of them (axis indices are
+    monotone in the coordinate, so the cover is the x-range × y-range
+    product). Plan-time Python on the bbox LITERAL (never row data);
+    ``max_cells`` is a loud guard — lower the precision rather than
+    broadcast a megacell list."""
+    if not (lat_min <= lat_max and lon_min <= lon_max):
+        raise ValueError("bbox min must be <= max on both axes")
+    total = 5 * precision
+    lonbits = (total + 1) // 2
+    latbits = total // 2
+
+    def idx(coord, lo, span, bits):
+        import math
+
+        n = 1 << bits
+        return min(max(int(math.floor((coord - lo) / span * float(n))), 0), n - 1)
+
+    x0, x1 = idx(lon_min, -180.0, 360.0, lonbits), idx(lon_max, -180.0, 360.0, lonbits)
+    y0, y1 = idx(lat_min, -90.0, 180.0, latbits), idx(lat_max, -90.0, 180.0, latbits)
+    n = (x1 - x0 + 1) * (y1 - y0 + 1)
+    if n > max_cells:
+        raise ValueError(
+            f"bbox cover needs {n} cells at precision {precision} "
+            f"(max_cells={max_cells}); lower the precision"
+        )
+    return sorted(
+        _py_cell_hash(xi, yi, precision)
+        for xi in range(x0, x1 + 1)
+        for yi in range(y0, y1 + 1)
+    )
+
+
+def bbox_filter(
+    df,
+    lat_min: float,
+    lat_max: float,
+    lon_min: float,
+    lon_max: float,
+    precision: int = 5,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    gh_col: str | None = None,
+    max_cells: int = 4096,
+):
+    """Exact bbox filter, pruned by the geohash cover.
+
+    Two-stage (the classic index-then-refine): an ``IN (cover)``
+    predicate on the geohash — when ``gh_col`` names a STORED column
+    (the layout key the module docstring tells you to write), Spark
+    pushes the In down to the parquet scan where sorted-by-geohash
+    files prune on row-group min/max stats (asserted by the pushdown
+    test); otherwise the hash is computed on the fly (still a cheap
+    scan-riding prefilter) — then the exact coordinate predicate
+    refines. Result is EXACTLY the bbox rows either way: the cover is
+    a superset by construction.
+    """
+    cover = geohash_cover(
+        lat_min, lat_max, lon_min, lon_max, precision, max_cells
+    )
+    gh = F.col(gh_col) if gh_col else geohash_encode(lat_col, lon_col, precision)
+    exact = (
+        (F.col(lat_col) >= F.lit(float(lat_min)))
+        & (F.col(lat_col) <= F.lit(float(lat_max)))
+        & (F.col(lon_col) >= F.lit(float(lon_min)))
+        & (F.col(lon_col) <= F.lit(float(lon_max)))
+    )
+    return df.where(gh.isin(cover) & exact)

@@ -1899,6 +1899,29 @@ FROM (
 ORDER BY centroid_id, d""",
     )
 
+    # ---- geohash-pruned bbox query (index-then-refine; exact bbox twin) ------
+    _BBOX = (-10.0, 35.0, 100.0, 150.0)  # lat_min, lat_max, lon_min, lon_max
+
+    def q_bbox(spark, sf):
+        from .functions.geohash import bbox_filter
+
+        pts = _pts(spark, sf)
+        la0, la1, lo0, lo1 = _BBOX
+        return (
+            bbox_filter(pts, la0, la1, lo0, lo1, precision=3)
+            .select("id", "lat", "lon")
+            .orderBy("id")
+        )
+
+    q["geo_bbox_pruned"] = (
+        q_bbox,
+        f"""WITH pts AS ({_PTS_SQL})
+SELECT id, lat, lon FROM pts
+WHERE lat >= {_BBOX[0]!r} AND lat <= {_BBOX[1]!r}
+  AND lon >= {_BBOX[2]!r} AND lon <= {_BBOX[3]!r}
+ORDER BY id""",
+    )
+
     # ---- geohash cells (Z-order layout key; base32 public index) -------------
     def q_geohash(spark, sf):
         from .functions.geohash import geohash_encode

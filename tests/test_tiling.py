@@ -492,3 +492,49 @@ def test_polyline_length_matches_numpy(spark):
     }
     for wid, w in want.items():
         assert abs(got[wid] - w) < 1e-6 * max(1.0, w), (wid, got[wid], w)
+
+
+def test_bbox_filter_exact_and_cover_superset(spark):
+    """bbox_filter == plain bbox predicate on random boxes (the cover is a
+    superset by construction, the refine makes it exact)."""
+    from gosmonaut_spark.functions.geohash import bbox_filter, geohash_cover
+
+    rng = np.random.default_rng(17)
+    pts = [(i, float(la), float(lo)) for i, (la, lo) in enumerate(
+        zip(rng.uniform(-90, 90, 400), rng.uniform(-180, 180, 400)))]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    for _ in range(4):
+        la = sorted(rng.uniform(-90, 90, 2))
+        lo = sorted(rng.uniform(-180, 180, 2))
+        want = {i for i, plat, plon in pts
+                if la[0] <= plat <= la[1] and lo[0] <= plon <= lo[1]}
+        got = {r.id for r in
+               bbox_filter(df, la[0], la[1], lo[0], lo[1], precision=2).collect()}
+        assert got == want
+    # loud guard: too many cells at high precision
+    with pytest.raises(ValueError, match="max_cells"):
+        geohash_cover(-80, 80, -170, 170, precision=6, max_cells=64)
+
+
+def test_bbox_filter_pushes_in_list_to_parquet_scan(spark, tmp_path):
+    """With a STORED geohash layout key, the cover IN-list must reach the
+    parquet scan as a pushed filter (the 100 TB pruning story)."""
+    from gosmonaut_spark.functions.geohash import bbox_filter, geohash_encode
+
+    rng = np.random.default_rng(19)
+    df = spark.createDataFrame(
+        [(i, float(la), float(lo)) for i, (la, lo) in enumerate(
+            zip(rng.uniform(-90, 90, 500), rng.uniform(-180, 180, 500)))],
+        "id long, lat double, lon double",
+    ).withColumn("gh", geohash_encode("lat", "lon", 3))
+    path = str(tmp_path / "layout")
+    df.orderBy("gh").write.parquet(path)
+
+    stored = spark.read.parquet(path)
+    out = bbox_filter(stored, 0.0, 20.0, 10.0, 40.0, precision=3, gh_col="gh")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(gh" in plan, plan[:2000]
+    # and it is still exact
+    want = {r.id for r in stored.collect()
+            if 0.0 <= r.lat <= 20.0 and 10.0 <= r.lon <= 40.0}
+    assert {r.id for r in out.collect()} == want

@@ -1899,6 +1899,53 @@ FROM (
 ORDER BY centroid_id, d""",
     )
 
+    # ---- spatio-temporal tile heatmap (cell × day rollup over events) --------
+    # the tile×time aggregation a web-scale geo dashboard serves: one hash
+    # agg on (cell, day) — both pure integer/codegen keys (cell law is
+    # bit-exact cross-engine, day = NTZ epoch-ms integer-divided), so the
+    # rollup is an ordinary map-side-combinable groupBy that AQE coalesces;
+    # at 10^12 rows the key space is bounded by cells × days, not rows.
+    def q_st_heatmap(spark, sf):
+        from .functions.cells import cell_expr
+        from .functions.timeops import ntz_epoch_ms
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        hlat = (F.col("event_id") * F.lit(_P1)) % F.lit(_M)
+        hlon = (F.col("event_id") * F.lit(_P2) + F.lit(_O2)) % F.lit(_M)
+        pts = ev.select(
+            F.col("event_id").alias("id"),
+            ((hlat % F.lit(1_700_000)) / F.lit(10_000.0) - F.lit(85.0)).alias("lat"),
+            ((hlon % F.lit(3_600_000)) / F.lit(10_000.0) - F.lit(180.0)).alias("lon"),
+            "ts",
+        )
+        return (
+            pts.groupBy(
+                cell_expr("lat", "lon", 5).alias("cell"),
+                (ntz_epoch_ms(F.col("ts")) / F.lit(86_400_000))
+                .cast("long")
+                .alias("day"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"), F.min("id").alias("min_id"))
+            .orderBy("cell", "day")
+        )
+
+    from .functions.cells import cell_sql
+
+    q["tiles_time_heatmap"] = (
+        q_st_heatmap,
+        f"""WITH pts AS (
+SELECT event_id AS id,
+       ((((event_id * {_P1}) % {_M}) % 1700000) / 10000.0) - 85.0 AS lat,
+       ((((event_id * {_P2} + {_O2}) % {_M}) % 3600000) / 10000.0) - 180.0 AS lon,
+       ts
+FROM events
+)
+SELECT {cell_sql('lat', 'lon', 5)} AS cell,
+       CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day,
+       count(*) AS n_events, min(id) AS min_id
+FROM pts GROUP BY cell, day ORDER BY cell, day""",
+    )
+
     # ---- geohash-pruned bbox query (index-then-refine; exact bbox twin) ------
     _BBOX = (-10.0, 35.0, 100.0, 150.0)  # lat_min, lat_max, lon_min, lon_max
 

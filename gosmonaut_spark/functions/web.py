@@ -102,3 +102,74 @@ def canonical_url_dedup(
             F.min("_pick").getField(url_col).alias("kept_url"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# host-suffix blocklist (domain-ban filtering)
+# ---------------------------------------------------------------------------
+
+# host part of a url: text between "scheme://" and the first /:?# —
+# ports and userinfo excluded by the character class
+_HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#@]+)"
+
+
+def url_host(col: Column | str) -> Column:
+    """Lowercased host of a url (empty string when the url has none)."""
+    u = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_extract(u, _HOST_RE, 1))
+
+
+def url_host_sql(expr: str) -> str:
+    return f"lower(regexp_extract({expr}, '{_HOST_RE}', 1))"
+
+
+def host_suffixes(host: Column) -> Column:
+    """All dot-suffixes of a host: ``a.b.c -> [a.b.c, b.c, c]``.
+
+    The domain-match law every crawler blocklist uses: a ban on ``b.c``
+    must catch ``a.b.c`` but NOT ``ab.c`` — string `endswith` gets that
+    wrong; suffix-on-label-boundaries is exact."""
+    parts = F.split(host, "\\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(parts, i + 1, n - i), "."),
+    )
+
+
+def host_blocklist_filter(
+    pages: DataFrame,
+    blocked: list[str],
+    url_col: str = "url",
+    keep_blocked: bool = False,
+) -> DataFrame:
+    """Drop (or keep, for auditing) rows whose url host matches the
+    blocklist on a domain boundary — the robots/domain-ban step a
+    Common-Crawl-style pipeline runs before any content work.
+
+    For literal blocklists (up to a few thousand domains) the match is
+    ``arrays_overlap(host_suffixes, lit(blocked))`` — pure codegen riding
+    the scan, ZERO shuffle. For million-domain lists, switch to the join
+    law with identical semantics: explode ``host_suffixes`` and
+    broadcast-LEFT-SEMI/ANTI join the blocklist table on the suffix —
+    still no wide shuffle (the big side never moves; documented here,
+    same `host_suffixes` column feeds both).
+    """
+    bl = F.array(*[F.lit(d.lower()) for d in sorted(set(blocked))])
+    hit = F.arrays_overlap(host_suffixes(url_host(url_col)), bl)
+    return pages.where(hit if keep_blocked else ~hit)
+
+
+def host_blocklist_sql(
+    url_expr: str, blocked: list[str], keep_blocked: bool = False
+) -> str:
+    """DuckDB twin predicate — same suffix law via list_has_any."""
+    host = url_host_sql(url_expr)
+    items = ", ".join(f"'{d.lower()}'" for d in sorted(set(blocked)))
+    sufs = (
+        f"list_transform(range(0, len(string_split({host}, '.'))), "
+        f"i -> array_to_string(list_slice(string_split({host}, '.'), "
+        f"i + 1, len(string_split({host}, '.'))), '.'))"
+    )
+    pred = f"list_has_any({sufs}, [{items}])"
+    return pred if keep_blocked else f"NOT ({pred})"

@@ -2141,6 +2141,49 @@ FROM (SELECT doc_id,
         f") ORDER BY host",
     )
 
+    # ---- host-suffix blocklist (domain-ban filter, label-boundary exact) -----
+    # planted hosts: blocked apex (tracker.example), blocked subdomain
+    # (sub.ads.tracker.example — caught by the SUFFIX law), a lookalike
+    # that string-endswith would wrongly drop (nottracker.example — must
+    # SURVIVE), a second blocked apex (spam.net), and a clean host.
+    _BLOCK = ["tracker.example", "spam.net"]
+
+    def q_blocklist(spark, sf):
+        from .functions.web import host_blocklist_filter
+
+        p = _pages_for(spark, sf).select("url")
+        n = F.regexp_extract("url", "([0-9]{6})$", 1).cast("long")
+        k = F.lpad(n.cast("string"), 6, "0")
+        host = (
+            F.when(n % 5 == 0, F.lit("tracker.example"))
+            .when(n % 5 == 1, F.lit("sub.ads.tracker.example"))
+            .when(n % 5 == 2, F.lit("nottracker.example"))
+            .when(n % 5 == 3, F.lit("spam.net"))
+            .otherwise(F.lit("good.example"))
+        )
+        enriched = p.select(
+            F.concat(F.lit("https://"), host, F.lit("/p/"), k).alias("url")
+        )
+        return host_blocklist_filter(enriched, _BLOCK).orderBy("url")
+
+    from .functions.web import host_blocklist_sql
+
+    _bl_enr = f"""SELECT 'https://' ||
+  (CASE CAST(regexp_extract(url, '([0-9]{{6}})$', 1) AS BIGINT) % 5
+     WHEN 0 THEN 'tracker.example'
+     WHEN 1 THEN 'sub.ads.tracker.example'
+     WHEN 2 THEN 'nottracker.example'
+     WHEN 3 THEN 'spam.net'
+     ELSE 'good.example' END)
+  || '/p/' || lpad(CAST(CAST(regexp_extract(url, '([0-9]{{6}})$', 1) AS BIGINT) AS VARCHAR), 6, '0') AS url
+FROM read_parquet('{pages_path}')"""
+    q["pages_host_blocklist"] = (
+        q_blocklist,
+        f"""WITH enr AS ({_bl_enr})
+SELECT url FROM enr WHERE {host_blocklist_sql('url', _BLOCK)}
+ORDER BY url""",
+    )
+
     return q
 
 

@@ -977,3 +977,36 @@ def test_hll_distinct_exact_law_and_accuracy(spark):
     re = {r.g: r.hll_estimate
           for r in hll_distinct(df.repartition(17), "key", "g").collect()}
     assert re == got
+
+
+def test_host_blocklist_label_boundary(spark):
+    """Suffix law: bans catch subdomains but never lookalike hosts."""
+    from gosmonaut_spark.functions.web import (
+        host_blocklist_filter,
+        host_suffixes,
+        url_host,
+    )
+
+    rows = [
+        (1, "https://tracker.example/a"),          # blocked apex
+        (2, "https://x.y.tracker.example/b?q=1"),  # blocked deep subdomain
+        (3, "https://nottracker.example/c"),        # lookalike -> kept
+        (4, "HTTPS://TRACKER.EXAMPLE:443/d"),       # case + port -> blocked
+        (5, "https://spam.net/e"),                  # second apex
+        (6, "https://example/f"),                   # single-label host
+        (7, "https://good.example/g#frag"),         # kept
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    kept = {r.id for r in
+            host_blocklist_filter(df, ["tracker.example", "spam.net"]).collect()}
+    assert kept == {3, 6, 7}
+    audit = {r.id for r in
+             host_blocklist_filter(df, ["tracker.example", "spam.net"],
+                                   keep_blocked=True).collect()}
+    assert audit == {1, 2, 4, 5}
+    # suffix expansion itself
+    sufs = df.where(F.col("id") == 2).select(
+        host_suffixes(url_host("url")).alias("s")
+    ).collect()[0].s
+    assert sufs == ["x.y.tracker.example", "y.tracker.example",
+                    "tracker.example", "example"]

@@ -2141,6 +2141,38 @@ FROM (SELECT doc_id,
         f") ORDER BY host",
     )
 
+    # ---- rolling event-time window stats (trailing 1h per user) --------------
+    # sums reassociate between Spark's sliding-frame executor and DuckDB's
+    # window engine, so sum compares at round(x, 9); counts/min/max exact.
+    def q_rolling(spark, sf):
+        from .operators.rolling import rolling_stats
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            "user_id", "ts", "value"
+        )
+        out = rolling_stats(ev, "user_id", "ts", "value", window_ms=3_600_000)
+        return out.select(
+            "user_id",
+            "ts_ms",
+            "n_window",
+            F.round("sum_window", 9).alias("sum_w"),
+            "min_window",
+            "max_window",
+        ).orderBy("user_id", "ts_ms", "n_window")
+
+    from .operators.rolling import rolling_stats_sql
+
+    q["events_rolling_stats"] = (
+        q_rolling,
+        f"""SELECT user_id, ts_ms, n_window, round(sum_window, 9) AS sum_w,
+       min_window, max_window
+FROM (
+{rolling_stats_sql("SELECT user_id, epoch_ms(ts) AS ms, value FROM events",
+                   "user_id", "ms", "value", 3_600_000)}
+)
+ORDER BY user_id, ts_ms, n_window""",
+    )
+
     # ---- host-suffix blocklist (domain-ban filter, label-boundary exact) -----
     # planted hosts: blocked apex (tracker.example), blocked subdomain
     # (sub.ads.tracker.example — caught by the SUFFIX law), a lookalike

@@ -303,3 +303,42 @@ def test_pagerank_sql_twin_matches_engine(spark):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_rolling_stats_matches_python(spark):
+    """Trailing-window stats == a brute python oracle, including ts ties
+    (RANGE peers) and exact-expiry at window_ms."""
+    from gosmonaut_spark.operators.rolling import rolling_stats
+
+    rng = random.Random(31)
+    W = 1000
+    rows = []
+    for u in range(4):
+        t = 0
+        for i in range(60):
+            t += rng.choice([0, 1, 100, 500, W, W + 1])  # ties + exact expiry
+            rows.append((u, t, float(rng.randrange(-50, 50))))
+    df = spark.createDataFrame(rows, "user_id long, ms long, value double")
+    # feed ms as NTZ timestamps via epoch arithmetic: build ts from ms
+    ev = df.select(
+        "user_id",
+        F.timestamp_millis(F.col("ms")).cast("timestamp_ntz").alias("ts"),
+        "value",
+    )
+    out = rolling_stats(ev, "user_id", "ts", "value", window_ms=W).collect()
+
+    by_user = {}
+    for u, t, v in rows:
+        by_user.setdefault(u, []).append((t, v))
+    got = sorted((r.user_id, r.ts_ms, r.n_window, r.sum_window,
+                  r.min_window, r.max_window) for r in out)
+    want = []
+    for u, evs in by_user.items():
+        for t, _v in evs:
+            inw = [v for (t2, v) in evs if t - W < t2 <= t]
+            want.append((u, t, len(inw), sum(inw), min(inw), max(inw)))
+    want.sort()
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3] and g[4] == w[4] and g[5] == w[5], (g, w)
+        assert abs(g[3] - w[3]) < 1e-9, (g, w)

@@ -31,7 +31,12 @@ from pyspark.sql.window import Window
 
 from ..functions.timeops import ntz_epoch_ms
 
-__all__ = ["rolling_stats", "rolling_stats_sql"]
+__all__ = [
+    "rolling_stats",
+    "rolling_stats_sql",
+    "transition_counts",
+    "transition_counts_sql",
+]
 
 
 def rolling_stats(
@@ -91,3 +96,58 @@ SELECT {key_expr}, {ms_expr} AS ts_ms,
        min(CAST({value_expr} AS DOUBLE)) {over} AS min_window,
        max(CAST({value_expr} AS DOUBLE)) {over} AS max_window
 FROM rw_events"""
+
+
+# ---------------------------------------------------------------------------
+# event-transition matrix (first-order Markov counts per event stream)
+# ---------------------------------------------------------------------------
+
+
+def transition_counts(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+) -> DataFrame:
+    """First-order transition counts over each key's time-ordered event
+    stream: ``(from_type, to_type, n)`` — the Markov-chain summary
+    behind next-action prediction and anomalous-flow detection.
+
+    One lag window per key (ts order, ties broken by ``id_col`` so the
+    stream order is total and deterministic) + one hash agg on the
+    (from, to) pair — the same two-shuffle budget as sessionize. Each
+    key's first event has no predecessor and is excluded.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ntz_epoch_ms(F.col(ts_col)).asc(), F.col(id_col).asc())
+    )
+    lagged = events.select(
+        F.lag(type_col).over(w).alias("from_type"),
+        F.col(type_col).alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    return lagged.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def transition_counts_sql(
+    events_sql: str,
+    key_expr: str,
+    ms_expr: str,
+    type_expr: str,
+    id_expr: str,
+) -> str:
+    """DuckDB twin — identical lag law (epoch-ms order, id tie-break)."""
+    return f"""WITH tc_events AS ({events_sql}),
+tc_lag AS (
+  SELECT lag({type_expr}) OVER (
+           PARTITION BY {key_expr} ORDER BY {ms_expr} ASC, {id_expr} ASC
+         ) AS from_type,
+         {type_expr} AS to_type
+  FROM tc_events
+)
+SELECT from_type, to_type, count(*) AS n
+FROM tc_lag WHERE from_type IS NOT NULL
+GROUP BY from_type, to_type"""

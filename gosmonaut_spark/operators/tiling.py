@@ -112,3 +112,94 @@ def write_tiles(tiles: DataFrame, path: str, n_buckets: int | None = None) -> No
     """
     writer = tiles.repartitionByRange("res", "cell").sortWithinPartitions("res", "cell")
     writer.write.mode("overwrite").parquet(path)
+
+
+def focal_sum(
+    tiles: DataFrame,
+    res: int,
+    k: int = 1,
+    value_col: str = "n_points",
+) -> DataFrame:
+    """Raster focal (neighborhood) sum: for every occupied cell, the sum
+    of ``value_col`` over the ``(2k+1)²`` neighborhood — the map-algebra
+    smoothing kernel (heatmap blur, density smoothing) every raster
+    engine ships, expressed relationally.
+
+    Scatter form: each occupied cell EXPLODES its (2k+1)² neighbor
+    offsets (x wraps across the antimeridian like the kNN ring; y is
+    clamped by dropping off-grid rows — no polar wrap, matching the
+    grid's geometry) and contributes its value to each target cell; one
+    hash agg collects contributions; an inner join keeps only cells
+    that exist in the input (empty neighbors contribute implicitly 0,
+    and purely-synthetic cells are not reported).
+
+    Scale shape (100 TB lens): fan-out is a constant (2k+1)² per
+    OCCUPIED cell — the working set is tiles, not points, already
+    reduced by points_to_tiles' map-side combine; the agg keys are the
+    same integer cells, so AQE coalescing/salting guidance from the
+    pyramid applies unchanged. No window, no self-join on ranges.
+
+    Output: ``(cell, focal_sum, n_neighbors)`` — ``n_neighbors`` counts
+    the OCCUPIED cells (itself included) that contributed.
+    """
+    n = 1 << res
+    x = ((F.col("cell") - F.lit(1 << (2 * res))) / F.lit(n)).cast("long")
+    y = ((F.col("cell") - F.lit(1 << (2 * res))) % F.lit(n)).cast("long")
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in range(-k, k + 1)
+            for dy in range(-k, k + 1)
+        ]
+    )
+    scattered = (
+        tiles.select(
+            F.col(value_col).alias("__v"), x.alias("x"), y.alias("y"),
+            F.explode(offsets).alias("o"),
+        )
+        .select(
+            "__v",
+            ((F.col("x") + F.col("o.dx") + F.lit(n)) % F.lit(n)).alias("nx"),
+            (F.col("y") + F.col("o.dy")).alias("ny"),
+        )
+        .where((F.col("ny") >= 0) & (F.col("ny") < n))
+        .select(
+            (F.lit(1 << (2 * res)) + F.col("nx") * F.lit(n) + F.col("ny")).alias(
+                "cell"
+            ),
+            "__v",
+        )
+    )
+    contrib = scattered.groupBy("cell").agg(
+        F.sum("__v").alias("focal_sum"), F.count(F.lit(1)).alias("n_neighbors")
+    )
+    return tiles.select("cell").join(contrib, "cell")
+
+
+def focal_sum_sql(tiles_sql: str, res: int, k: int = 1) -> str:
+    """DuckDB twin of :func:`focal_sum` — same wrap/clamp law over an
+    offset cross join. ``tiles_sql`` must yield ``(cell, n_points)``."""
+    n = 1 << res
+    base = 1 << (2 * res)
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx in range(-k, k + 1) for dy in range(-k, k + 1)
+    )
+    return f"""WITH fs_tiles AS MATERIALIZED ({tiles_sql}),
+fs_xy AS (
+  SELECT n_points AS v,
+         CAST((cell - {base}) // {n} AS BIGINT) AS x,
+         CAST((cell - {base}) % {n} AS BIGINT) AS y
+  FROM fs_tiles
+),
+fs_off(dx, dy) AS (VALUES {offs}),
+fs_scat AS (
+  SELECT ({base} + ((x + dx + {n}) % {n}) * {n} + (y + dy)) AS cell, v
+  FROM fs_xy, fs_off
+  WHERE y + dy >= 0 AND y + dy < {n}
+),
+fs_c AS (
+  SELECT cell, sum(v) AS focal_sum, count(*) AS n_neighbors
+  FROM fs_scat GROUP BY cell
+)
+SELECT t.cell, c.focal_sum, c.n_neighbors
+FROM (SELECT cell FROM fs_tiles) t JOIN fs_c c USING (cell)"""

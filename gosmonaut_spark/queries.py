@@ -1899,6 +1899,24 @@ FROM (
 ORDER BY centroid_id, d""",
     )
 
+    # ---- raster focal (neighborhood) sum at res 6 -----------------------------
+    def q_focal(spark, sf):
+        from .operators.tiling import focal_sum, points_to_tiles
+
+        t = points_to_tiles(_pts(spark, sf), 6).select("cell", "n_points")
+        return focal_sum(t, res=6, k=1).orderBy("cell")
+
+    from .functions.cells import cell_sql as _cell_sql
+    from .operators.tiling import focal_sum_sql
+
+    _focal_tiles_sql = f"""SELECT cell, count(*) AS n_points FROM (
+  SELECT {_cell_sql('lat', 'lon', 6)} AS cell FROM ({_PTS_SQL.strip()})
+) GROUP BY cell"""
+    q["tiles_focal_sum"] = (
+        q_focal,
+        focal_sum_sql(_focal_tiles_sql, res=6, k=1) + "\nORDER BY cell",
+    )
+
     # ---- spatio-temporal tile heatmap (cell × day rollup over events) --------
     # the tile×time aggregation a web-scale geo dashboard serves: one hash
     # agg on (cell, day) — both pure integer/codegen keys (cell law is
@@ -2171,6 +2189,31 @@ FROM (
                    "user_id", "ms", "value", 3_600_000)}
 )
 ORDER BY user_id, ts_ms, n_window""",
+    )
+
+    # ---- first-order event-transition matrix (Markov counts) -----------------
+    def q_transitions(spark, sf):
+        from .operators.rolling import transition_counts
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            "user_id", "ts", "event_type", "event_id"
+        )
+        return transition_counts(
+            ev, "user_id", "ts", "event_type", "event_id"
+        ).orderBy("from_type", "to_type")
+
+    from .operators.rolling import transition_counts_sql
+
+    q["events_transition_matrix"] = (
+        q_transitions,
+        transition_counts_sql(
+            "SELECT user_id, epoch_ms(ts) AS ms, event_type, event_id FROM events",
+            "user_id",
+            "ms",
+            "event_type",
+            "event_id",
+        )
+        + "\nORDER BY from_type, to_type",
     )
 
     # ---- host-suffix blocklist (domain-ban filter, label-boundary exact) -----

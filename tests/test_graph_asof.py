@@ -342,3 +342,40 @@ def test_rolling_stats_matches_python(spark):
     for g, w in zip(got, want):
         assert g[:3] == w[:3] and g[4] == w[4] and g[5] == w[5], (g, w)
         assert abs(g[3] - w[3]) < 1e-9, (g, w)
+
+
+def test_transition_counts_matches_python(spark):
+    from gosmonaut_spark.operators.rolling import transition_counts
+
+    rng = random.Random(41)
+    types = ["view", "click", "buy"]
+    rows = []
+    eid = 0
+    for u in range(5):
+        t = 0
+        for _ in range(30):
+            t += rng.choice([0, 1, 50])  # ties exercise the id tie-break
+            rows.append((eid, u, t, rng.choice(types)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ms long, event_type string")
+    ev = df.select(
+        "event_id", "user_id",
+        F.timestamp_millis(F.col("ms")).cast("timestamp_ntz").alias("ts"),
+        "event_type",
+    )
+    got = {
+        (r.from_type, r.to_type): r.n
+        for r in transition_counts(ev, "user_id", "ts", "event_type", "event_id").collect()
+    }
+
+    from collections import Counter
+
+    want = Counter()
+    by_user = {}
+    for eid2, u, t, ty in rows:
+        by_user.setdefault(u, []).append((t, eid2, ty))
+    for u, evs in by_user.items():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            want[(a, b)] += 1
+    assert got == dict(want)

@@ -538,3 +538,38 @@ def test_bbox_filter_pushes_in_list_to_parquet_scan(spark, tmp_path):
     want = {r.id for r in stored.collect()
             if 0.0 <= r.lat <= 20.0 and 10.0 <= r.lon <= 40.0}
     assert {r.id for r in out.collect()} == want
+
+
+def test_focal_sum_matches_numpy_convolution(spark):
+    """Focal sum == 3x3 kernel convolution with x-wrap / y-clamp, reported
+    on occupied cells only."""
+    from gosmonaut_spark.operators.tiling import focal_sum
+
+    res, n = 4, 16
+    base = 1 << (2 * res)
+    rng = np.random.default_rng(23)
+    # sparse occupied grid incl. both x edges (wrap) and both y edges (clamp)
+    occ = {(0, 0): 3, (15, 0): 5, (0, 15): 7, (15, 15): 2, (1, 0): 11,
+           (7, 7): 1, (8, 7): 4, (7, 8): 9}
+    for _ in range(30):
+        occ[(int(rng.integers(0, 16)), int(rng.integers(0, 16)))] = int(
+            rng.integers(1, 20)
+        )
+    tiles = spark.createDataFrame(
+        [(base + x * n + y, v) for (x, y), v in occ.items()],
+        "cell long, n_points long",
+    )
+    got = {
+        r.cell: (r.focal_sum, r.n_neighbors)
+        for r in focal_sum(tiles, res=res, k=1).collect()
+    }
+    assert set(got) == {base + x * n + y for (x, y) in occ}
+    for (x, y), _v in occ.items():
+        s = cnt = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nx, ny = (x + dx) % n, y + dy
+                if 0 <= ny < n and (nx, ny) in occ:
+                    s += occ[(nx, ny)]
+                    cnt += 1
+        assert got[base + x * n + y] == (s, cnt), (x, y)

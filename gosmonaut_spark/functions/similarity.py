@@ -689,3 +689,125 @@ def kmeans_train_sql(
         ",\n".join(parts)
         + f"\nSELECT centroid_id, n_assigned, cv AS centroid FROM km_c{int(iters)}"
     )
+
+
+# ---------------------------------------------------------------------------
+# top principal component (fixed power iterations, PCA-lite)
+# ---------------------------------------------------------------------------
+
+
+def power_iteration_top_pc(
+    points: DataFrame,
+    iters: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Leading principal direction of an embedding table → ``(d, v)``
+    (one row per dimension, unit-norm vector after ``iters`` power
+    iterations on the centered Gram matrix).
+
+    The embedding-hygiene primitive (dominant-direction removal — the
+    all-but-the-top-PC postprocessing of Mu & Viswanath 2018 — drift
+    detection, whitening prep), computed WITHOUT any linear-algebra
+    library: everything is explode + join + hash agg, so it scales like
+    any shuffle workload and the DuckDB twin is the same plan.
+
+    Law (pure function of the input): center by per-dim mean; G[d1,d2] =
+    Σ xc[d1]·xc[d2] (the centered Gram — the 1/(n-1) scale does not move
+    the eigenvector and is skipped); v0 = 1/√dim · 1⃗; each round
+    v ← G·v / ‖G·v‖. Fixed ``iters`` keeps the result deterministic;
+    sums reassociate between engines so consumers compare at
+    round(v, 7); the all-ones start fixes the sign convention.
+
+    Plan shape (100 TB lens): the heavy stage is the Gram accumulation —
+    a self-equi-join on the row id (co-partitioned, no skew: every row
+    carries exactly ``dim`` entries) followed by a (d1,d2) hash agg
+    whose OUTPUT is dim² rows regardless of corpus size — the classic
+    "compute X^T X distributed, iterate on the tiny result" shape. The
+    power loop itself runs on dim² × dim tables (broadcast joins).
+    """
+    x = points.select(
+        F.col(id_col).cast("long").alias("pid"),
+        F.posexplode(vec).alias("d", "x0"),
+    ).select("pid", "d", F.col("x0").cast("double").alias("x"))
+    mu = x.groupBy("d").agg(
+        (F.sum("x") / F.count(F.lit(1)).cast("double")).alias("mu")
+    )
+    xc = x.join(F.broadcast(mu), "d").select(
+        "pid", "d", (F.col("x") - F.col("mu")).alias("xc")
+    )
+    a = xc.select("pid", F.col("d").alias("d1"), F.col("xc").alias("x1"))
+    b = xc.select("pid", F.col("d").alias("d2"), F.col("xc").alias("x2"))
+    gram = (
+        a.join(b, "pid")
+        .groupBy("d1", "d2")
+        .agg(F.sum(F.col("x1") * F.col("x2")).alias("g"))
+        .localCheckpoint()
+    )
+    import math
+
+    v = None  # (d, v) table; v0 handled via literal inside the first round
+    v0 = 1.0 / math.sqrt(float(dim))
+    for t in range(int(iters)):
+        if v is None:
+            w = gram.groupBy(F.col("d1").alias("d")).agg(
+                F.sum(F.col("g") * F.lit(v0)).alias("w")
+            )
+        else:
+            w = (
+                gram.join(
+                    F.broadcast(v.select(F.col("d").alias("d2"), "v")), "d2"
+                )
+                .groupBy(F.col("d1").alias("d"))
+                .agg(F.sum(F.col("g") * F.col("v")).alias("w"))
+            )
+        norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = (
+            w.crossJoin(F.broadcast(norm))
+            .select("d", (F.col("w") / F.col("nrm")).alias("v"))
+            .localCheckpoint()
+        )
+    return v
+
+
+def power_iteration_top_pc_sql(
+    points_sql: str, iters: int = 3, dim: int = 64
+) -> str:
+    """DuckDB twin of :func:`power_iteration_top_pc`, loop unrolled.
+    ``points_sql`` must yield ``(pid, pv)``. Compare at round(v, 7)."""
+    import math
+
+    v0 = 1.0 / math.sqrt(float(dim))
+    parts = [
+        f"WITH pc_pts AS MATERIALIZED ({points_sql})",
+        "pc_x AS (SELECT pid, generate_subscripts(pv, 1) - 1 AS d, "
+        "CAST(unnest(pv) AS DOUBLE) AS x FROM pc_pts)",
+        "pc_mu AS (SELECT d, sum(x) / CAST(count(*) AS DOUBLE) AS mu "
+        "FROM pc_x GROUP BY d)",
+        "pc_xc AS (SELECT pid, pc_x.d, x - mu AS xc FROM pc_x "
+        "JOIN pc_mu ON pc_mu.d = pc_x.d)",
+        "pc_g AS MATERIALIZED (SELECT a.d AS d1, b.d AS d2, "
+        "sum(a.xc * b.xc) AS g "
+        "FROM pc_xc a JOIN pc_xc b ON a.pid = b.pid GROUP BY a.d, b.d)",
+    ]
+    prev = None
+    for t in range(1, int(iters) + 1):
+        if prev is None:
+            parts.append(
+                f"pc_w{t} AS (SELECT d1 AS d, sum(g * {v0!r}) AS w "
+                "FROM pc_g GROUP BY d1)"
+            )
+        else:
+            parts.append(
+                f"pc_w{t} AS (SELECT d1 AS d, sum(g * v.v) AS w "
+                f"FROM pc_g JOIN {prev} v ON v.d = pc_g.d2 GROUP BY d1)"
+            )
+        parts.append(
+            f"pc_n{t} AS (SELECT sqrt(sum(w * w)) AS nrm FROM pc_w{t})"
+        )
+        parts.append(
+            f"pc_v{t} AS (SELECT d, w / nrm AS v FROM pc_w{t}, pc_n{t})"
+        )
+        prev = f"pc_v{t}"
+    return ",\n".join(parts) + f"\nSELECT d, v FROM {prev}"

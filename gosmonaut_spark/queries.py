@@ -1987,6 +1987,26 @@ WHERE lat >= {_BBOX[0]!r} AND lat <= {_BBOX[1]!r}
 ORDER BY id""",
     )
 
+    # ---- top principal component (fixed power iterations) --------------------
+    def q_top_pc(spark, sf):
+        from .functions.similarity import power_iteration_top_pc
+
+        e = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        v = power_iteration_top_pc(e, iters=3, dim=64)
+        return v.select("d", F.round("v", 7).alias("v")).orderBy("d")
+
+    from .functions.similarity import power_iteration_top_pc_sql
+
+    q["embeddings_top_pc"] = (
+        q_top_pc,
+        f"""SELECT d, round(v, 7) AS v FROM (
+{power_iteration_top_pc_sql("SELECT vec_id AS pid, embedding AS pv FROM embeddings", iters=3, dim=64)}
+)
+ORDER BY d""",
+    )
+
     # ---- geohash cells (Z-order layout key; base32 public index) -------------
     def q_geohash(spark, sf):
         from .functions.geohash import geohash_encode

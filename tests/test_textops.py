@@ -1010,3 +1010,42 @@ def test_host_blocklist_label_boundary(spark):
     ).collect()[0].s
     assert sufs == ["x.y.tracker.example", "y.tracker.example",
                     "tracker.example", "example"]
+
+
+def test_power_iteration_top_pc_matches_numpy(spark):
+    """3 power iterations on the centered Gram == the same law in numpy;
+    with a planted dominant direction the result aligns with it."""
+    import numpy as np
+
+    from gosmonaut_spark.functions.similarity import power_iteration_top_pc
+
+    rng = np.random.default_rng(29)
+    n, dim, iters = 120, 8, 3
+    direction = rng.normal(size=dim)
+    direction /= np.linalg.norm(direction)
+    X = (rng.normal(size=(n, 1)) * 6.0) @ direction[None, :] + rng.normal(
+        size=(n, dim)
+    ) * 0.3
+    X = X.astype(np.float32)
+
+    Xd = X.astype(np.float64)
+    xc = Xd - Xd.mean(axis=0)
+    G = xc.T @ xc
+    v = np.full(dim, 1.0 / np.sqrt(dim))
+    for _ in range(iters):
+        w = G @ v
+        v = w / np.sqrt((w * w).sum())
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.d: r.v
+        for r in power_iteration_top_pc(df, iters=iters, dim=dim).collect()
+    }
+    assert set(got) == set(range(dim))
+    gv = np.array([got[d] for d in range(dim)])
+    assert np.max(np.abs(gv - v)) < 1e-9
+    assert abs(np.linalg.norm(gv) - 1.0) < 1e-12
+    assert abs(float(np.abs(gv @ direction))) > 0.99  # found the plant

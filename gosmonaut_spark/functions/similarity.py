@@ -811,3 +811,73 @@ def power_iteration_top_pc_sql(
         )
         prev = f"pc_v{t}"
     return ",\n".join(parts) + f"\nSELECT d, v FROM {prev}"
+
+
+def remove_top_pc(
+    points: DataFrame,
+    iters: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Dominant-direction removal: ``x ← x − (x·v)v`` with ``v`` the
+    power-iteration top PC — the all-but-the-top postprocessing (Mu &
+    Viswanath 2018) that strips the corpus-wide common component before
+    cosine similarity (raw embeddings share a large common direction
+    that swamps cosine; removing it is standard retrieval hygiene,
+    and the reason :func:`power_iteration_top_pc` exists).
+
+    NOTE: centering is used to ESTIMATE v (same law as
+    power_iteration_top_pc); the projection is applied to the RAW
+    vectors — the published recipe.
+
+    Returns ``(id, d, e)`` exploded per dimension (scalar rows — the
+    repo's oracle-friendly shape for vector outputs).
+
+    Plan shape: v is dim rows — broadcast; the projection is one
+    scan-riding pass per row (dot fold + element update inside HOFs),
+    no shuffle beyond the PC estimation itself.
+    """
+    v = power_iteration_top_pc(points, iters=iters, dim=dim, id_col=id_col, vec=vec)
+    # agg does NOT preserve input order — sort inside the row instead
+    varr = v.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "v"))), lambda s: s["v"]
+        ).alias("varr")
+    )
+    p = points.select(F.col(id_col).cast("long").alias("id"), F.col(vec).alias("pv"))
+    proj = (
+        p.crossJoin(F.broadcast(varr))
+        .withColumn("dot", dot_codegen(F.col("pv"), F.col("varr"), dim))
+        .select(
+            "id",
+            F.posexplode(
+                F.zip_with(
+                    "pv",
+                    "varr",
+                    lambda x, vv: x.cast("double") - F.col("dot") * vv,
+                )
+            ).alias("d", "e"),
+        )
+    )
+    return proj
+
+
+def remove_top_pc_sql(points_sql: str, iters: int = 3, dim: int = 64) -> str:
+    """DuckDB twin — same v (unrolled), same left-to-right dot fold, same
+    per-element update. Compare at round(e, 7)."""
+    pc = power_iteration_top_pc_sql(points_sql, iters=iters, dim=dim)
+    return f"""WITH rp_v AS MATERIALIZED (
+  SELECT list(v ORDER BY d) AS varr FROM ({pc})
+),
+rp_p AS (SELECT pid AS id, pv FROM ({points_sql})),
+rp_d AS (
+  SELECT id, pv, varr,
+         list_reduce(list_transform(list_zip(pv, varr),
+           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+           (acc, x) -> acc + x) AS dot
+  FROM rp_p, rp_v
+)
+SELECT id, generate_subscripts(pv, 1) - 1 AS d,
+       CAST(unnest(pv) AS DOUBLE) - dot * unnest(varr) AS e
+FROM rp_d"""

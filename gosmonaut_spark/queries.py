@@ -2007,6 +2007,27 @@ ORDER BY id""",
 ORDER BY d""",
     )
 
+    # ---- dominant-direction removal (embedding hygiene) -----------------------
+    def q_remove_pc(spark, sf):
+        from .functions.similarity import remove_top_pc
+
+        e = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        # subset keeps the oracle row count sane (100 ids × 64 dims)
+        out = remove_top_pc(e.filter(F.col("vec_id") % 5 == 0), iters=3, dim=64)
+        return out.select("id", "d", F.round("e", 7).alias("e")).orderBy("id", "d")
+
+    from .functions.similarity import remove_top_pc_sql
+
+    q["embeddings_remove_top_pc"] = (
+        q_remove_pc,
+        f"""SELECT id, d, round(e, 7) AS e FROM (
+{remove_top_pc_sql("SELECT vec_id AS pid, embedding AS pv FROM embeddings WHERE vec_id % 5 = 0", iters=3, dim=64)}
+)
+ORDER BY id, d""",
+    )
+
     # ---- geohash cells (Z-order layout key; base32 public index) -------------
     def q_geohash(spark, sf):
         from .functions.geohash import geohash_encode

@@ -1049,3 +1049,38 @@ def test_power_iteration_top_pc_matches_numpy(spark):
     assert np.max(np.abs(gv - v)) < 1e-9
     assert abs(np.linalg.norm(gv) - 1.0) < 1e-12
     assert abs(float(np.abs(gv @ direction))) > 0.99  # found the plant
+
+
+def test_remove_top_pc_matches_numpy(spark):
+    """x - (x.v)v with the power-iteration v: numpy parity + the residual
+    is orthogonal to v."""
+    import numpy as np
+
+    from gosmonaut_spark.functions.similarity import remove_top_pc
+
+    rng = np.random.default_rng(33)
+    n, dim, iters = 90, 8, 3
+    direction = rng.normal(size=dim)
+    direction /= np.linalg.norm(direction)
+    X = ((rng.normal(size=(n, 1)) * 5.0) @ direction[None, :]
+         + rng.normal(size=(n, dim)) * 0.4).astype(np.float32)
+
+    Xd = X.astype(np.float64)
+    xcent = Xd - Xd.mean(axis=0)
+    G = xcent.T @ xcent
+    v = np.full(dim, 1.0 / np.sqrt(dim))
+    for _ in range(iters):
+        w = G @ v
+        v = w / np.sqrt((w * w).sum())
+    want = Xd - np.outer(Xd @ v, v)
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = remove_top_pc(df, iters=iters, dim=dim).collect()
+    got = np.zeros((n, dim))
+    for r in rows:
+        got[r.id, r.d] = r.e
+    assert np.max(np.abs(got - want)) < 1e-8
+    assert np.max(np.abs(got @ v)) < 1e-8  # residuals orthogonal to v

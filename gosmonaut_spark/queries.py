@@ -2092,6 +2092,38 @@ FROM (
         paragraph_dedup_sql(_para_docs_sql) + "\nORDER BY doc_id, para_idx",
     )
 
+    # ---- per-lang rank analytics (ntile quartiles + percent_rank) ------------
+    # percent_rank = (rank-1)/(n-1): a single division of exact integers —
+    # bit-identical cross-engine (no reassociation anywhere). ntile's
+    # bucket law (floor division with remainder spread) matches between
+    # Spark and DuckDB; ties broken by doc_id for a total order.
+    def q_quality_ranks(spark, sf):
+        from pyspark.sql.window import Window
+
+        d = spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", "lang", "n_chars"
+        )
+        w = Window.partitionBy("lang").orderBy(
+            F.col("n_chars").asc(), F.col("doc_id").asc()
+        )
+        return d.select(
+            "doc_id",
+            "lang",
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pr"),
+        ).orderBy("doc_id")
+
+    q["corpus_quality_ranks"] = (
+        q_quality_ranks,
+        """SELECT doc_id, lang,
+       ntile(4) OVER (PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC)
+         AS quartile,
+       percent_rank() OVER (PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC)
+         AS pr
+FROM documents
+ORDER BY doc_id""",
+    )
+
     # ---- HLL distinct sketch (per-source distinct tokens, bit-exact twin) ----
     def q_hll(spark, sf):
         from .functions.sketch import hll_distinct

@@ -2092,6 +2092,31 @@ FROM (
         paragraph_dedup_sql(_para_docs_sql) + "\nORDER BY doc_id, para_idx",
     )
 
+    # ---- OLAP rollup (lang × source hierarchy with subtotals) ----------------
+    # Spark `rollup` == SQL ROLLUP grouping sets; NULL marks the subtotal
+    # levels identically in both engines. Integer aggregates only.
+    def q_rollup(spark, sf):
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        return (
+            d.rollup("lang", "source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("chars"),
+                F.min("doc_id").alias("min_id"),
+            )
+            .orderBy(
+                F.col("lang").asc_nulls_first(), F.col("source").asc_nulls_first()
+            )
+        )
+
+    q["corpus_rollup_stats"] = (
+        q_rollup,
+        """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS chars,
+       min(doc_id) AS min_id
+FROM documents GROUP BY ROLLUP (lang, source)
+ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""",
+    )
+
     # ---- per-lang rank analytics (ntile quartiles + percent_rank) ------------
     # percent_rank = (rank-1)/(n-1): a single division of exact integers —
     # bit-identical cross-engine (no reassociation anywhere). ntile's

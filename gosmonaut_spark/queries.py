@@ -2092,6 +2092,120 @@ FROM (
         paragraph_dedup_sql(_para_docs_sql) + "\nORDER BY doc_id, para_idx",
     )
 
+    # ---- winsorized robust stats per lang (exact rank thresholds) ------------
+    # thresholds picked at exact ranks k_lo = max(1, floor(0.05 n)) and
+    # k_hi = min(n, ceil(0.95 n)); output is integer-only (clipped SUM +
+    # count, not a float mean) so the twin is exact with no rounding.
+    def q_winsor(spark, sf):
+        from pyspark.sql.window import Window
+
+        d = spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", "lang", "n_chars"
+        )
+        w = Window.partitionBy("lang").orderBy(
+            F.col("n_chars").asc(), F.col("doc_id").asc()
+        )
+        r = d.select(
+            "lang",
+            "n_chars",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+        )
+        k_lo = F.greatest(F.lit(1), F.floor(F.col("n") * F.lit(0.05)).cast("int"))
+        k_hi = F.least(F.col("n"), F.ceil(F.col("n") * F.lit(0.95)).cast("long"))
+        th = r.groupBy("lang").agg(
+            F.max(F.when(F.col("rn") == k_lo, F.col("n_chars"))).alias("lo"),
+            F.max(F.when(F.col("rn") == k_hi, F.col("n_chars"))).alias("hi"),
+        )
+        clipped = r.join(F.broadcast(th), "lang").select(
+            "lang",
+            F.least(F.greatest(F.col("n_chars"), F.col("lo")), F.col("hi")).alias(
+                "c"
+            ),
+        )
+        return (
+            clipped.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("c").alias("sum_clipped"))
+            .join(th, "lang")
+            .select("lang", "n_docs", "lo", "hi", "sum_clipped")
+            .orderBy("lang")
+        )
+
+    q["corpus_winsorized_stats"] = (
+        q_winsor,
+        """WITH r AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+),
+th AS (
+  SELECT lang,
+         max(CASE WHEN rn = greatest(1, CAST(floor(n * 0.05) AS INTEGER))
+                  THEN n_chars END) AS lo,
+         max(CASE WHEN rn = least(n, CAST(ceil(n * 0.95) AS BIGINT))
+                  THEN n_chars END) AS hi
+  FROM r GROUP BY lang
+)
+SELECT r.lang, count(*) AS n_docs, any_value(th.lo) AS lo, any_value(th.hi) AS hi,
+       sum(least(greatest(r.n_chars, th.lo), th.hi)) AS sum_clipped
+FROM r JOIN th ON th.lang = r.lang
+GROUP BY r.lang
+ORDER BY r.lang""",
+    )
+
+    # ---- per-tile event-type diversity (Gini–Simpson, rational exact) --------
+    # 1 - Σp² expressed as (t² - Σc²)/t² — integer numerator/denominator,
+    # ONE division: bit-exact cross-engine with no transcendentals.
+    def q_tile_diversity(spark, sf):
+        from .functions.cells import cell_expr
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        hlat = (F.col("event_id") * F.lit(_P1)) % F.lit(_M)
+        hlon = (F.col("event_id") * F.lit(_P2) + F.lit(_O2)) % F.lit(_M)
+        pts = ev.select(
+            "event_type",
+            ((hlat % F.lit(1_700_000)) / F.lit(10_000.0) - F.lit(85.0)).alias("lat"),
+            ((hlon % F.lit(3_600_000)) / F.lit(10_000.0) - F.lit(180.0)).alias("lon"),
+        )
+        per_type = (
+            pts.groupBy(cell_expr("lat", "lon", 4).alias("cell"), "event_type")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return (
+            per_type.groupBy("cell")
+            .agg(F.sum("c").alias("t"), F.sum(F.col("c") * F.col("c")).alias("ss"))
+            .select(
+                "cell",
+                "t",
+                (
+                    (F.col("t") * F.col("t") - F.col("ss"))
+                    / (F.col("t") * F.col("t")).cast("double")
+                ).alias("simpson"),
+            )
+            .orderBy("cell")
+        )
+
+    q["tiles_type_diversity"] = (
+        q_tile_diversity,
+        f"""WITH pts AS (
+SELECT event_type,
+       ((((event_id * {_P1}) % {_M}) % 1700000) / 10000.0) - 85.0 AS lat,
+       ((((event_id * {_P2} + {_O2}) % {_M}) % 3600000) / 10000.0) - 180.0 AS lon
+FROM events
+),
+per_type AS (
+  SELECT {{cell4}} AS cell, event_type, count(*) AS c
+  FROM pts GROUP BY 1, 2
+)
+SELECT cell, sum(c) AS t,
+       (sum(c) * sum(c) - sum(c * c)) / CAST(sum(c) * sum(c) AS DOUBLE)
+         AS simpson
+FROM per_type GROUP BY cell ORDER BY cell""".replace(
+            "{cell4}", _cell_sql("lat", "lon", 4)
+        ),
+    )
+
     # ---- OLAP rollup (lang × source hierarchy with subtotals) ----------------
     # Spark `rollup` == SQL ROLLUP grouping sets; NULL marks the subtotal
     # levels identically in both engines. Integer aggregates only.

@@ -130,6 +130,90 @@ def jaccard_pairs(
     return out
 
 
+def jaccard_prefix_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`jaccard_pairs` with PPJoin/AllPairs prefix filtering — the
+    EXACT same result set, a candidate space that stays near-linear at
+    corpus scale without the lossy ``max_doc_freq`` cap.
+
+    Law: order every document's shingles by a global canonical order
+    (document frequency ascending, shingle ascending — rarest first) and
+    keep only each document's PREFIX of length ``|s| - ceil(t*|s|) + 1``.
+    For any pair with jaccard >= t, the overlap o satisfies
+    ``o >= ceil(t*|s|)`` on BOTH sides (o >= t(|x|+|y|)/(1+t) and
+    |x| >= t*|y|), so each suffix (the ``ceil(t*|s|)-1`` largest
+    shingles) is too small to hold every shared shingle — in particular
+    the globally SMALLEST shared shingle must sit in both prefixes.
+    Joining prefixes on the shingle is therefore complete; exactness
+    comes from re-verifying jaccard on the candidates over the FULL
+    shingle sets.
+
+    Scale shape (100 TB lens): the self-join fans out on prefix tokens
+    only — and because the canonical order is df-ascending, prefixes are
+    made of the RAREST shingles, so hot stopword shingles (the d^2 blowup
+    ``max_doc_freq`` exists to cap) land in suffixes and never join.
+    Costs one global df agg + one per-doc window sort on top of
+    :func:`jaccard_pairs`'s plan; the verify stage touches candidate
+    pairs only.
+    """
+    t = float(threshold)
+    from pyspark.sql.window import Window
+
+    sh = _shingle_table(docs, id_col, text_col, n)
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("__df").asc(), F.col("sh").asc()
+    )
+    # ceil(t * n_sh) in PURE INTEGER arithmetic: double ceil can overshoot
+    # (0.2*15 == 3.0000000000000004 -> ceil 4), silently SHORTENING the
+    # prefix and breaking completeness. Under-approximate t as
+    # floor(t*1e6)/1e6 (a longer prefix is always safe — exactness comes
+    # from the verify stage) and take the integer ceil-division.
+    tnum = int(t * 1_000_000)
+    ceil_t_n = F.expr(f"(n_sh * {tnum} + 999999) DIV 1000000")
+    pre = (
+        sh.join(dfreq, "sh")
+        .select("doc_id", "sh", F.row_number().over(w).alias("__rn"))
+        .join(sizes, "doc_id")
+        .where(F.col("__rn") <= F.col("n_sh") - ceil_t_n + F.lit(1))
+        .select("doc_id", "sh")
+    )
+    cand = (
+        pre.select(F.col("doc_id").alias("a"), "sh")
+        .join(pre.select(F.col("doc_id").alias("b"), "sh"), "sh")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("a"), "sh"), "a")
+        .join(sh.select(F.col("doc_id").alias("b"), "sh"), ["b", "sh"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")), "a"
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")), "b"
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= t)
+        .select("a", "b", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # minhash + LSH
 # ---------------------------------------------------------------------------

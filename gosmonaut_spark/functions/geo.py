@@ -178,3 +178,86 @@ def polyline_length_sql(lats: str, lons: str) -> str:
         f"list_reduce(list_transform(range(1, len({lats})), i -> {hav}), "
         f"(acc, x) -> acc + x) END"
     )
+
+
+# ---------------------------------------------------------------------------
+# trajectory (moving-object track) length — lag window over a point stream
+# ---------------------------------------------------------------------------
+
+
+def trajectory_length(
+    pts,
+    key_col: str,
+    order_col: str,
+    id_col: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+):
+    """Per-key great-circle track length over a time-ordered point stream
+    — the GPS-trace metric (distance traveled per user/vehicle/day).
+
+    Complements :func:`polyline_length_m`: that one folds vertex ARRAYS
+    already assembled into one row; this one walks a row-per-point
+    stream with a lag window (the shape event pipelines actually have),
+    so no array assembly or collect_list shuffle is needed.
+
+    Segment distances are rounded to integer MILLIMETERS before the
+    per-key sum, so the aggregate is an order-free integer sum — exact
+    cross-engine regardless of partitioning (trig ulps live below the
+    mm rounding except on measure-zero boundaries). Stream order is
+    total: ``order_col`` ascending, ties broken by ``id_col``.
+
+    Returns one row per key: (key, n_points, length_mm).
+
+    Scale shape (100 TB lens): one hash partition + per-key sort for the
+    lag window, then one hash agg — the sessionize budget; no arrays, no
+    explode, no driver state.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(order_col).asc(), F.col(id_col).asc()
+    )
+    seg = haversine_m(
+        F.lag(lat_col).over(w),
+        F.lag(lon_col).over(w),
+        F.col(lat_col),
+        F.col(lon_col),
+    )
+    staged = pts.select(
+        F.col(key_col),
+        F.round(seg * F.lit(1000.0)).cast("long").alias("__seg_mm"),
+    )
+    return staged.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.coalesce(F.sum("__seg_mm"), F.lit(0).cast("long")).alias(
+            "length_mm"
+        ),
+    )
+
+
+def trajectory_length_sql(
+    pts_sql: str, key_expr: str, order_expr: str, id_expr: str,
+    lat_expr: str = "lat", lon_expr: str = "lon",
+) -> str:
+    """DuckDB twin — identical lag law and mm-integer segment rounding.
+    ``pts_sql`` must yield the key/order/id/lat/lon columns."""
+    over = (
+        f"OVER (PARTITION BY {key_expr} "
+        f"ORDER BY {order_expr} ASC, {id_expr} ASC)"
+    )
+    hav = haversine_sql(
+        f"lag({lat_expr}) {over}",
+        f"lag({lon_expr}) {over}",
+        lat_expr,
+        lon_expr,
+    )
+    return f"""WITH tr_src AS ({pts_sql}),
+tr_seg AS (
+  SELECT {key_expr} AS k,
+         CAST(round(({hav}) * 1000.0) AS BIGINT) AS seg_mm
+  FROM tr_src
+)
+SELECT k AS {key_expr}, count(*) AS n_points,
+       coalesce(sum(seg_mm), 0) AS length_mm
+FROM tr_seg GROUP BY k"""

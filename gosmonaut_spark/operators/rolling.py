@@ -36,6 +36,8 @@ __all__ = [
     "rolling_stats_sql",
     "transition_counts",
     "transition_counts_sql",
+    "gap_fill",
+    "gap_fill_sql",
 ]
 
 
@@ -130,6 +132,107 @@ def transition_counts(
     return lagged.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+def gap_fill(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_ms: int,
+) -> DataFrame:
+    """Dense time-bucket grid per key with last-observation-carried-forward
+    — the hypertable-style ``time_bucket_gapfill + locf`` continuous view.
+
+    Buckets are ``ms - ms % step_ms`` (pure integer law, zone-free NTZ
+    epoch). For each key the grid spans the key's OWN observed range
+    [min_bucket, max_bucket] — no global clock table. Output per
+    (key, bucket):
+
+    * ``n_obs`` — events observed in the bucket (0 on gap rows)
+    * ``v_obs`` — the bucket's aggregated value, NULL on gap rows
+    * ``v_filled`` — ``v_obs`` forward-filled from the key's most recent
+      observed bucket (the locf read a downstream consumer wants)
+    * ``is_gap`` — 1 on synthesized rows
+
+    The fill value's SUM is exact only for integer-typed ``value_col`` —
+    callers wanting cross-engine bit-equality pass integers (same
+    money-in-cents discipline as the rest of the engine).
+
+    Scale shape (100 TB lens): one hash agg on (key, bucket); the grid is
+    ``sequence() + explode`` codegen whose fan-out is bounded by the
+    key's span / step (caller picks the step, same contract as
+    ``rolling_stats``'s window); one per-key window sort for the fill.
+    No driver collect, no global sort, no cross join — hot keys cost the
+    same single per-key sort every windowed op here pays.
+    """
+    step = int(step_ms)
+    ms = ntz_epoch_ms(F.col(ts_col))
+    obs = (
+        events.select(
+            F.col(key_col),
+            (ms - ms % F.lit(step)).alias("bucket_ms"),
+            F.col(value_col).alias("__v"),
+        )
+        .groupBy(key_col, "bucket_ms")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum("__v").alias("v_obs"),
+        )
+    )
+    span = obs.groupBy(key_col).agg(
+        F.min("bucket_ms").alias("__b0"), F.max("bucket_ms").alias("__b1")
+    )
+    grid = span.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("__b0"), F.col("__b1"), F.lit(step).cast("long"))
+        ).alias("bucket_ms"),
+    )
+    w = Window.partitionBy(key_col).orderBy(F.col("bucket_ms").asc())
+    return (
+        grid.join(obs, [key_col, "bucket_ms"], "left")
+        .select(
+            F.col(key_col),
+            "bucket_ms",
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+            "v_obs",
+            F.last("v_obs", ignorenulls=True).over(w).alias("v_filled"),
+            F.col("v_obs").isNull().cast("int").alias("is_gap"),
+        )
+    )
+
+
+def gap_fill_sql(
+    events_sql: str, key_expr: str, ms_expr: str, value_expr: str, step_ms: int
+) -> str:
+    """DuckDB twin — identical bucket law (integer ``ms - ms % step``),
+    inclusive per-key grid (``range`` stop is exclusive, Spark's
+    ``sequence`` stop is inclusive — hence ``b1 + step``), and the same
+    IGNORE NULLS running-last fill. ``events_sql`` must yield
+    key/ms/value columns named by the ``*_expr`` arguments."""
+    step = int(step_ms)
+    return f"""WITH gf_src AS ({events_sql}),
+gf_obs AS (
+  SELECT {key_expr} AS k, {ms_expr} - ({ms_expr} % {step}) AS bucket_ms,
+         count(*) AS n_obs, sum({value_expr}) AS v_obs
+  FROM gf_src GROUP BY 1, 2
+),
+gf_span AS (SELECT k, min(bucket_ms) AS b0, max(bucket_ms) AS b1 FROM gf_obs GROUP BY k),
+gf_grid AS (
+  SELECT k, unnest(range(b0, b1 + {step}, {step})) AS bucket_ms FROM gf_span
+),
+gf_j AS (
+  SELECT g.k, g.bucket_ms, o.n_obs, o.v_obs
+  FROM gf_grid g LEFT JOIN gf_obs o ON o.k = g.k AND o.bucket_ms = g.bucket_ms
+)
+SELECT k AS {key_expr}, bucket_ms, coalesce(n_obs, 0) AS n_obs, v_obs,
+       last_value(v_obs IGNORE NULLS) OVER (
+         PARTITION BY k ORDER BY bucket_ms ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS v_filled,
+       CAST(v_obs IS NULL AS INT) AS is_gap
+FROM gf_j"""
 
 
 def transition_counts_sql(

@@ -221,12 +221,64 @@ class CheckpointStore:
             self._atomic_json(self._manifest_path(name), m)
             return sid
 
+    def merge_upsert(
+        self,
+        name: str,
+        updates: DataFrame,
+        key_cols: list[str],
+        delete_col: str | None = None,
+        partition_by: list[str] | None = None,
+    ) -> DataFrame:
+        """Iceberg ``MERGE INTO`` analog, copy-on-write: commit a NEW
+        snapshot whose content is the current snapshot with ``updates``
+        applied by key — matched keys are replaced, unmatched keys are
+        inserted, and (when ``delete_col`` names a boolean column) rows
+        marked true are tombstones that delete their key without
+        inserting. The previous snapshot stays in the manifest as the
+        parent: ``rollback``/time-travel give pre-merge reads, exactly
+        like every other commit here.
+
+        Schema evolution rides along: ``unionByName(allowMissingColumns)``
+        lets updates carry added columns (pre-merge rows read NULL), the
+        same contract as the run_pass schema-evolution test.
+
+        Scale shape (100 TB lens): one left-anti shuffle on the key to
+        drop replaced rows + one union write — the standard CoW merge. A
+        merge-on-read variant (separate delete files reconciled at scan)
+        is an Iceberg-runtime concern; this seam maps 1:1 onto
+        ``MERGE INTO`` when a real catalog is attached. If there is no
+        current snapshot the merge degenerates to a plain insert commit.
+        """
+        keys = list(key_cols)
+        touched = updates.select(*keys).dropDuplicates(keys)
+        live = updates
+        if delete_col is not None:
+            live = updates.where(
+                ~F.coalesce(F.col(delete_col), F.lit(False))
+            ).drop(delete_col)
+
+        def build():
+            if self.has(name):
+                base = self.read(name)
+                kept = base.join(touched, keys, "left_anti")
+                return kept.unionByName(live, allowMissingColumns=True)
+            return live
+
+        return self.run_pass(
+            name,
+            build,
+            partition_by=partition_by,
+            overwrite=True,
+            extra_meta={"operation": "merge", "merge_keys": keys},
+        )
+
     def run_pass(
         self,
         name: str,
         build,
         partition_by: list[str] | None = None,
         overwrite: bool = False,
+        extra_meta: dict | None = None,
     ) -> DataFrame:
         """Return the pass output, computing + snapshotting only on miss
         (``overwrite=True`` forces a new snapshot with the previous one as
@@ -301,6 +353,7 @@ class CheckpointStore:
                 "rows": entry["rows_out"],
                 "wall_ms": wall_ms,
                 "partition_by": partition_by or [],
+                **(extra_meta or {}),
             },
         )
         if sid != provisional:

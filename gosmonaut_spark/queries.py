@@ -405,6 +405,16 @@ WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) 
 ORDER BY a, b""",
     )
 
+    # same semantics as dedup_jaccard_pairs via the PPJoin prefix-filter
+    # candidate law — the oracle twin is the SAME exact-jaccard SQL (the
+    # prefix filter is provably lossless at the threshold), so a hash
+    # match here proves the filter dropped no qualifying pair.
+    def q_jaccard_prefix(spark, sf):
+        d = spark.read.parquet(f"{sf}/documents.parquet").filter(F.col("doc_id") < 300)
+        return D.jaccard_prefix_pairs(d, threshold=0.2, n=3).orderBy("a", "b")
+
+    q["dedup_jaccard_prefix"] = (q_jaccard_prefix, q["dedup_jaccard_pairs"][1])
+
     def q_minhash(spark, sf):
         d = spark.read.parquet(f"{sf}/documents.parquet").filter(F.col("doc_id") < 200)
         dup = d.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
@@ -2204,6 +2214,119 @@ SELECT cell, sum(c) AS t,
 FROM per_type GROUP BY cell ORDER BY cell""".replace(
             "{cell4}", _cell_sql("lat", "lon", 4)
         ),
+    )
+
+    # ---- time-series gap fill + locf (hypertable continuous view) ------------
+    # integer metric (event_id % 997) so the bucket SUM and the forward
+    # fill are order-free integer ops — bit-exact cross-engine.
+    def q_gap_fill(spark, sf):
+        from .operators.rolling import gap_fill
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            F.col("user_id"),
+            "ts",
+            (F.col("event_id") % F.lit(997)).alias("v"),
+        )
+        return gap_fill(ev, "user_id", "ts", "v", 6 * 3600 * 1000).orderBy(
+            "user_id", "bucket_ms"
+        )
+
+    from .operators.rolling import gap_fill_sql
+
+    q["events_gap_fill"] = (
+        q_gap_fill,
+        gap_fill_sql(
+            "SELECT user_id, epoch_ms(ts) AS ms, event_id % 997 AS v FROM events",
+            "user_id",
+            "ms",
+            "v",
+            6 * 3600 * 1000,
+        )
+        + "\nORDER BY user_id, bucket_ms",
+    )
+
+    # ---- trajectory (GPS-track) length per moving key -------------------------
+    # row-per-point lag-window twin of geo_way_length's array fold; each
+    # segment rounds to integer mm BEFORE the per-key sum, so the
+    # aggregate is an order-free integer sum (exact cross-engine).
+    def q_trajectory(spark, sf):
+        from .functions.geo import trajectory_length
+        from .functions.timeops import ntz_epoch_ms
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        hlat = (F.col("event_id") * F.lit(_P1)) % F.lit(_M)
+        hlon = (F.col("event_id") * F.lit(_P2) + F.lit(_O2)) % F.lit(_M)
+        pts = ev.select(
+            "user_id",
+            ntz_epoch_ms(F.col("ts")).alias("ms"),
+            "event_id",
+            ((hlat % F.lit(1_700_000)) / F.lit(10_000.0) - F.lit(85.0)).alias("lat"),
+            ((hlon % F.lit(3_600_000)) / F.lit(10_000.0) - F.lit(180.0)).alias("lon"),
+        )
+        return trajectory_length(pts, "user_id", "ms", "event_id").orderBy(
+            "user_id"
+        )
+
+    from .functions.geo import trajectory_length_sql
+
+    q["geo_trajectory_length"] = (
+        q_trajectory,
+        trajectory_length_sql(
+            f"""SELECT user_id, epoch_ms(ts) AS ms, event_id,
+       ((((event_id * {_P1}) % {_M}) % 1700000) / 10000.0) - 85.0 AS lat,
+       ((((event_id * {_P2} + {_O2}) % {_M}) % 3600000) / 10000.0) - 180.0 AS lon
+FROM events""",
+            "user_id",
+            "ms",
+            "event_id",
+        )
+        + "\nORDER BY user_id",
+    )
+
+    # ---- polygon x polygon bbox overlap join ----------------------------------
+    # grid-bucketed index-then-refine on the Spark side (operators/overlap);
+    # the DuckDB twin is the brute self-join with the SAME closed-interval
+    # predicate on identically-derived double bounds — semantics, not plan.
+    def q_bbox_overlap(spark, sf):
+        from .operators.overlap import bbox_overlap_join
+
+        su = spark.read.parquet(f"{sf}/supplier.parquet")
+        k = F.col("s_suppkey").cast("long")
+        hlat = (k * F.lit(_P1)) % F.lit(_M)
+        hlon = (k * F.lit(_P2) + F.lit(_O2)) % F.lit(_M)
+        cy = (hlat % F.lit(200_000)) / F.lit(10_000.0) - F.lit(10.0)
+        cx = (hlon % F.lit(400_000)) / F.lit(10_000.0) - F.lit(20.0)
+        h = (k % F.lit(5)).cast("double") / F.lit(2.0) + F.lit(1.0)
+        w = (k % F.lit(7)).cast("double") / F.lit(2.0) + F.lit(1.5)
+        rects = su.select(
+            k.alias("polygon_id"),
+            (cy - h).alias("s"),
+            (cy + h).alias("n"),
+            (cx - w).alias("west"),
+            (cx + w).alias("east"),
+        )
+        return bbox_overlap_join(rects, grid_deg=8.0).orderBy("id_a", "id_b")
+
+    _SUPP_RECTS_SQL = f"""
+SELECT CAST(s_suppkey AS BIGINT) AS polygon_id,
+       ((((CAST(s_suppkey AS BIGINT) * {_P1}) % {_M}) % 200000) / 10000.0) - 10.0
+         - ((CAST(CAST(s_suppkey AS BIGINT) % 5 AS DOUBLE) / 2.0) + 1.0) AS s,
+       ((((CAST(s_suppkey AS BIGINT) * {_P1}) % {_M}) % 200000) / 10000.0) - 10.0
+         + ((CAST(CAST(s_suppkey AS BIGINT) % 5 AS DOUBLE) / 2.0) + 1.0) AS n,
+       ((((CAST(s_suppkey AS BIGINT) * {_P2} + {_O2}) % {_M}) % 400000) / 10000.0) - 20.0
+         - ((CAST(CAST(s_suppkey AS BIGINT) % 7 AS DOUBLE) / 2.0) + 1.5) AS west,
+       ((((CAST(s_suppkey AS BIGINT) * {_P2} + {_O2}) % {_M}) % 400000) / 10000.0) - 20.0
+         + ((CAST(CAST(s_suppkey AS BIGINT) % 7 AS DOUBLE) / 2.0) + 1.5) AS east
+FROM supplier
+"""
+
+    q["geo_bbox_overlap_pairs"] = (
+        q_bbox_overlap,
+        f"""WITH b AS ({_SUPP_RECTS_SQL})
+SELECT a.polygon_id AS id_a, c.polygon_id AS id_b
+FROM b a JOIN b c ON a.polygon_id < c.polygon_id
+ AND a.s <= c.n AND c.s <= a.n AND a.west <= c.east AND c.west <= a.east
+ORDER BY id_a, id_b""",
     )
 
     # ---- OLAP rollup (lang × source hierarchy with subtotals) ----------------

@@ -169,3 +169,45 @@ def test_expire_snapshots_and_schema_evolution(spark, tmp_path):
     ck2 = CheckpointStore(spark, str(tmp_path / "evo"), retain=10)
     resumed = ck2.run_pass("t", lambda: 1 / 0)  # must NOT recompute
     assert resumed.columns == ["id", "v", "tag"] and resumed.count() == 9
+
+
+def test_merge_upsert(spark, tmp_path):
+    """Iceberg MERGE INTO analog: update + insert + tombstone delete in one
+    commit; parent chain / time travel / manifest operation all recorded."""
+    ck = CheckpointStore(spark, str(tmp_path / "mrg"), retain=10)
+
+    ck.run_pass(
+        "t", lambda: spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        )
+    )
+
+    # update k=2, insert k=4, delete k=3
+    ups = spark.createDataFrame(
+        [(2, "B", False), (4, "d", False), (3, None, True)],
+        "k long, v string, deleted boolean",
+    )
+    out = ck.merge_upsert("t", ups, ["k"], delete_col="deleted")
+    assert sorted((r.k, r.v) for r in out.collect()) == [
+        (1, "a"), (2, "B"), (4, "d"),
+    ]
+
+    snaps = ck.snapshots("t")
+    assert [s["id"] for s in snaps] == [1, 2]
+    assert snaps[1]["parent"] == 1
+    assert snaps[1]["operation"] == "merge"
+    assert snaps[1]["merge_keys"] == ["k"]
+    # pre-merge time travel
+    assert sorted(r.k for r in ck.read("t", snapshot_id=1).collect()) == [1, 2, 3]
+
+    # merge into an empty pass degenerates to insert
+    ins = spark.createDataFrame([(9, "z")], "k long, v string")
+    out2 = ck.merge_upsert("u", ins, ["k"])
+    assert [(r.k, r.v) for r in out2.collect()] == [(9, "z")]
+
+    # schema evolution through merge: updates carry an added column,
+    # untouched pre-merge rows read NULL for it
+    ups2 = spark.createDataFrame([(4, "D", 7)], "k long, v string, score int")
+    out3 = ck.merge_upsert("t", ups2, ["k"])
+    got = {r.k: (r.v, r.score) for r in out3.collect()}
+    assert got == {1: ("a", None), 2: ("B", None), 4: ("D", 7)}

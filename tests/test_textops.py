@@ -142,6 +142,25 @@ def test_jaccard_pairs_oracle(spark, docs):
         assert abs(got[k] - exp[k]) < 1e-12
 
 
+def test_jaccard_prefix_filter_is_lossless(spark, docs):
+    """PPJoin prefix filtering must return the EXACT jaccard_pairs result
+    at every threshold — including t high (tiny prefixes), t low (whole
+    doc is prefix) and docs sharing only hot (high-df) shingles."""
+    import gosmonaut_spark.functions.dedup as D
+
+    sample = docs.filter(F.col("doc_id") < 120)
+    for t in (0.2, 0.5, 0.9):
+        base = {
+            (r.a, r.b): r.jaccard
+            for r in D.jaccard_pairs(sample, threshold=t).collect()
+        }
+        pre = {
+            (r.a, r.b): r.jaccard
+            for r in D.jaccard_prefix_pairs(sample, threshold=t).collect()
+        }
+        assert pre == base, f"threshold {t}: prefix filter changed the result"
+
+
 def test_jaccard_df_cap_skew_guard(spark):
     """A boilerplate shingle shared by every doc (the quadratic-join skew
     case) must be droppable with max_doc_freq: results then equal the

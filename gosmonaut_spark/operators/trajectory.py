@@ -1,0 +1,340 @@
+"""Trajectory analytics over row-per-point event streams — OD matrix,
+stay-point (dwell) detection, heading-sector histograms.
+
+The engine's geo family so far measures tracks (``trajectory_length``)
+and indexes points (``cells``/``geohash``); movement pipelines also ask
+*where trips go* (origin→destination flows between tiles), *where they
+stop* (stay points: runs of consecutive pings inside one cell for at
+least a dwell threshold — the classic stay-point detection step that
+precedes POI mining), and *which way they head* (compass-sector
+histograms per mover). All three reduce to the engine's standard
+shapes: the integer cell law from :mod:`..functions.cells`, one per-key
+window sort (the sessionize budget), and hash aggregations — no UDFs,
+no driver state, every expression twinnable in ANSI SQL for the DuckDB
+oracle.
+
+Determinism: stream order is total (``order_col`` asc, ties by
+``id_col``); cells are pure integer floors; dwell arithmetic is integer
+milliseconds. Bearings are the only transcendental — each segment's
+bearing is rounded to 1e-6 degrees BEFORE the sector floor, so the
+cross-engine trig ulp (~1e-13 deg) sits far below the rounding grain
+(same guard law as the mm rounding in ``trajectory_length``).
+
+Scale shape (100 TB lens): one hash partition + per-key sort feeds all
+three ops; the aggregations are map-side-combinable groupBys. Hot
+movers (fleet vehicles with millions of pings) cost one per-key sort —
+the same contract as ``events_sessionize``; cell ids keep the OD and
+stay outputs bounded by (cells²) and (runs), never by raw ping count.
+
+Reference parity: none — the reference (inimbir/gosmonaut) stops at
+entity assembly; this extends the graft's tiling/kNN (B6-B9) family to
+movement analytics over the same cell index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.cells import cell_expr, cell_sql
+
+__all__ = [
+    "od_matrix",
+    "od_matrix_sql",
+    "stay_points",
+    "stay_points_sql",
+    "bearing_sectors",
+    "bearing_sectors_sql",
+]
+
+
+# ---------------------------------------------------------------------------
+# origin-destination matrix
+# ---------------------------------------------------------------------------
+
+
+def od_matrix(
+    pts: DataFrame,
+    res: int,
+    key_col: str,
+    order_col: str,
+    id_col: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Tile-to-tile trip flows: for each key (a trip / user-day / vehicle
+    shift) take its FIRST and LAST point in stream order, map both to the
+    res-``res`` cell, and count keys per (origin, destination) pair.
+
+    Returns ``(o_cell, d_cell, n_trips)``. Single-point keys contribute a
+    diagonal (o == d) flow — the "never moved" bucket real OD pipelines
+    keep.
+
+    Plan: ONE per-key window sort carrying ``row_number`` + the partition
+    count (last = rn == cnt), then a conditional-aggregate groupBy — no
+    self-join — then the (o, d) hash agg. Two map-side-combinable
+    shuffles + one sort total. ``order_col`` is integer epoch ms (the
+    caller pre-converts, same contract as ``trajectory_length``).
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(order_col).asc(), F.col(id_col).asc()
+    )
+    wall = Window.partitionBy(key_col)
+    staged = pts.select(
+        F.col(key_col).alias("__k"),
+        cell_expr(lat_col, lon_col, res).alias("__cell"),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wall).alias("__cnt"),
+    )
+    ends = staged.groupBy("__k").agg(
+        F.max(F.when(F.col("__rn") == 1, F.col("__cell"))).alias("o_cell"),
+        F.max(F.when(F.col("__rn") == F.col("__cnt"), F.col("__cell"))).alias(
+            "d_cell"
+        ),
+    )
+    return ends.groupBy("o_cell", "d_cell").agg(
+        F.count(F.lit(1)).alias("n_trips")
+    )
+
+
+def od_matrix_sql(
+    pts_sql: str,
+    res: int,
+    key_expr: str,
+    order_expr: str,
+    id_expr: str,
+    lat_expr: str = "lat",
+    lon_expr: str = "lon",
+) -> str:
+    """DuckDB twin — same window law, same integer cell arithmetic.
+    ``pts_sql`` must yield key/order/id/lat/lon columns; ``order_expr``
+    must already be epoch ms (the caller applies ``epoch_ms``)."""
+    cell = cell_sql(lat_expr, lon_expr, res)
+    return f"""WITH od_src AS ({pts_sql}),
+od_staged AS (
+  SELECT {key_expr} AS k, {cell} AS cell,
+         row_number() OVER (PARTITION BY {key_expr}
+                            ORDER BY {order_expr} ASC, {id_expr} ASC) AS rn,
+         count(*) OVER (PARTITION BY {key_expr}) AS cnt
+  FROM od_src
+),
+od_ends AS (
+  SELECT k,
+         max(CASE WHEN rn = 1 THEN cell END) AS o_cell,
+         max(CASE WHEN rn = cnt THEN cell END) AS d_cell
+  FROM od_staged GROUP BY k
+)
+SELECT o_cell, d_cell, count(*) AS n_trips
+FROM od_ends GROUP BY o_cell, d_cell"""
+
+
+# ---------------------------------------------------------------------------
+# stay-point (dwell) detection
+# ---------------------------------------------------------------------------
+
+
+def stay_points(
+    pts: DataFrame,
+    res: int,
+    min_dwell_ms: int,
+    key_col: str,
+    order_col: str,
+    id_col: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Stay points: maximal runs of CONSECUTIVE points inside one cell,
+    kept when the run spans at least ``min_dwell_ms`` — the grid-exact
+    variant of Li/Zheng stay-point detection (a radius threshold becomes
+    the cell size; choosing ``res`` picks the stop scale).
+
+    Returns one row per qualifying dwell episode:
+    ``(key, cell, enter_ms, exit_ms, n_points)``; ``exit_ms - enter_ms``
+    is the dwell. Re-entering the same cell later opens a NEW episode
+    (runs are consecutive by construction — the property POI-visit
+    counting needs).
+
+    Plan: the sessionize law on cell-change — lag + conditional flag +
+    running sum over ONE per-key window sort, then a hash agg per
+    (key, run). Integer-only arithmetic end to end; ``order_col`` is
+    integer epoch ms (caller pre-converts).
+    """
+    staged = pts.select(
+        F.col(key_col).alias("__k"),
+        F.col(order_col).alias("__ms"),
+        F.col(id_col).alias("__id"),
+        cell_expr(lat_col, lon_col, res).alias("__cell"),
+    )
+    w2 = Window.partitionBy("__k").orderBy(
+        F.col("__ms").asc(), F.col("__id").asc()
+    )
+    new_run = F.when(
+        F.lag("__cell").over(w2).isNull()
+        | (F.lag("__cell").over(w2) != F.col("__cell")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    runs = staged.select(
+        "__k",
+        "__ms",
+        "__cell",
+        F.sum(new_run)
+        .over(w2.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__run"),
+    )
+    return (
+        runs.groupBy("__k", "__run")
+        .agg(
+            F.min("__cell").alias("cell"),
+            F.min("__ms").alias("enter_ms"),
+            F.max("__ms").alias("exit_ms"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .where(F.col("exit_ms") - F.col("enter_ms") >= F.lit(int(min_dwell_ms)))
+        .select(
+            F.col("__k").alias(key_col), "cell", "enter_ms", "exit_ms", "n_points"
+        )
+    )
+
+
+def stay_points_sql(
+    pts_sql: str,
+    res: int,
+    min_dwell_ms: int,
+    key_expr: str,
+    order_expr: str,
+    id_expr: str,
+    lat_expr: str = "lat",
+    lon_expr: str = "lon",
+) -> str:
+    """DuckDB twin — identical run-length law (``order_expr`` is epoch ms)."""
+    cell = cell_sql(lat_expr, lon_expr, res)
+    return f"""WITH sp_src AS ({pts_sql}),
+sp_staged AS (
+  SELECT {key_expr} AS k, {order_expr} AS ms, {id_expr} AS pid,
+         {cell} AS cell
+  FROM sp_src
+),
+sp_flag AS (
+  SELECT k, ms, pid, cell,
+         CASE WHEN lag(cell) OVER w IS NULL
+                OR lag(cell) OVER w <> cell THEN 1 ELSE 0 END AS new_run
+  FROM sp_staged
+  WINDOW w AS (PARTITION BY k ORDER BY ms ASC, pid ASC)
+),
+sp_runs AS (
+  SELECT k, ms, cell,
+         sum(new_run) OVER (PARTITION BY k ORDER BY ms ASC, pid ASC
+                            ROWS UNBOUNDED PRECEDING) AS run
+  FROM sp_flag
+)
+SELECT k AS {key_expr}, min(cell) AS cell, min(ms) AS enter_ms,
+       max(ms) AS exit_ms, count(*) AS n_points
+FROM sp_runs GROUP BY k, run
+HAVING max(ms) - min(ms) >= {int(min_dwell_ms)}"""
+
+
+# ---------------------------------------------------------------------------
+# heading-sector histogram
+# ---------------------------------------------------------------------------
+
+
+def _bearing_deg(lat1, lon1, lat2, lon2):
+    """Initial great-circle bearing (degrees in [0, 360)) — the standard
+    forward-azimuth law. Written once, mirrored textually in the SQL twin."""
+    rl1, rl2 = F.radians(lat1), F.radians(lat2)
+    dlon = F.radians(lon2 - lon1)
+    y = F.sin(dlon) * F.cos(rl2)
+    x = F.cos(rl1) * F.sin(rl2) - F.sin(rl1) * F.cos(rl2) * F.cos(dlon)
+    deg = F.degrees(F.atan2(y, x))
+    # normalize to [0, 360) without engine-specific modulo sign rules
+    return deg - F.lit(360.0) * F.floor(deg / F.lit(360.0))
+
+
+def bearing_sectors(
+    pts: DataFrame,
+    key_col: str,
+    order_col: str,
+    id_col: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    n_sectors: int = 8,
+) -> DataFrame:
+    """Per-key compass-sector histogram of segment headings — the
+    direction-of-travel profile (commute asymmetry, one-way detection).
+
+    Each consecutive segment's forward azimuth is rounded to 1e-6 deg
+    (absorbing cross-engine trig ulps), floored into one of
+    ``n_sectors`` equal sectors (0 = north-centered start at 0°), and
+    counted per (key, sector). Zero-length segments (identical
+    consecutive points) have undefined heading and are dropped — by the
+    exact predicate ``lat = lag(lat) AND lon = lag(lon)``, not by a
+    distance epsilon, so both engines drop identical rows.
+
+    Returns ``(key, sector, n_segments)``.
+    """
+    ns = int(n_sectors)
+    width = 360.0 / ns
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(order_col).asc(), F.col(id_col).asc()
+    )
+    plat, plon = F.lag(lat_col).over(w), F.lag(lon_col).over(w)
+    deg = _bearing_deg(plat, plon, F.col(lat_col), F.col(lon_col))
+    sector = F.least(
+        F.floor(F.round(deg, 6) / F.lit(width)).cast("long"), F.lit(ns - 1)
+    )
+    staged = pts.select(
+        F.col(key_col),
+        plat.alias("__plat"),
+        plon.alias("__plon"),
+        F.col(lat_col).alias("__lat"),
+        F.col(lon_col).alias("__lon"),
+        sector.alias("sector"),
+    ).where(
+        F.col("__plat").isNotNull()
+        & ~((F.col("__plat") == F.col("__lat")) & (F.col("__plon") == F.col("__lon")))
+    )
+    return staged.groupBy(key_col, "sector").agg(
+        F.count(F.lit(1)).alias("n_segments")
+    )
+
+
+def bearing_sectors_sql(
+    pts_sql: str,
+    key_expr: str,
+    order_expr: str,
+    id_expr: str,
+    lat_expr: str = "lat",
+    lon_expr: str = "lon",
+    n_sectors: int = 8,
+) -> str:
+    """DuckDB twin — identical azimuth formula, 1e-6 rounding, floor law."""
+    ns = int(n_sectors)
+    width = 360.0 / ns
+    over = (
+        f"OVER (PARTITION BY {key_expr} "
+        f"ORDER BY {order_expr} ASC, {id_expr} ASC)"
+    )
+    p_lat, p_lon = f"lag({lat_expr}) {over}", f"lag({lon_expr}) {over}"
+    return f"""WITH bs_src AS ({pts_sql}),
+bs_lag AS (
+  SELECT {key_expr} AS k,
+         {p_lat} AS plat, {p_lon} AS plon,
+         {lat_expr} AS lat, {lon_expr} AS lon
+  FROM bs_src
+),
+bs_deg AS (
+  SELECT k,
+         degrees(atan2(
+           sin(radians(lon - plon)) * cos(radians(lat)),
+           cos(radians(plat)) * sin(radians(lat))
+             - sin(radians(plat)) * cos(radians(lat)) * cos(radians(lon - plon))
+         )) AS rawdeg
+  FROM bs_lag
+  WHERE plat IS NOT NULL AND NOT (plat = lat AND plon = lon)
+)
+SELECT k AS {key_expr},
+       least(cast(floor(round(rawdeg - 360.0 * floor(rawdeg / 360.0), 6)
+                        / {width}) AS BIGINT), {ns - 1}) AS sector,
+       count(*) AS n_segments
+FROM bs_deg GROUP BY 1, 2"""

@@ -2283,6 +2283,108 @@ FROM events""",
         + "\nORDER BY user_id",
     )
 
+    # ---- trajectory analytics: OD matrix, stay points, heading sectors --------
+    # movement synthesis: per (user, 3-day block) the user sits at one
+    # hashed position — pure integer laws until the final /10000.0, so
+    # both engines see bit-identical doubles; blocks create genuine
+    # dwell runs for stay-point detection and block-to-block trips for
+    # the OD matrix.
+    _BLK = 3 * 86_400_000
+
+    def _dwell_pts(spark, sf):
+        from .functions.timeops import ntz_epoch_ms
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        ms = ntz_epoch_ms(F.col("ts"))
+        blk = (ms / F.lit(_BLK)).cast("long")
+        h1 = ((F.col("user_id") * F.lit(7_919) + blk) * F.lit(_P1)) % F.lit(_M)
+        h2 = (
+            (F.col("user_id") * F.lit(104_729) + blk) * F.lit(_P2) + F.lit(_O2)
+        ) % F.lit(_M)
+        return ev.select(
+            "user_id",
+            ms.alias("ms"),
+            "event_id",
+            ((h1 % F.lit(1_700_000)) / F.lit(10_000.0) - F.lit(85.0)).alias("lat"),
+            ((h2 % F.lit(3_600_000)) / F.lit(10_000.0) - F.lit(180.0)).alias("lon"),
+        )
+
+    _DWELL_PTS_SQL = f"""SELECT user_id, epoch_ms(ts) AS ms, event_id,
+       (((((user_id * 7919 + (epoch_ms(ts) // {_BLK})) * {_P1}) % {_M}) % 1700000)
+          / 10000.0) - 85.0 AS lat,
+       (((((user_id * 104729 + (epoch_ms(ts) // {_BLK})) * {_P2} + {_O2}) % {_M}) % 3600000)
+          / 10000.0) - 180.0 AS lon
+FROM events"""
+
+    def q_od(spark, sf):
+        from .operators.trajectory import od_matrix
+
+        return od_matrix(
+            _dwell_pts(spark, sf), 4, "user_id", "ms", "event_id"
+        ).orderBy("o_cell", "d_cell")
+
+    from .operators.trajectory import od_matrix_sql
+
+    q["geo_od_matrix"] = (
+        q_od,
+        od_matrix_sql(_DWELL_PTS_SQL, 4, "user_id", "ms", "event_id")
+        + "\nORDER BY o_cell, d_cell",
+    )
+
+    def q_stay(spark, sf):
+        from .operators.trajectory import stay_points
+
+        return stay_points(
+            _dwell_pts(spark, sf), 6, 12 * 3_600_000, "user_id", "ms", "event_id"
+        ).orderBy("user_id", "enter_ms")
+
+    from .operators.trajectory import stay_points_sql
+
+    q["geo_stay_points"] = (
+        q_stay,
+        stay_points_sql(
+            _DWELL_PTS_SQL, 6, 12 * 3_600_000, "user_id", "ms", "event_id"
+        )
+        + "\nORDER BY user_id, enter_ms",
+    )
+
+    # heading sectors use the per-event continuous hash law (positions
+    # vary every ping) so azimuths cover the compass.
+    def q_bearing(spark, sf):
+        from .functions.timeops import ntz_epoch_ms
+        from .operators.trajectory import bearing_sectors
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        hlat = (F.col("event_id") * F.lit(_P1)) % F.lit(_M)
+        hlon = (F.col("event_id") * F.lit(_P2) + F.lit(_O2)) % F.lit(_M)
+        pts = ev.select(
+            "user_id",
+            ntz_epoch_ms(F.col("ts")).alias("ms"),
+            "event_id",
+            ((hlat % F.lit(1_700_000)) / F.lit(10_000.0) - F.lit(85.0)).alias("lat"),
+            ((hlon % F.lit(3_600_000)) / F.lit(10_000.0) - F.lit(180.0)).alias("lon"),
+        )
+        return bearing_sectors(
+            pts, "user_id", "ms", "event_id", n_sectors=8
+        ).orderBy("user_id", "sector")
+
+    from .operators.trajectory import bearing_sectors_sql
+
+    q["geo_bearing_sectors"] = (
+        q_bearing,
+        bearing_sectors_sql(
+            f"""SELECT user_id, epoch_ms(ts) AS ms, event_id,
+       ((((event_id * {_P1}) % {_M}) % 1700000) / 10000.0) - 85.0 AS lat,
+       ((((event_id * {_P2} + {_O2}) % {_M}) % 3600000) / 10000.0) - 180.0 AS lon
+FROM events""",
+            "user_id",
+            "ms",
+            "event_id",
+            n_sectors=8,
+        )
+        + "\nORDER BY user_id, sector",
+    )
+
     # ---- polygon x polygon bbox overlap join ----------------------------------
     # grid-bucketed index-then-refine on the Spark side (operators/overlap);
     # the DuckDB twin is the brute self-join with the SAME closed-interval

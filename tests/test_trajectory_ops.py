@@ -1,0 +1,154 @@
+"""od_matrix, stay_points, bearing_sectors — pure-python brute-force
+parity tests (independent of the DuckDB twins in test_queries_oracle)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _cell(lat, lon, res):
+    n = 1 << res
+    x = min(max(math.floor((lon + 180.0) / 360.0 * float(n)), 0), n - 1)
+    y = min(max(math.floor((90.0 - lat) / 180.0 * float(n)), 0), n - 1)
+    return (1 << (2 * res)) + x * n + y
+
+
+def _mk_pts(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ms long, event_id long, lat double, lon double"
+    )
+
+
+# deterministic synthetic track set: 3 movers, hand-computable dwells
+_ROWS = [
+    # mover 1: dwell at A (3 pings, 10h), hop, dwell at B (2 pings, 6h)
+    (1, 0, 1, 10.0, 20.0),
+    (1, 18_000_000, 2, 10.01, 20.01),
+    (1, 36_000_000, 3, 10.02, 20.02),
+    (1, 50_000_000, 4, 45.0, -60.0),
+    (1, 71_600_000, 5, 45.01, -60.01),
+    # mover 2: single ping — degenerate track
+    (2, 5_000, 6, -33.0, 151.0),
+    # mover 3: re-enters the first cell after leaving it (two episodes)
+    (3, 0, 7, 0.5, 0.5),
+    (3, 3_600_000, 8, 0.6, 0.6),
+    (3, 7_200_000, 9, 80.0, 170.0),
+    (3, 10_800_000, 10, 0.4, 0.4),
+    (3, 14_400_000, 11, 0.45, 0.45),
+]
+
+
+def test_od_matrix_matches_brute(spark):
+    from gosmonaut_spark.operators.trajectory import od_matrix
+
+    res = 4
+    out = od_matrix(
+        _mk_pts(spark, _ROWS), res, "user_id", "ms", "event_id"
+    ).collect()
+    got = {(r.o_cell, r.d_cell): r.n_trips for r in out}
+
+    by_key = defaultdict(list)
+    for k, ms, eid, lat, lon in _ROWS:
+        by_key[k].append((ms, eid, lat, lon))
+    want = Counter()
+    for k, pts in by_key.items():
+        pts.sort()
+        o = _cell(pts[0][2], pts[0][3], res)
+        d = _cell(pts[-1][2], pts[-1][3], res)
+        want[(o, d)] += 1
+    assert got == dict(want)
+    # mover 2 is a diagonal (o == d) flow
+    c2 = _cell(-33.0, 151.0, res)
+    assert got[(c2, c2)] >= 1
+
+
+def test_stay_points_episodes_and_threshold(spark):
+    from gosmonaut_spark.operators.trajectory import stay_points
+
+    res = 6  # 64x64 grid, ~2.8 deg cells: each hand-placed cluster is one cell
+    out = stay_points(
+        _mk_pts(spark, _ROWS), res, 0, "user_id", "ms", "event_id"
+    ).orderBy("user_id", "enter_ms").collect()
+
+    # brute: run-length episodes per key
+    by_key = defaultdict(list)
+    for k, ms, eid, lat, lon in _ROWS:
+        by_key[k].append((ms, eid, _cell(lat, lon, res)))
+    want = []
+    for k in sorted(by_key):
+        pts = sorted(by_key[k])
+        run = [pts[0]]
+        for p in pts[1:]:
+            if p[2] == run[-1][2]:
+                run.append(p)
+            else:
+                want.append((k, run[0][2], run[0][0], run[-1][0], len(run)))
+                run = [p]
+        want.append((k, run[0][2], run[0][0], run[-1][0], len(run)))
+    got = [(r.user_id, r.cell, r.enter_ms, r.exit_ms, r.n_points) for r in out]
+    assert got == want
+
+    # mover 3 re-enters its first cell -> expect TWO distinct episodes there
+    c3 = _cell(0.5, 0.5, res)
+    eps3 = [g for g in got if g[0] == 3 and g[1] == c3]
+    assert len(eps3) == 2
+
+    # dwell threshold drops short episodes but keeps long ones
+    thr = 7 * 3_600_000  # 7 h
+    out_t = stay_points(
+        _mk_pts(spark, _ROWS), res, thr, "user_id", "ms", "event_id"
+    ).collect()
+    got_t = sorted((r.user_id, r.cell, r.enter_ms) for r in out_t)
+    want_t = sorted((k, c, e) for (k, c, e, x, n) in want if x - e >= thr)
+    assert got_t == want_t
+
+
+def _brute_bearing(lat1, lon1, lat2, lon2):
+    rl1, rl2 = math.radians(lat1), math.radians(lat2)
+    dlon = math.radians(lon2 - lon1)
+    y = math.sin(dlon) * math.cos(rl2)
+    x = math.cos(rl1) * math.sin(rl2) - math.sin(rl1) * math.cos(rl2) * math.cos(
+        dlon
+    )
+    deg = math.degrees(math.atan2(y, x))
+    return deg - 360.0 * math.floor(deg / 360.0)
+
+
+@pytest.mark.parametrize("n_sectors", [4, 8])
+def test_bearing_sectors_matches_brute(spark, n_sectors):
+    from gosmonaut_spark.operators.trajectory import bearing_sectors
+
+    # cardinal-direction sanity plus the synthetic rows; include a
+    # zero-length segment (identical consecutive points) that must drop
+    rows = list(_ROWS) + [
+        (9, 0, 90, 0.0, 0.0),
+        (9, 1000, 91, 1.0, 0.0),     # due north  -> sector 0
+        (9, 2000, 92, 1.0, 1.0),     # ~east      -> sector e
+        (9, 3000, 93, 1.0, 1.0),     # zero-length: dropped
+        (9, 4000, 94, 0.0, 1.0),     # due south  -> sector s
+    ]
+    out = bearing_sectors(
+        _mk_pts(spark, rows), "user_id", "ms", "event_id", n_sectors=n_sectors
+    ).collect()
+    got = {(r.user_id, r.sector): r.n_segments for r in out}
+
+    width = 360.0 / n_sectors
+    by_key = defaultdict(list)
+    for k, ms, eid, lat, lon in rows:
+        by_key[k].append((ms, eid, lat, lon))
+    want = Counter()
+    for k, pts in by_key.items():
+        pts.sort()
+        for a, b in zip(pts, pts[1:]):
+            if (a[2], a[3]) == (b[2], b[3]):
+                continue
+            deg = round(_brute_bearing(a[2], a[3], b[2], b[3]), 6)
+            want[(k, min(int(math.floor(deg / width)), n_sectors - 1))] += 1
+    assert got == dict(want)
+    # due-north segment sits in sector 0; due-south in the middle sector
+    assert got.get((9, 0), 0) >= 1
+    assert (9, n_sectors // 2) in got

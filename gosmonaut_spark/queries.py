@@ -2696,6 +2696,72 @@ SELECT url FROM enr WHERE {host_blocklist_sql('url', _BLOCK)}
 ORDER BY url""",
     )
 
+    # ---- co-presence analytics: contact pairs, geofence crossings, cohorts ----
+    # the dwell world (one hashed position per (user, 3-day block)) makes
+    # co-location genuine (movers sharing a cell for a whole block) and
+    # geofence flips genuine (position jumps at block boundaries).
+    def q_coloc(spark, sf):
+        from .operators.colocation import colocation_pairs
+
+        return colocation_pairs(
+            _dwell_pts(spark, sf), 5, _BLK, "user_id", "ms", max_group=64
+        ).orderBy("k1", "k2")
+
+    from .operators.colocation import colocation_pairs_sql
+
+    q["geo_colocation_pairs"] = (
+        q_coloc,
+        colocation_pairs_sql(
+            _DWELL_PTS_SQL, 5, _BLK, "user_id", "ms", max_group=64
+        )
+        + "\nORDER BY k1, k2",
+    )
+
+    # three curated rectangular fences covering ~1/4 of the dwell world
+    _FENCES = [
+        (-85.0, -40.0, -180.0, -30.0),
+        (0.0, 30.0, 0.0, 90.0),
+        (45.0, 85.0, 100.0, 180.0),
+    ]
+
+    def q_geofence(spark, sf):
+        from .operators.colocation import geofence_transitions
+
+        return geofence_transitions(
+            _dwell_pts(spark, sf), _FENCES, "user_id", "ms", "event_id"
+        ).orderBy("user_id", "ms", "event")
+
+    from .operators.colocation import geofence_transitions_sql
+
+    q["geo_geofence_transitions"] = (
+        q_geofence,
+        geofence_transitions_sql(
+            _DWELL_PTS_SQL, _FENCES, "user_id", "ms", "event_id"
+        )
+        + "\nORDER BY user_id, ms, event",
+    )
+
+    def q_retention(spark, sf):
+        from .functions.timeops import ntz_epoch_ms
+        from .operators.colocation import retention_cohorts
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            "user_id", ntz_epoch_ms(F.col("ts")).alias("ms")
+        )
+        return retention_cohorts(ev, "user_id", "ms").orderBy(
+            "cohort_week", "week_offset"
+        )
+
+    from .operators.colocation import retention_cohorts_sql
+
+    q["events_retention_cohorts"] = (
+        q_retention,
+        retention_cohorts_sql(
+            "SELECT user_id, epoch_ms(ts) AS ms FROM events", "user_id", "ms"
+        )
+        + "\nORDER BY cohort_week, week_offset",
+    )
+
     return q
 
 

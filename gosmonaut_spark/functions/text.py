@@ -9,7 +9,7 @@ bit-for-bit (doubles) or exactly (ints/strings).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -74,6 +74,58 @@ def subword_count_sql(expr: str) -> str:
     return (
         f"CAST(len(regexp_extract_all({expr}, '{_BPE_RE}')) AS BIGINT)"
     )
+
+
+def bpe_pair_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One BPE merge round over the corpus: corpus-weighted adjacent
+    character-pair frequencies of the normalized word stream — the
+    statistic a byte-pair-encoding vocabulary trainer computes each
+    merge (argmax row = the pair to merge).
+
+    Returns ``(pair, n_occurrences)`` over every word occurrence.
+
+    Plan (the classic BPE trainer optimization, relationally): collapse
+    the corpus to its word-frequency dictionary FIRST (one hash agg —
+    the char-level fan-out then scales with |vocab|, not corpus bytes),
+    then explode each distinct word's adjacent pairs via a codegen
+    ``transform(sequence(...))`` and sum the word weights. Key space is
+    bounded by the normalized alphabet² (~1.3k pairs) so the final agg
+    is map-side-combined to almost nothing. Words shorter than 2 chars
+    are guarded out BEFORE ``sequence`` (Spark's ``sequence(1, 0)``
+    would descend, not return empty).
+    """
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("__w"))
+        .where(F.length("__w") >= 2)
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    pair = F.explode(
+        F.expr("transform(sequence(1, length(__w) - 1), i -> substring(__w, i, 2))")
+    )
+    return (
+        words.select(pair.alias("pair"), "__n")
+        .groupBy("pair")
+        .agg(F.sum("__n").alias("n_occurrences"))
+    )
+
+
+def bpe_pair_counts_sql(docs_sql: str, text_expr: str = "text") -> str:
+    """DuckDB twin — same dictionary-first law; ``range(1, len)`` is
+    empty for 1-char words so the length guard matches by construction
+    (kept anyway for symmetry)."""
+    return f"""WITH bp_src AS ({docs_sql}),
+bp_words AS (
+  SELECT w AS word, count(*) AS n FROM (
+    SELECT unnest({tokens_sql(text_expr)}) AS w FROM bp_src
+  ) WHERE length(w) >= 2 GROUP BY w
+),
+bp_idx AS (
+  SELECT word, n, unnest(range(1, length(word))) AS i FROM bp_words
+)
+SELECT substring(word, CAST(i AS INT), 2) AS pair,
+       CAST(sum(n) AS BIGINT) AS n_occurrences
+FROM bp_idx GROUP BY pair"""
 
 
 # ---------------------------------------------------------------------------

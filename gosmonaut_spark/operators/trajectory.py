@@ -46,6 +46,8 @@ __all__ = [
     "stay_points_sql",
     "bearing_sectors",
     "bearing_sectors_sql",
+    "simplify_track",
+    "simplify_track_sql",
 ]
 
 
@@ -338,3 +340,87 @@ SELECT k AS {key_expr},
                         / {width}) AS BIGINT), {ns - 1}) AS sector,
        count(*) AS n_segments
 FROM bs_deg GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# one-pass polyline simplification (Visvalingam threshold variant)
+# ---------------------------------------------------------------------------
+
+
+def simplify_track(
+    pts: DataFrame,
+    eps_area2: float,
+    key_col: str,
+    order_col: str,
+    id_col: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Threshold Visvalingam simplification, one pass: keep a track's
+    endpoints plus every interior vertex whose triangle with its stream
+    neighbors has twice-area >= ``eps_area2`` (planar cross product in
+    degree²). The single-pass variant (drop ALL sub-threshold vertices
+    at once, no iterative re-evaluation) — the map-generalization
+    pre-filter that removes GPS jitter before storage/rendering, chosen
+    over iterative Visvalingam/Douglas-Peucker because it is expressible
+    as ONE window pass (no per-key recursion) and therefore shuffles
+    once at any scale.
+
+    Planar degree² area is a documented approximation (fine for jitter
+    removal at city scale; not for polar geodesy). The cross product is
+    +,-,* on bit-identical doubles in a fixed textual order, so the
+    threshold compare is exact cross-engine — no rounding grain needed.
+
+    Returns the kept points ``(key, ms, lat, lon)``.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(order_col).asc(), F.col(id_col).asc()
+    )
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    plat, plon = F.lag(lat_col).over(w), F.lag(lon_col).over(w)
+    nlat, nlon = F.lead(lat_col).over(w), F.lead(lon_col).over(w)
+    area2 = F.abs(
+        (lat - plat) * (nlon - plon) - (nlat - plat) * (lon - plon)
+    )
+    keep = plat.isNull() | nlat.isNull() | (area2 >= F.lit(float(eps_area2)))
+    return (
+        pts.select(
+            F.col(key_col),
+            F.col(order_col).alias("ms"),
+            F.col(id_col).alias("__id"),
+            lat.alias("lat"),
+            lon.alias("lon"),
+            keep.alias("__keep"),
+        )
+        .where(F.col("__keep"))
+        .select(key_col, "ms", "lat", "lon")
+    )
+
+
+def simplify_track_sql(
+    pts_sql: str,
+    eps_area2: float,
+    key_expr: str,
+    order_expr: str,
+    id_expr: str,
+    lat_expr: str = "lat",
+    lon_expr: str = "lon",
+) -> str:
+    """DuckDB twin — identical cross-product text, closed >= threshold."""
+    over = (
+        f"OVER (PARTITION BY {key_expr} "
+        f"ORDER BY {order_expr} ASC, {id_expr} ASC)"
+    )
+    return f"""WITH st_src AS ({pts_sql}),
+st_win AS (
+  SELECT {key_expr} AS k, {order_expr} AS ms,
+         {lat_expr} AS lat, {lon_expr} AS lon,
+         lag({lat_expr}) {over} AS plat, lag({lon_expr}) {over} AS plon,
+         lead({lat_expr}) {over} AS nlat, lead({lon_expr}) {over} AS nlon
+  FROM st_src
+)
+SELECT k AS {key_expr}, ms, lat, lon
+FROM st_win
+WHERE plat IS NULL OR nlat IS NULL
+   OR abs((lat - plat) * (nlon - plon) - (nlat - plat) * (lon - plon))
+      >= {float(eps_area2)!r}"""

@@ -1232,6 +1232,19 @@ SELECT lang, bigram, n, rank FROM ranked WHERE rank <= 10
 ORDER BY lang, rank""",
     )
 
+    # ---- BPE merge-round pair counts (vocabulary induction) -------------------
+    # word-frequency dictionary first, char fan-out over |vocab| only —
+    # the classic BPE trainer shape; the argmax row is the merge winner.
+    def q_bpe(spark, sf):
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        return T.bpe_pair_counts(d, "text").orderBy("pair")
+
+    q["text_bpe_pair_counts"] = (
+        q_bpe,
+        T.bpe_pair_counts_sql("SELECT text FROM documents")
+        + "\nORDER BY pair",
+    )
+
     # ---- corpus stats: exact rank-based quantiles per language ---------------
     # approx_percentile has no cross-engine twin; exact quantiles via
     # row_number picking are bit-identical (pure integer arithmetic) and
@@ -2694,6 +2707,45 @@ FROM read_parquet('{pages_path}')"""
         f"""WITH enr AS ({_bl_enr})
 SELECT url FROM enr WHERE {host_blocklist_sql('url', _BLOCK)}
 ORDER BY url""",
+    )
+
+    # ---- one-pass Visvalingam track simplification -----------------------------
+    # per-event continuous hash positions (jitter-like jumps) so the
+    # area threshold genuinely splits keep/drop; cross product is pure
+    # +,-,* on bit-identical doubles — exact threshold both engines.
+    def q_simplify(spark, sf):
+        from .functions.timeops import ntz_epoch_ms
+        from .operators.trajectory import simplify_track
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        hlat = (F.col("event_id") * F.lit(_P1)) % F.lit(_M)
+        hlon = (F.col("event_id") * F.lit(_P2) + F.lit(_O2)) % F.lit(_M)
+        pts = ev.select(
+            "user_id",
+            ntz_epoch_ms(F.col("ts")).alias("ms"),
+            "event_id",
+            ((hlat % F.lit(1_700_000)) / F.lit(10_000.0) - F.lit(85.0)).alias("lat"),
+            ((hlon % F.lit(3_600_000)) / F.lit(10_000.0) - F.lit(180.0)).alias("lon"),
+        )
+        return simplify_track(
+            pts, 2500.0, "user_id", "ms", "event_id"
+        ).orderBy("user_id", "ms")
+
+    from .operators.trajectory import simplify_track_sql
+
+    q["geo_track_simplify"] = (
+        q_simplify,
+        simplify_track_sql(
+            f"""SELECT user_id, epoch_ms(ts) AS ms, event_id,
+       ((((event_id * {_P1}) % {_M}) % 1700000) / 10000.0) - 85.0 AS lat,
+       ((((event_id * {_P2} + {_O2}) % {_M}) % 3600000) / 10000.0) - 180.0 AS lon
+FROM events""",
+            2500.0,
+            "user_id",
+            "ms",
+            "event_id",
+        )
+        + "\nORDER BY user_id, ms",
     )
 
     # ---- co-presence analytics: contact pairs, geofence crossings, cohorts ----

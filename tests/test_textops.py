@@ -1103,3 +1103,30 @@ def test_remove_top_pc_matches_numpy(spark):
         got[r.id, r.d] = r.e
     assert np.max(np.abs(got - want)) < 1e-8
     assert np.max(np.abs(got @ v)) < 1e-8  # residuals orthogonal to v
+
+
+def test_bpe_pair_counts_matches_brute(spark):
+    from collections import Counter
+
+    from gosmonaut_spark.functions.text import bpe_pair_counts
+
+    texts = [
+        "Hello hello world!",      # normalization folds case / punct
+        "low lower lowest",        # classic BPE demo vocabulary
+        "a ab low",                # 1-char word contributes nothing
+        "",                        # empty doc
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {r.pair: r.n_occurrences for r in bpe_pair_counts(df, "text").collect()}
+
+    import re
+
+    want = Counter()
+    for t in texts:
+        for w in re.sub(r" +", " ", re.sub(r"[^a-z0-9]+", " ", t.lower())).strip().split():
+            if w and len(w) >= 2:
+                for i in range(len(w) - 1):
+                    want[w[i : i + 2]] += 1
+    assert got == dict(want)
+    assert got["lo"] == 2 + 3 + 1  # hello x2, low/lower/lowest, low
+    assert "a" not in got and got["ab"] == 1

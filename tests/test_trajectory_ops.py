@@ -152,3 +152,47 @@ def test_bearing_sectors_matches_brute(spark, n_sectors):
     # due-north segment sits in sector 0; due-south in the middle sector
     assert got.get((9, 0), 0) >= 1
     assert (9, n_sectors // 2) in got
+
+
+def test_simplify_track_matches_brute(spark):
+    from gosmonaut_spark.operators.trajectory import simplify_track
+
+    # a zig-zag track: big detours (kept) and sub-threshold jitter (dropped)
+    rows = [
+        (1, 0, 1, 0.0, 0.0),          # endpoint — always kept
+        (1, 1000, 2, 0.001, 1.0),     # jitter off the 0->2 chord: tiny area
+        (1, 2000, 3, 0.0, 2.0),
+        (1, 3000, 4, 5.0, 3.0),       # real detour: big area
+        (1, 4000, 5, 0.0, 4.0),       # endpoint — always kept
+        (2, 0, 6, 10.0, 10.0),        # single point: kept (both lags null)
+        (3, 0, 7, 0.0, 0.0),          # duplicate points: interior has area 0
+        (3, 1000, 8, 0.0, 0.0),
+        (3, 2000, 9, 0.0, 0.0),
+    ]
+    eps2 = 0.01
+    out = simplify_track(
+        _mk_pts(spark, rows), eps2, "user_id", "ms", "event_id"
+    ).collect()
+    got = sorted((r.user_id, r.ms, r.lat, r.lon) for r in out)
+
+    by_k = defaultdict(list)
+    for k, ms, eid, lat, lon in rows:
+        by_k[k].append((ms, eid, lat, lon))
+    want = []
+    for k, pts in by_k.items():
+        pts.sort()
+        for i, (ms, _eid, lat, lon) in enumerate(pts):
+            if i == 0 or i == len(pts) - 1:
+                want.append((k, ms, lat, lon))
+                continue
+            plat, plon = pts[i - 1][2], pts[i - 1][3]
+            nlat, nlon = pts[i + 1][2], pts[i + 1][3]
+            a2 = abs((lat - plat) * (nlon - plon) - (nlat - plat) * (lon - plon))
+            if a2 >= eps2:
+                want.append((k, ms, lat, lon))
+    assert got == sorted(want)
+    kept_1 = [ms for k, ms, _, _ in got if k == 1]
+    # jitter at 1000 dropped; 2000 survives (large triangle with the detour)
+    assert kept_1 == [0, 2000, 3000, 4000]
+    assert (2, 0, 10.0, 10.0) in got          # singleton kept
+    assert [ms for k, ms, _, _ in got if k == 3] == [0, 2000]  # dup interior dropped

@@ -2709,6 +2709,52 @@ SELECT url FROM enr WHERE {host_blocklist_sql('url', _BLOCK)}
 ORDER BY url""",
     )
 
+    # ---- map matching: nearest-segment snap ------------------------------------
+    # 100 synthetic road segments from supplier (hashed anchor + hashed
+    # offset <= 2 deg); points snap within radius 1 deg. Spark runs the
+    # cell-bucketed index-then-refine; the DuckDB twin is the brute
+    # cross join with the identical projection/clamp/distance text.
+    def q_mapmatch(spark, sf):
+        from .operators.mapmatch import snap_to_segments
+
+        su = spark.read.parquet(f"{sf}/supplier.parquet")
+        k = F.col("s_suppkey").cast("long")
+        hx = (k * F.lit(_P1) + F.lit(7)) % F.lit(_M)
+        hy = (k * F.lit(_P2) + F.lit(13)) % F.lit(_M)
+        hdx = (k * F.lit(48_271) + F.lit(99)) % F.lit(_M)
+        hdy = (k * F.lit(69_621) + F.lit(3)) % F.lit(_M)
+        ax = (hx % F.lit(3_600_000)) / F.lit(10_000.0) - F.lit(180.0)
+        ay = (hy % F.lit(1_700_000)) / F.lit(10_000.0) - F.lit(85.0)
+        segs = su.select(
+            k.alias("seg_id"),
+            ax.alias("ax"),
+            ay.alias("ay"),
+            (ax + ((hdx % F.lit(400)) / F.lit(100.0) - F.lit(2.0))).alias("bx"),
+            (ay + ((hdy % F.lit(400)) / F.lit(100.0) - F.lit(2.0))).alias("by"),
+        )
+        return snap_to_segments(
+            _pts(spark, sf), segs, radius=1.0, grid_deg=2.0
+        ).orderBy("id")
+
+    from .operators.mapmatch import snap_to_segments_sql
+
+    _MM_SEGS_SQL = f"""SELECT seg_id, ax, ay,
+       ax + ((((k * 48271 + 99) % {_M}) % 400) / 100.0 - 2.0) AS bx,
+       ay + ((((k * 69621 + 3) % {_M}) % 400) / 100.0 - 2.0) AS by
+FROM (
+  SELECT CAST(s_suppkey AS BIGINT) AS k,
+         CAST(s_suppkey AS BIGINT) AS seg_id,
+         ((((CAST(s_suppkey AS BIGINT) * {_P1} + 7) % {_M}) % 3600000) / 10000.0) - 180.0 AS ax,
+         ((((CAST(s_suppkey AS BIGINT) * {_P2} + 13) % {_M}) % 1700000) / 10000.0) - 85.0 AS ay
+  FROM supplier
+)"""
+
+    q["geo_snap_segments"] = (
+        q_mapmatch,
+        snap_to_segments_sql(_PTS_SQL, _MM_SEGS_SQL, radius=1.0)
+        + "\nORDER BY id",
+    )
+
     # ---- one-pass Visvalingam track simplification -----------------------------
     # per-event continuous hash positions (jitter-like jumps) so the
     # area threshold genuinely splits keep/drop; cross product is pure

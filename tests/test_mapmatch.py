@@ -1,0 +1,83 @@
+"""snap_to_segments — brute-force parity (grid candidates must equal the
+cross-join result exactly), degenerate/tie/boundary cases."""
+
+from __future__ import annotations
+
+import random
+
+
+def _brute(points, segs, r):
+    out = {}
+    for pid, px, py in points:
+        best = None
+        for sid, ax, ay, bx, by in segs:
+            dx, dy = bx - ax, by - ay
+            len2 = dx * dx + dy * dy
+            if len2 == 0.0:
+                t = 0.0
+            else:
+                t = min(max(((px - ax) * dx + (py - ay) * dy) / len2, 0.0), 1.0)
+            qx, qy = ax + t * dx, ay + t * dy
+            d2 = (px - qx) * (px - qx) + (py - qy) * (py - qy)
+            if d2 <= r * r and (best is None or (d2, sid) < (best[1], best[0])):
+                best = (sid, d2, t)
+        if best is not None:
+            out[pid] = best
+    return out
+
+
+def _run(spark, points, segs, r, g):
+    from gosmonaut_spark.operators.mapmatch import snap_to_segments
+
+    p = spark.createDataFrame(points, "id long, lon double, lat double")
+    s = spark.createDataFrame(
+        segs, "seg_id long, ax double, ay double, bx double, by double"
+    )
+    rows = snap_to_segments(p, s, radius=r, grid_deg=g).collect()
+    return {row.id: (row.seg_id, row.dist2, row.t) for row in rows}
+
+
+def test_snap_matches_brute_random(spark):
+    rng = random.Random(42)
+    points = [
+        (i, rng.uniform(-10, 10), rng.uniform(-10, 10)) for i in range(200)
+    ]
+    segs = []
+    for j in range(25):
+        ax, ay = rng.uniform(-10, 10), rng.uniform(-10, 10)
+        segs.append((j, ax, ay, ax + rng.uniform(-3, 3), ay + rng.uniform(-3, 3)))
+    got = _run(spark, points, segs, r=1.5, g=2.0)
+    assert got == _brute(points, segs, 1.5)
+    assert got  # non-degenerate scenario actually matches something
+
+
+def test_snap_handles_degenerate_and_ties(spark):
+    # zero-length segment treated as a point (t = 0); equidistant ties
+    # break by the smaller seg_id
+    points = [(1, 0.0, 0.0), (2, 5.0, 0.0), (3, 100.0, 100.0)]
+    segs = [
+        (10, 0.0, 1.0, 0.0, 1.0),    # degenerate, 1.0 above point 1
+        (20, -1.0, -1.0, 1.0, -1.0), # horizontal, 1.0 below point 1 — tie
+        (30, 5.0, 0.5, 5.0, 0.5),    # degenerate, 0.5 above point 2
+    ]
+    got = _run(spark, points, segs, r=2.0, g=1.0)
+    assert got == _brute(points, segs, 2.0)
+    assert got[1][0] == 10 and got[1][2] == 0.0  # tie -> smaller id, t=0
+    assert got[2] == (30, 0.25, 0.0)
+    assert 3 not in got  # out of range: dropped
+
+
+def test_snap_radius_boundary_closed(spark):
+    # a point EXACTLY radius away must match (closed interval)
+    points = [(1, 0.0, 2.0)]
+    segs = [(7, -1.0, 0.0, 1.0, 0.0)]
+    got = _run(spark, points, segs, r=2.0, g=1.0)
+    assert got == {1: (7, 4.0, 0.5)}
+
+
+def test_snap_clamps_projection_to_endpoints(spark):
+    # point beyond the segment end snaps to the endpoint, t clamped to 1
+    points = [(1, 3.0, 0.0)]
+    segs = [(7, 0.0, 0.0, 2.0, 0.0)]
+    got = _run(spark, points, segs, r=1.5, g=1.0)
+    assert got == {1: (7, 1.0, 1.0)}

@@ -2839,6 +2839,30 @@ FROM events""",
         + "\nORDER BY user_id, ms, event",
     )
 
+    # triangle count over the co-location contact graph (res 4 — denser
+    # than the res-5 pair query, so the triangle structure is non-trivial)
+    def q_triangles(spark, sf):
+        from .operators.colocation import colocation_pairs
+        from .operators.graph import triangle_count
+
+        edges = colocation_pairs(
+            _dwell_pts(spark, sf), 4, _BLK, "user_id", "ms", max_group=64
+        ).select(F.col("k1").alias("src"), F.col("k2").alias("dst"))
+        return triangle_count(edges)
+
+    from .operators.graph import triangle_count_sql
+
+    q["graph_triangle_count"] = (
+        q_triangles,
+        triangle_count_sql(
+            "SELECT k1 AS src, k2 AS dst FROM ("
+            + colocation_pairs_sql(
+                _DWELL_PTS_SQL, 4, _BLK, "user_id", "ms", max_group=64
+            )
+            + ")"
+        ),
+    )
+
     def q_retention(spark, sf):
         from .functions.timeops import ntz_epoch_ms
         from .operators.colocation import retention_cohorts

@@ -379,3 +379,49 @@ def test_transition_counts_matches_python(spark):
         for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
             want[(a, b)] += 1
     assert got == dict(want)
+
+
+def _brute_triangles(edges):
+    from itertools import combinations
+
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    verts = sorted({v for e in es for v in e})
+    return sum(
+        1
+        for x, y, z in combinations(verts, 3)
+        if (x, y) in es and (x, z) in es and (y, z) in es
+    )
+
+
+def test_triangle_count_matches_brute_random(spark):
+    from gosmonaut_spark.operators.graph import triangle_count
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(30), rng.randrange(30)) for _ in range(120)
+    ]  # dupes, self-loops, both directions — all must be normalized away
+    edges += [(b, a) for a, b in edges[:20]]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = triangle_count(df).collect()[0].n_triangles
+    assert got == _brute_triangles(edges)
+    assert got > 0  # dense enough to be a real check
+
+
+def test_triangle_count_hub_and_clique(spark):
+    from gosmonaut_spark.operators.graph import triangle_count
+
+    # star around a hub has 0 triangles regardless of hub degree (the
+    # degree orientation gives the hub zero out-wedges); a k4 has 4
+    star = [(0, i) for i in range(1, 20)]
+    k4 = [(100, 101), (100, 102), (100, 103), (101, 102), (101, 103), (102, 103)]
+    df = spark.createDataFrame(star + k4, "src long, dst long")
+    got = triangle_count(df).collect()[0].n_triangles
+    assert got == 4 == _brute_triangles(star + k4)
+
+
+def test_triangle_count_empty_and_no_triangles(spark):
+    from gosmonaut_spark.operators.graph import triangle_count
+
+    chain = [(i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    assert triangle_count(df).collect()[0].n_triangles == 0

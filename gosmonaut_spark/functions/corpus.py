@@ -24,9 +24,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import minhash_lsh_pairs
-from .text import content_fingerprint, lang_id, quality_features, tokens
+from .text import (
+    content_fingerprint,
+    lang_id,
+    ngrams,
+    ngrams_sql,
+    quality_features,
+    tokens,
+    tokens_sql,
+)
 
-__all__ = ["clean_corpus", "tfidf_top_terms"]
+__all__ = ["clean_corpus", "tfidf_top_terms", "collocations_pmi", "collocations_pmi_sql"]
 
 
 def clean_corpus(
@@ -131,3 +139,91 @@ def tfidf_top_terms(
             F.col("_id").alias(id_col), "term", "tf", "df", "tfidf_raw", "rank"
         )
     )
+
+
+def collocations_pmi(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information: adjacent word
+    pairs whose co-occurrence beats the independence expectation — the
+    standard phrase-detection pass (word2vec-style phrase joining, index
+    bigram selection) over a web corpus.
+
+    Returns ``(w1, w2, n_pair, n_w1, n_w2, pmi_ratio)`` for pairs with
+    ``n_pair >= min_count``; ``pmi_ratio`` is the PMI argument
+    P(xy) / (P(x)P(y)) = (n_pair * N * N) / (B * n_w1 * n_w2) WITHOUT the
+    log — log is monotone, so ranking semantics are preserved while the
+    score stays one fixed-order chain of double mults + one division on
+    exact integers (bit-identical cross-engine; a log would hang
+    correctness on two libms, the same reasoning as tf-idf's raw score).
+
+    Plan shape (100 TB lens): one bigram hash agg + one unigram hash agg
+    (both map-side combinable, key space = vocab not corpus), two
+    term-keyed joins (AQE broadcasts the unigram side when small), and
+    the N/B totals as broadcast 1-row cross joins — never a driver
+    collect. ``min_count`` prunes the long tail BEFORE the joins.
+    """
+    toks = docs.select(F.explode(tokens(text_col)).alias("t"))
+    uni = toks.groupBy("t").agg(F.count(F.lit(1)).alias("n_uni"))
+    big_all = docs.select(
+        F.explode(ngrams(text_col, 2)).alias("bg")
+    ).groupBy("bg").agg(F.count(F.lit(1)).alias("n_pair"))
+    n_tok = uni.agg(F.sum("n_uni").alias("n_tokens"))
+    n_big = big_all.agg(F.sum("n_pair").alias("n_bigrams"))
+    kept = big_all.where(F.col("n_pair") >= F.lit(int(min_count))).select(
+        F.split("bg", " ").getItem(0).alias("w1"),
+        F.split("bg", " ").getItem(1).alias("w2"),
+        "n_pair",
+    )
+    u1 = uni.select(F.col("t").alias("w1"), F.col("n_uni").alias("n_w1"))
+    u2 = uni.select(F.col("t").alias("w2"), F.col("n_uni").alias("n_w2"))
+    score = (
+        F.col("n_pair").cast("double")
+        * F.col("n_tokens").cast("double")
+        * F.col("n_tokens").cast("double")
+    ) / (
+        F.col("n_bigrams").cast("double")
+        * F.col("n_w1").cast("double")
+        * F.col("n_w2").cast("double")
+    )
+    return (
+        kept.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_big))
+        .select("w1", "w2", "n_pair", "n_w1", "n_w2", score.alias("pmi_ratio"))
+    )
+
+
+def collocations_pmi_sql(
+    docs_sql: str, text_expr: str = "text", min_count: int = 5
+) -> str:
+    """DuckDB twin — identical count algebra and score op order."""
+    return f"""WITH pm_src AS ({docs_sql}),
+pm_toks AS (
+  SELECT unnest({tokens_sql(text_expr)}) AS t FROM pm_src
+),
+pm_uni AS (SELECT t, count(*) AS n_uni FROM pm_toks GROUP BY t),
+pm_big AS (
+  SELECT bg, count(*) AS n_pair FROM (
+    SELECT unnest({ngrams_sql(text_expr, 2)}) AS bg FROM pm_src
+  ) GROUP BY bg
+),
+pm_ntok AS (SELECT sum(n_uni) AS n_tokens FROM pm_uni),
+pm_nbig AS (SELECT sum(n_pair) AS n_bigrams FROM pm_big),
+pm_kept AS (
+  SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+         n_pair
+  FROM pm_big WHERE n_pair >= {int(min_count)}
+)
+SELECT k.w1, k.w2, k.n_pair, u1.n_uni AS n_w1, u2.n_uni AS n_w2,
+       (CAST(k.n_pair AS DOUBLE) * CAST(t.n_tokens AS DOUBLE)
+          * CAST(t.n_tokens AS DOUBLE))
+       / (CAST(b.n_bigrams AS DOUBLE) * CAST(u1.n_uni AS DOUBLE)
+          * CAST(u2.n_uni AS DOUBLE)) AS pmi_ratio
+FROM pm_kept k
+JOIN pm_uni u1 ON u1.t = k.w1
+JOIN pm_uni u2 ON u2.t = k.w2
+CROSS JOIN pm_ntok t CROSS JOIN pm_nbig b"""

@@ -203,3 +203,173 @@ fs_c AS (
 )
 SELECT t.cell, c.focal_sum, c.n_neighbors
 FROM (SELECT cell FROM fs_tiles) t JOIN fs_c c USING (cell)"""
+
+
+def idw_surface(
+    pts: DataFrame,
+    res: int,
+    k: int = 1,
+    value_col: str = "v",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    w_scale: int = 1_000_000_000,
+    d_scale: int = 1_000_000,
+) -> DataFrame:
+    """Inverse-distance-weighted interpolation surface: every grid cell
+    within ``k`` cells of any sample point gets the IDW estimate of the
+    integer metric ``value_col`` — the scattered-points → raster step
+    (sensor fields, price surfaces, signal-strength maps).
+
+    Determinism law (the engine's integer-scaled-sum discipline): the
+    weight is QUANTIZED to an integer before any aggregation —
+    ``wq = floor(w_scale / (1 + floor(d2 * d_scale)))`` with ``d2`` the
+    planar deg² distance from the sample to the target CELL CENTER.
+    Both floors operate on bit-identical doubles, so numerator
+    ``Σ v·wq`` and denominator ``Σ wq`` are exact BIGINT sums (order-
+    free) and the final single division is bit-exact cross-engine. The
+    quantization grain is part of the operator's contract, like the mm
+    rounding in ``trajectory_length``. Planar, no antimeridian wrap
+    (same approximation family as ``simplify_track``); off-grid
+    neighbors are dropped.
+
+    Scale shape (100 TB lens): constant (2k+1)² scatter per SAMPLE
+    point (inherent to IDW — each pair needs its own distance), one
+    map-side-combinable hash agg on the integer cell key; no window,
+    no join. Output bounded by occupied-neighborhood cells.
+
+    Output: ``(cell, n_samples, idw_value)``.
+    """
+    n = 1 << res
+    base = 1 << (2 * res)
+    x = F.floor(
+        F.least(
+            F.greatest(
+                F.floor((F.col(lon_col) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n))),
+                F.lit(0),
+            ),
+            F.lit(n - 1),
+        )
+    ).cast("long")
+    y = F.floor(
+        F.least(
+            F.greatest(
+                F.floor((F.lit(90.0) - F.col(lat_col)) / F.lit(180.0) * F.lit(float(n))),
+                F.lit(0),
+            ),
+            F.lit(n - 1),
+        )
+    ).cast("long")
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in range(-k, k + 1)
+            for dy in range(-k, k + 1)
+        ]
+    )
+    scattered = (
+        pts.select(
+            F.col(value_col).alias("__v"),
+            F.col(lat_col).alias("__lat"),
+            F.col(lon_col).alias("__lon"),
+            x.alias("x"),
+            y.alias("y"),
+            F.explode(offsets).alias("o"),
+        )
+        .select(
+            "__v",
+            "__lat",
+            "__lon",
+            (F.col("x") + F.col("o.dx")).alias("nx"),
+            (F.col("y") + F.col("o.dy")).alias("ny"),
+        )
+        .where(
+            (F.col("nx") >= 0)
+            & (F.col("nx") < n)
+            & (F.col("ny") >= 0)
+            & (F.col("ny") < n)
+        )
+    )
+    clat = F.lit(90.0) - (F.col("ny").cast("double") + F.lit(0.5)) / F.lit(
+        float(n)
+    ) * F.lit(180.0)
+    clon = (F.col("nx").cast("double") + F.lit(0.5)) / F.lit(float(n)) * F.lit(
+        360.0
+    ) - F.lit(180.0)
+    d2 = (F.col("__lat") - clat) * (F.col("__lat") - clat) + (
+        F.col("__lon") - clon
+    ) * (F.col("__lon") - clon)
+    # clamped to >= 1: a sample inside the k-neighborhood always counts
+    # (a floor-to-zero tail weight would make the denominator sum 0 for
+    # cells reached only by far samples — ANSI divide-by-zero)
+    wq = F.greatest(
+        F.floor(
+            F.lit(float(w_scale))
+            / (F.lit(1.0) + F.floor(d2 * F.lit(float(d_scale))).cast("double"))
+        ).cast("long"),
+        F.lit(1),
+    )
+    weighted = scattered.select(
+        (F.lit(base) + F.col("nx") * F.lit(n) + F.col("ny")).alias("cell"),
+        (F.col("__v") * wq).alias("__num"),
+        wq.alias("__den"),
+    )
+    return (
+        weighted.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum("__num").alias("__sn"),
+            F.sum("__den").alias("__sd"),
+        )
+        .select(
+            "cell",
+            "n_samples",
+            (F.col("__sn").cast("double") / F.col("__sd").cast("double")).alias(
+                "idw_value"
+            ),
+        )
+    )
+
+
+def idw_surface_sql(
+    pts_sql: str,
+    res: int,
+    k: int = 1,
+    value_expr: str = "v",
+    lat_expr: str = "lat",
+    lon_expr: str = "lon",
+    w_scale: int = 1_000_000_000,
+    d_scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin — identical floor/quantize/sum/divide law.
+    ``pts_sql`` must yield value/lat/lon columns."""
+    n = 1 << res
+    base = 1 << (2 * res)
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx in range(-k, k + 1) for dy in range(-k, k + 1)
+    )
+    return f"""WITH iw_src AS ({pts_sql}),
+iw_xy AS (
+  SELECT {value_expr} AS v, {lat_expr} AS plat, {lon_expr} AS plon,
+         least(greatest(cast(floor((({lon_expr}) + 180.0) / 360.0 * {float(n)}) AS BIGINT), 0), {n - 1}) AS x,
+         least(greatest(cast(floor((90.0 - ({lat_expr})) / 180.0 * {float(n)}) AS BIGINT), 0), {n - 1}) AS y
+  FROM iw_src
+),
+iw_off(dx, dy) AS (VALUES {offs}),
+iw_scat AS (
+  SELECT v, plat, plon, x + dx AS nx, y + dy AS ny
+  FROM iw_xy, iw_off
+  WHERE x + dx >= 0 AND x + dx < {n} AND y + dy >= 0 AND y + dy < {n}
+),
+iw_w AS (
+  SELECT ({base} + nx * {n} + ny) AS cell, v,
+         greatest(CAST(floor({float(w_scale)} / (1.0 + CAST(floor(
+           ((plat - (90.0 - (CAST(ny AS DOUBLE) + 0.5) / {float(n)} * 180.0))
+            * (plat - (90.0 - (CAST(ny AS DOUBLE) + 0.5) / {float(n)} * 180.0))
+            + (plon - ((CAST(nx AS DOUBLE) + 0.5) / {float(n)} * 360.0 - 180.0))
+            * (plon - ((CAST(nx AS DOUBLE) + 0.5) / {float(n)} * 360.0 - 180.0)))
+           * {float(d_scale)}) AS DOUBLE))) AS BIGINT), 1) AS wq
+  FROM iw_scat
+)
+SELECT cell, count(*) AS n_samples,
+       CAST(sum(v * wq) AS DOUBLE) / CAST(sum(wq) AS DOUBLE) AS idw_value
+FROM iw_w GROUP BY cell"""

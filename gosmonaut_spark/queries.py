@@ -1232,6 +1232,21 @@ SELECT lang, bigram, n, rank FROM ranked WHERE rank <= 10
 ORDER BY lang, rank""",
     )
 
+    # ---- collocation mining: PMI-ranked adjacent word pairs -------------------
+    def q_pmi(spark, sf):
+        from .functions.corpus import collocations_pmi
+
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        return collocations_pmi(d, "text", min_count=5).orderBy("w1", "w2")
+
+    from .functions.corpus import collocations_pmi_sql
+
+    q["text_collocations_pmi"] = (
+        q_pmi,
+        collocations_pmi_sql("SELECT text FROM documents", "text", min_count=5)
+        + "\nORDER BY w1, w2",
+    )
+
     # ---- BPE merge-round pair counts (vocabulary induction) -------------------
     # word-frequency dictionary first, char fan-out over |vocab| only —
     # the classic BPE trainer shape; the argmax row is the merge winner.
@@ -2707,6 +2722,29 @@ FROM read_parquet('{pages_path}')"""
         f"""WITH enr AS ({_bl_enr})
 SELECT url FROM enr WHERE {host_blocklist_sql('url', _BLOCK)}
 ORDER BY url""",
+    )
+
+    # ---- IDW interpolation surface ---------------------------------------------
+    # integer metric (id % 997) so the quantized-weight sums are exact
+    # BIGINTs; the single final division is bit-exact cross-engine.
+    def q_idw(spark, sf):
+        from .operators.tiling import idw_surface
+
+        pts = _pts(spark, sf).select(
+            (F.col("id") % F.lit(997)).alias("v"), "lat", "lon"
+        )
+        return idw_surface(pts, res=5, k=1).orderBy("cell")
+
+    from .operators.tiling import idw_surface_sql
+
+    q["tiles_idw_surface"] = (
+        q_idw,
+        idw_surface_sql(
+            f"SELECT id % 997 AS v, lat, lon FROM ({_PTS_SQL})",
+            res=5,
+            k=1,
+        )
+        + "\nORDER BY cell",
     )
 
     # ---- map matching: nearest-segment snap ------------------------------------

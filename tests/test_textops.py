@@ -1130,3 +1130,40 @@ def test_bpe_pair_counts_matches_brute(spark):
     assert got == dict(want)
     assert got["lo"] == 2 + 3 + 1  # hello x2, low/lower/lowest, low
     assert "a" not in got and got["ab"] == 1
+
+
+def test_collocations_pmi_matches_brute(spark):
+    import re
+    from collections import Counter
+
+    from gosmonaut_spark.functions.corpus import collocations_pmi
+
+    texts = [
+        "new york new york new york",
+        "in new york in the city",
+        "the city of new york",
+        "machine learning in the city",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    out = collocations_pmi(df, "text", min_count=2).collect()
+    got = {(r.w1, r.w2): (r.n_pair, r.n_w1, r.n_w2, r.pmi_ratio) for r in out}
+
+    def toks(t):
+        return re.sub(r" +", " ", re.sub(r"[^a-z0-9]+", " ", t.lower())).strip().split()
+
+    uni, big = Counter(), Counter()
+    for t in texts:
+        ws = toks(t)
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+    N, B = sum(uni.values()), sum(big.values())
+    want = {
+        (a, b): (c, uni[a], uni[b], float(c) * N * N / (float(B) * uni[a] * uni[b]))
+        for (a, b), c in big.items()
+        if c >= 2
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][:3] == want[k][:3]
+        assert abs(got[k][3] - want[k][3]) < 1e-9
+    assert ("new", "york") in got

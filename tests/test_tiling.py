@@ -573,3 +573,45 @@ def test_focal_sum_matches_numpy_convolution(spark):
                     s += occ[(nx, ny)]
                     cnt += 1
         assert got[base + x * n + y] == (s, cnt), (x, y)
+
+
+def test_idw_surface_matches_brute(spark):
+    import math
+    from collections import defaultdict
+
+    from gosmonaut_spark.operators.tiling import idw_surface
+
+    res, k, W, D = 4, 1, 1_000_000_000, 1_000_000
+    n = 1 << res
+    pts = [
+        (10, 10.0, 20.0),
+        (500, 10.5, 20.5),     # same neighborhood, different value
+        (77, -45.0, -120.0),   # isolated
+        (3, 89.9, 179.9),      # corner: off-grid neighbors dropped
+    ]
+    df = spark.createDataFrame(pts, "v long, lat double, lon double")
+    out = idw_surface(df, res=res, k=k).collect()
+    got = {r.cell: (r.n_samples, r.idw_value) for r in out}
+
+    num, den, cnt = defaultdict(int), defaultdict(int), defaultdict(int)
+    for v, lat, lon in pts:
+        x = min(max(math.floor((lon + 180.0) / 360.0 * n), 0), n - 1)
+        y = min(max(math.floor((90.0 - lat) / 180.0 * n), 0), n - 1)
+        for dx in range(-k, k + 1):
+            for dy in range(-k, k + 1):
+                nx, ny = x + dx, y + dy
+                if not (0 <= nx < n and 0 <= ny < n):
+                    continue
+                clat = 90.0 - (ny + 0.5) / n * 180.0
+                clon = (nx + 0.5) / n * 360.0 - 180.0
+                d2 = (lat - clat) ** 2 + (lon - clon) ** 2
+                wq = max(math.floor(W / (1.0 + math.floor(d2 * D))), 1)
+                cell = (1 << (2 * res)) + nx * n + ny
+                num[cell] += v * wq
+                den[cell] += wq
+                cnt[cell] += 1
+    want = {c: (cnt[c], num[c] / den[c]) for c in num}
+    assert set(got) == set(want)
+    for c in want:
+        assert got[c][0] == want[c][0]
+        assert got[c][1] == want[c][1]  # exact: integer sums, one division

@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_distinct", "hll_distinct_sql"]
+__all__ = ["hll_distinct", "hll_distinct_sql", "cms_estimates", "cms_estimates_sql"]
 
 
 def _alpha(m: int) -> float:
@@ -119,3 +119,105 @@ SELECT g AS {group_expr},
        {c!r} / (s_present + ({m} - n_present) * (CAST(1 AS BIGINT) << 33))
          AS hll_estimate
 FROM hll_g"""
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (frequency estimation at bounded memory)
+# ---------------------------------------------------------------------------
+
+
+def cms_estimates(
+    df: DataFrame,
+    key_col: str,
+    probes: DataFrame | None = None,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) frequency
+    estimates: build a ``depth × width`` counter matrix over the key
+    stream, then answer ``est(k) = min_i counters[i][h_i(k)]`` for every
+    probe key. Returns ``(key, cms_est)``; the estimate NEVER
+    underestimates (est ≥ true count), overestimates come only from hash
+    collisions — the classic bounded-memory heavy-hitter primitive,
+    completing the engine's sketch family (HLL cardinality, Bloom
+    membership, CMS frequency).
+
+    ``probes`` defaults to the distinct keys of ``df`` (demo shape); at
+    corpus scale pass the candidate heavy hitters.
+
+    Cross-engine law: row-``i`` hash = md5(salt‖i‖key) first 12 hex
+    digits (48 bits, overflow-free) mod width — md5 is identical on both
+    engines, so counters AND estimates are exact integers, no tolerance.
+
+    Plan shape (100 TB lens): the counter build is one hash agg on a
+    keyspace bounded by depth·width (map-side combine crushes it —
+    shuffle volume is O(d·w) per partition, independent of row count:
+    the whole point vs exact counting); the estimate phase joins the
+    small PROBE set against the d·w counter table (broadcast), then one
+    min-agg per probe. No driver state.
+    """
+    d, w = int(depth), int(width)
+    if d < 1 or w < 2:
+        raise ValueError(f"cms_estimates: need depth >= 1, width >= 2")
+    rows = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("i")
+
+    def pos(key, i):
+        h = F.md5(F.concat(F.lit(salt), i.cast("string"), F.lit("|"), key))
+        return F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % w
+
+    keyed = df.select(F.col(key_col).cast("string").alias("__k"), rows)
+    counters = keyed.select(
+        "i", pos(F.col("__k"), F.col("i")).alias("c")
+    ).groupBy("i", "c").agg(F.count(F.lit(1)).alias("cnt"))
+
+    probe = (
+        probes.select(F.col(key_col).cast("string").alias("__k"))
+        if probes is not None
+        else df.select(F.col(key_col).cast("string").alias("__k"))
+    ).distinct()
+    probed = probe.select("__k", rows).select(
+        "__k", "i", pos(F.col("__k"), F.col("i")).alias("c")
+    )
+    return (
+        probed.join(F.broadcast(counters), ["i", "c"], "left")
+        .groupBy("__k")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+        .select(F.col("__k").alias(key_col), "cms_est")
+    )
+
+
+def cms_estimates_sql(
+    rows_sql: str,
+    key_expr: str = "key",
+    probes_sql: str | None = None,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> str:
+    """DuckDB twin — identical md5 position law, exact integer equality.
+    ``rows_sql`` must yield the key column named by ``key_expr``."""
+    d, w = int(depth), int(width)
+    probes = (
+        f"SELECT DISTINCT CAST({key_expr} AS VARCHAR) AS k FROM ({probes_sql})"
+        if probes_sql is not None
+        else "SELECT DISTINCT k FROM cms_keys"
+    )
+    pos = (
+        f"(CAST(('0x' || substr(md5('{salt}' || CAST(i AS VARCHAR) || '|' || k), "
+        f"1, 12)) AS BIGINT) % {w})"
+    )
+    return f"""WITH cms_src AS ({rows_sql}),
+cms_keys AS (SELECT CAST({key_expr} AS VARCHAR) AS k FROM cms_src),
+cms_rows AS (SELECT unnest(range(0, {d})) AS i),
+cms_counters AS (
+  SELECT i, {pos} AS c, count(*) AS cnt
+  FROM cms_keys CROSS JOIN cms_rows GROUP BY 1, 2
+),
+cms_probe AS ({probes}),
+cms_pos AS (
+  SELECT k, i, {pos} AS c FROM cms_probe CROSS JOIN cms_rows
+)
+SELECT p.k AS {key_expr}, min(coalesce(t.cnt, 0)) AS cms_est
+FROM cms_pos p LEFT JOIN cms_counters t ON t.i = p.i AND t.c = p.c
+GROUP BY p.k"""

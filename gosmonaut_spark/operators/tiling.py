@@ -373,3 +373,81 @@ iw_w AS (
 SELECT cell, count(*) AS n_samples,
        CAST(sum(v * wq) AS DOUBLE) / CAST(sum(wq) AS DOUBLE) AS idw_value
 FROM iw_w GROUP BY cell"""
+
+
+def compact_cells(cells: DataFrame, res: int, min_res: int = 0) -> DataFrame:
+    """Quadtree compaction of a cell set (H3 ``compactCells`` analog):
+    wherever all 4 children of a parent are present, replace them with
+    the parent, recursively down to ``min_res`` — the minimal
+    mixed-resolution cover of the same area. Because cell ids are
+    self-describing (the ``1 << 2r`` flag bit encodes the resolution),
+    the output is a single ``cell`` column holding mixed resolutions
+    that every other operator can consume directly.
+
+    Why it matters at 100 TB: coverage sets (viewsheds, service areas,
+    crawled-region masks) stored compacted shrink by the filled-area
+    factor (a fully-covered continent at res 12 collapses to a handful
+    of coarse cells), and containment joins against a compacted cover
+    are equi-joins on the ancestor chain instead of massive fine-cell
+    IN-lists.
+
+    Plan: ``res - min_res`` fixed rounds; each round ONE hash agg on the
+    parent key (complete = exactly 4 distinct children — input is made
+    distinct first) + one anti-join to emit the survivors. The working
+    set only shrinks; all arithmetic is branch-free integer shifts.
+    """
+    if not 0 <= min_res <= res:
+        raise ValueError("compact_cells: need 0 <= min_res <= res")
+    cur = cells.select("cell").distinct()
+    kept = []
+    for r in range(res, min_res, -1):
+        par = cur.select(
+            "cell", cell_parent("cell", r, r - 1).alias("__p")
+        )
+        complete = (
+            par.groupBy("__p")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") == 4)
+            .select(F.col("__p").alias("cell"))
+        )
+        # complete parents absorb their children; survivors emit final
+        kept.append(
+            par.join(
+                complete.select(F.col("cell").alias("__p")), "__p", "left_anti"
+            ).select("cell")
+        )
+        cur = complete
+    out = cur
+    for k in kept:
+        out = out.unionByName(k)
+    return out
+
+
+def compact_cells_sql(cells_sql: str, res: int, min_res: int = 0) -> str:
+    """DuckDB twin — the identical per-level complete-parent law,
+    unrolled one CTE trio per level. ``cells_sql`` must yield ``cell``."""
+    if not 0 <= min_res <= res:
+        raise ValueError("compact_cells_sql: need 0 <= min_res <= res")
+    parts = [f"WITH cp{res} AS (SELECT DISTINCT cell FROM ({cells_sql}))"]
+    finals = []
+    for r in range(res, min_res, -1):
+        nr = 1 << r
+        pbase, pn = 1 << (2 * (r - 1)), 1 << (r - 1)
+        parent = (
+            f"({pbase} + (((cell // {nr}) - {nr}) // 2) * {pn}"
+            f" + ((cell % {nr}) // 2))"
+        )
+        parts.append(
+            f"cp{r}_par AS (SELECT cell, {parent} AS p FROM cp{r})"
+        )
+        parts.append(
+            f"cp{r - 1} AS (SELECT p AS cell FROM cp{r}_par "
+            f"GROUP BY p HAVING count(*) = 4)"
+        )
+        parts.append(
+            f"cp{r}_keep AS (SELECT cell FROM cp{r}_par WHERE p NOT IN "
+            f"(SELECT cell FROM cp{r - 1}))"
+        )
+        finals.append(f"SELECT cell FROM cp{r}_keep")
+    finals.append(f"SELECT cell FROM cp{min_res}")
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)

@@ -1232,6 +1232,29 @@ SELECT lang, bigram, n, rank FROM ranked WHERE rank <= 10
 ORDER BY lang, rank""",
     )
 
+    # ---- Count-Min sketch: token-frequency estimates ---------------------------
+    def q_cms(spark, sf):
+        from .functions.sketch import cms_estimates
+
+        toks = spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.explode(T.tokens("text")).alias("tok")
+        )
+        return cms_estimates(toks, "tok", depth=4, width=512).orderBy("tok")
+
+    from .functions.sketch import cms_estimates_sql
+    from .functions.text import tokens_sql as _tokens_sql
+
+    q["corpus_cms_token_counts"] = (
+        q_cms,
+        cms_estimates_sql(
+            f"SELECT unnest({_tokens_sql('text')}) AS tok FROM documents",
+            "tok",
+            depth=4,
+            width=512,
+        )
+        + "\nORDER BY tok",
+    )
+
     # ---- collocation mining: PMI-ranked adjacent word pairs -------------------
     def q_pmi(spark, sf):
         from .functions.corpus import collocations_pmi
@@ -2743,6 +2766,23 @@ ORDER BY url""",
             f"SELECT id % 997 AS v, lat, lon FROM ({_PTS_SQL})",
             res=5,
             k=1,
+        )
+        + "\nORDER BY cell",
+    )
+
+    # ---- quadtree compaction of an occupied-cell cover -------------------------
+    def q_compact(spark, sf):
+        from .operators.tiling import compact_cells
+
+        cells = _pts(spark, sf).select(cell_expr("lat", "lon", 6).alias("cell"))
+        return compact_cells(cells, 6, 2).orderBy("cell")
+
+    from .operators.tiling import compact_cells_sql
+
+    q["tiles_compact_cover"] = (
+        q_compact,
+        compact_cells_sql(
+            f"SELECT {cell_sql('lat', 'lon', 6)} AS cell FROM ({_PTS_SQL})", 6, 2
         )
         + "\nORDER BY cell",
     )

@@ -1167,3 +1167,59 @@ def test_collocations_pmi_matches_brute(spark):
         assert got[k][:3] == want[k][:3]
         assert abs(got[k][3] - want[k][3]) < 1e-9
     assert ("new", "york") in got
+
+
+def test_cms_never_underestimates_and_is_exact_when_wide(spark):
+    import hashlib
+    from collections import Counter
+
+    from gosmonaut_spark.functions.sketch import cms_estimates
+
+    rng_keys = [f"k{i % 37}" for i in range(500)] + ["hot"] * 200
+    df = spark.createDataFrame([(k,) for k in rng_keys], "tok string")
+    true = Counter(rng_keys)
+
+    # narrow sketch: collisions possible, but NEVER an underestimate
+    got = {
+        r.tok: r.cms_est
+        for r in cms_estimates(df, "tok", depth=3, width=16).collect()
+    }
+    assert set(got) == set(true)
+    assert all(got[k] >= true[k] for k in true)
+    assert got["hot"] >= 200
+
+    # wide sketch: 38 keys into 4x4096 cells — exact with overwhelming
+    # probability under the fixed md5 law (deterministic, so this is a
+    # stable assertion, not a flaky one)
+    got_wide = {
+        r.tok: r.cms_est
+        for r in cms_estimates(df, "tok", depth=4, width=4096).collect()
+    }
+    assert got_wide == dict(true)
+
+    # python twin of the md5 law reproduces the engine exactly
+    d, w, salt = 3, 16, "cms"
+    counters = Counter()
+    for k in rng_keys:
+        for i in range(d):
+            h = hashlib.md5(f"{salt}{i}|{k}".encode()).hexdigest()
+            counters[(i, int(h[:12], 16) % w)] += 1
+    brute = {
+        k: min(counters[(i, int(hashlib.md5(f"{salt}{i}|{k}".encode()).hexdigest()[:12], 16) % w)] for i in range(d))
+        for k in true
+    }
+    assert got == brute
+
+
+def test_cms_external_probe_set(spark):
+    from gosmonaut_spark.functions.sketch import cms_estimates
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "tok string")
+    probes = spark.createDataFrame([("a",), ("zz",)], "tok string")
+    got = {
+        r.tok: r.cms_est
+        for r in cms_estimates(df, "tok", probes=probes, depth=4, width=1024).collect()
+    }
+    assert got["a"] == 2
+    assert got["zz"] >= 0  # absent key: whatever its cells hold (>= 0)
+    assert set(got) == {"a", "zz"}

@@ -615,3 +615,73 @@ def test_idw_surface_matches_brute(spark):
     for c in want:
         assert got[c][0] == want[c][0]
         assert got[c][1] == want[c][1]  # exact: integer sums, one division
+
+
+def _expand(cell):
+    """Decompact a self-describing cell id to its res-and-xy triple."""
+    r = (cell.bit_length() - 1) // 2
+    n = 1 << r
+    x = (cell >> r) - n
+    y = cell - ((cell >> r) << r)
+    return r, x, y
+
+
+def _children_at(cell, target_res):
+    r, x, y = _expand(cell)
+    d = target_res - r
+    out = []
+    for dx in range(1 << d):
+        for dy in range(1 << d):
+            xx, yy = (x << d) + dx, (y << d) + dy
+            out.append((1 << (2 * target_res)) + xx * (1 << target_res) + yy)
+    return out
+
+
+def test_compact_cells_roundtrip_and_minimality(spark):
+    from gosmonaut_spark.operators.tiling import compact_cells
+
+    res = 4
+    n = 1 << res
+    base = 1 << (2 * res)
+    # a fully-covered 4x4 block (compacts two levels), a complete 2x2
+    # sibling group (one level), and scattered singles
+    cells = set()
+    for x in range(0, 4):
+        for y in range(8, 12):
+            cells.add(base + x * n + y)          # 4x4 -> one res-2 cell
+    for x, y in [(10, 0), (10, 1), (11, 0), (11, 1)]:
+        cells.add(base + x * n + y)              # 2x2 -> one res-3 cell
+    cells.add(base + 7 * n + 7)                  # singleton stays res 4
+    df = spark.createDataFrame([(c,) for c in sorted(cells)], "cell long")
+    out = [r.cell for r in compact_cells(df, res, 0).collect()]
+
+    # roundtrip: decompacting the output reproduces the input exactly
+    expanded = []
+    for c in out:
+        expanded.extend(_children_at(c, res))
+    assert sorted(expanded) == sorted(cells)
+
+    # minimality: no 4 complete siblings remain at any level
+    from collections import Counter
+
+    by_parent = Counter()
+    for c in out:
+        r, x, y = _expand(c)
+        if r > 0:
+            by_parent[(r - 1, x >> 1, y >> 1, r)] += 1
+    assert all(v < 4 for v in by_parent.values())
+
+    # shape: exactly one res-2 cell, one res-3 cell, one res-4 single
+    levels = Counter(_expand(c)[0] for c in out)
+    assert levels == {2: 1, 3: 1, 4: 1}
+
+
+def test_compact_cells_incomplete_stays_put(spark):
+    from gosmonaut_spark.operators.tiling import compact_cells
+
+    res, n = 3, 8
+    base = 1 << (2 * res)
+    cells = [base + 0 * n + 0, base + 0 * n + 1, base + 1 * n + 0]  # 3 of 4
+    df = spark.createDataFrame([(c,) for c in cells], "cell long")
+    out = sorted(r.cell for r in compact_cells(df, res, 0).collect())
+    assert out == sorted(cells)

@@ -32,6 +32,8 @@ from pyspark.sql.window import Window
 from ..functions.timeops import ntz_epoch_ms
 
 __all__ = [
+    "anomaly_flags",
+    "anomaly_flags_sql",
     "rolling_stats",
     "rolling_stats_sql",
     "transition_counts",
@@ -254,3 +256,80 @@ tc_lag AS (
 SELECT from_type, to_type, count(*) AS n
 FROM tc_lag WHERE from_type IS NOT NULL
 GROUP BY from_type, to_type"""
+
+
+def anomaly_flags(
+    events: DataFrame,
+    key_col: str,
+    id_col: str,
+    value_col: str,
+    z: int = 3,
+) -> DataFrame:
+    """Per-key outlier detection with an EXACT integer z-score law: flag
+    rows whose integer metric deviates from their key's mean by more
+    than ``z`` population standard deviations — without ever computing
+    a float mean or stddev.
+
+    The test |v − μ| > z·σ is multiplied through by n²:
+
+        (n·v − S)²  >  z²·(n·Q − S²)        S = Σv,  Q = Σv²
+
+    — both sides exact BIGINTs, so the flag set is bit-reproducible
+    across engines, partitionings and reruns (a float μ/σ version flips
+    boundary rows per run; this never does). Overflow envelope: needs
+    n·max(v)² and (n·max(v))² within int64 — e.g. one million rows per
+    key at |v| ≤ 3M fits; callers above that pre-scale v (documented
+    contract, same family as the mm/cent integer laws elsewhere).
+
+    Keys with n < 2 or zero variance flag nothing (σ = 0: only v ≠ μ
+    rows would flag; with variance 0 every v = μ). Returns the flagged
+    rows ``(key, id, v)``.
+
+    Plan shape (100 TB lens): ONE window over the key partitioning
+    computes (n, S, Q) without collapsing rows (no join back); the flag
+    is then a pure row predicate. One shuffle total.
+    """
+    zz = int(z) * int(z)
+    w = Window.partitionBy(key_col)
+    v = F.col(value_col).cast("long")
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(v).over(w)
+    q = F.sum(v * v).over(w)
+    dev = n * v - s
+    var_n2 = n * q - s * s
+    return (
+        events.select(
+            F.col(key_col),
+            F.col(id_col),
+            v.alias(value_col),
+            dev.alias("__d"),
+            var_n2.alias("__v2"),
+        )
+        .where(F.col("__d") * F.col("__d") > F.lit(zz) * F.col("__v2"))
+        .select(key_col, id_col, value_col)
+    )
+
+
+def anomaly_flags_sql(
+    events_sql: str,
+    key_expr: str,
+    id_expr: str,
+    value_expr: str,
+    z: int = 3,
+) -> str:
+    """DuckDB twin — identical integer inequality."""
+    zz = int(z) * int(z)
+    return f"""WITH af_src AS ({events_sql}),
+af_win AS (
+  SELECT {key_expr} AS k, {id_expr} AS pid,
+         CAST({value_expr} AS BIGINT) AS v,
+         count(*) OVER w AS n,
+         sum(CAST({value_expr} AS BIGINT)) OVER w AS s,
+         sum(CAST({value_expr} AS BIGINT) * CAST({value_expr} AS BIGINT))
+           OVER w AS q
+  FROM af_src
+  WINDOW w AS (PARTITION BY {key_expr})
+)
+SELECT k AS {key_expr}, pid AS {id_expr}, v AS {value_expr}
+FROM af_win
+WHERE (n * v - s) * (n * v - s) > {zz} * (n * q - s * s)"""

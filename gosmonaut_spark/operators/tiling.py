@@ -451,3 +451,76 @@ def compact_cells_sql(cells_sql: str, res: int, min_res: int = 0) -> str:
         finals.append(f"SELECT cell FROM cp{r}_keep")
     finals.append(f"SELECT cell FROM cp{min_res}")
     return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+def cover_contains(
+    pts: DataFrame,
+    cover: DataFrame,
+    res: int,
+    min_res: int = 0,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Membership of points in a COMPACTED (mixed-resolution) cell cover
+    — the query-side payoff of :func:`compact_cells`: a point is inside
+    the cover iff ANY of its ancestor cells (its res-``res`` cell, that
+    cell's parent, … down to ``min_res``) appears in the cover set.
+    Returns the matching point ids (``id_col``), each once.
+
+    Plan: the ancestor chain is ``res - min_res + 1`` branch-free
+    integer expressions riding the scan, exploded (constant fan-out)
+    into an equi-join on the cover's cell key — a broadcast semi-join
+    for any human-sized cover, a hash semi-join otherwise; never an
+    IN-list of fine cells. A minimal cover holds at most one ancestor
+    per point, but the output dedups anyway so non-minimal covers are
+    also correct.
+    """
+    chain = [cell_expr(lat_col, lon_col, res)]
+    for r in range(res, min_res, -1):
+        chain.append(cell_parent(chain[-1], r, r - 1))
+    exploded = pts.select(
+        F.col(id_col), F.explode(F.array(*chain)).alias("cell")
+    )
+    return (
+        exploded.join(cover.select("cell"), "cell", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def cover_contains_sql(
+    pts_sql: str,
+    cover_sql: str,
+    res: int,
+    min_res: int = 0,
+    id_expr: str = "id",
+    lat_expr: str = "lat",
+    lon_expr: str = "lon",
+) -> str:
+    """DuckDB twin — same ancestor-chain membership law (EXISTS against
+    the cover with the chained parent arithmetic)."""
+    from ..functions.cells import cell_sql
+
+    exprs = [cell_sql(lat_expr, lon_expr, res)]
+    cur = f"cc_a{res}"
+    sel = [f"{exprs[0]} AS cc_a{res}"]
+    for r in range(res, min_res, -1):
+        nr = 1 << r
+        pbase, pn = 1 << (2 * (r - 1)), 1 << (r - 1)
+        parent = (
+            f"({pbase} + ((({cur} // {nr}) - {nr}) // 2) * {pn}"
+            f" + (({cur} % {nr}) // 2))"
+        )
+        sel.append(f"{parent} AS cc_a{r - 1}")
+        cur = f"cc_a{r - 1}"
+    anc_cols = ", ".join(f"cc_a{r}" for r in range(res, min_res - 1, -1))
+    return f"""WITH cc_pts AS (
+  SELECT {id_expr} AS pid, {", ".join(sel)}
+  FROM ({pts_sql})
+),
+cc_cover AS (SELECT cell FROM ({cover_sql}))
+SELECT DISTINCT pid AS {id_expr}
+FROM cc_pts
+WHERE EXISTS (SELECT 1 FROM cc_cover c
+              WHERE c.cell IN ({anc_cols}))"""

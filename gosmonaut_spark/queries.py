@@ -2787,6 +2787,70 @@ ORDER BY url""",
         + "\nORDER BY cell",
     )
 
+    # ---- containment against the compacted cover --------------------------------
+    # cover built from EVEN-id points, probed with ODD-id points — the
+    # cover/query split exercises genuine hits and misses at every level.
+    def q_cover_pts(spark, sf):
+        from .operators.tiling import compact_cells, cover_contains
+
+        pts = _pts(spark, sf)
+        cover = compact_cells(
+            pts.where(F.col("id") % 2 == 0).select(
+                cell_expr("lat", "lon", 6).alias("cell")
+            ),
+            6,
+            2,
+        )
+        return cover_contains(
+            pts.where(F.col("id") % 2 == 1), cover, 6, 2
+        ).orderBy("id")
+
+    from .operators.tiling import cover_contains_sql
+
+    q["tiles_cover_points"] = (
+        q_cover_pts,
+        cover_contains_sql(
+            f"SELECT * FROM ({_PTS_SQL}) WHERE id % 2 = 1",
+            compact_cells_sql(
+                f"SELECT {cell_sql('lat', 'lon', 6)} AS cell "
+                f"FROM ({_PTS_SQL}) WHERE id % 2 = 0",
+                6,
+                2,
+            ),
+            6,
+            2,
+        )
+        + "\nORDER BY id",
+    )
+
+    # ---- exact-integer z-score anomaly flags ------------------------------------
+    def q_anomaly(spark, sf):
+        from .operators.rolling import anomaly_flags
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            "user_id",
+            "event_id",
+            F.floor(F.col("value") * F.lit(100.0)).cast("long").alias("v_cents"),
+        )
+        return anomaly_flags(ev, "user_id", "event_id", "v_cents", z=3).orderBy(
+            "user_id", "event_id"
+        )
+
+    from .operators.rolling import anomaly_flags_sql
+
+    q["events_anomaly_flags"] = (
+        q_anomaly,
+        anomaly_flags_sql(
+            "SELECT user_id, event_id, "
+            "CAST(floor(value * 100.0) AS BIGINT) AS v_cents FROM events",
+            "user_id",
+            "event_id",
+            "v_cents",
+            z=3,
+        )
+        + "\nORDER BY user_id, event_id",
+    )
+
     # ---- map matching: nearest-segment snap ------------------------------------
     # 100 synthetic road segments from supplier (hashed anchor + hashed
     # offset <= 2 deg); points snap within radius 1 deg. Spark runs the

@@ -685,3 +685,68 @@ def test_compact_cells_incomplete_stays_put(spark):
     df = spark.createDataFrame([(c,) for c in cells], "cell long")
     out = sorted(r.cell for r in compact_cells(df, res, 0).collect())
     assert out == sorted(cells)
+
+
+def test_cover_contains_matches_brute(spark):
+    import math
+
+    from gosmonaut_spark.operators.tiling import compact_cells, cover_contains
+
+    res, min_res = 4, 1
+    n = 1 << res
+    base = 1 << (2 * res)
+    # cover: a full quadrant (compacts to coarse) + one stray fine cell
+    cover_cells = {base + x * n + y for x in range(8) for y in range(8)}
+    cover_cells.add(base + 12 * n + 3)
+    cov = compact_cells(
+        spark.createDataFrame([(c,) for c in sorted(cover_cells)], "cell long"),
+        res,
+        min_res,
+    )
+    pts = [
+        (1, 80.0, -170.0),   # far NW -> inside the x<8,y<8 quadrant
+        (2, -80.0, 170.0),   # far SE -> outside
+        (3, 50.0, 100.0),    # depends on the exact cell law
+        (4, 45.0, 102.0),
+    ]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    got = sorted(r.id for r in cover_contains(df, cov, res, min_res).collect())
+
+    def cell_of(lat, lon):
+        x = min(max(math.floor((lon + 180.0) / 360.0 * n), 0), n - 1)
+        y = min(max(math.floor((90.0 - lat) / 180.0 * n), 0), n - 1)
+        return base + x * n + y
+
+    want = sorted(i for i, lat, lon in pts if cell_of(lat, lon) in cover_cells)
+    assert got == want
+    assert 1 in got and 2 not in got
+
+
+def test_anomaly_flags_matches_float_law(spark):
+    import statistics
+
+    from gosmonaut_spark.operators.rolling import anomaly_flags
+
+    rows = (
+        [(1, i, 100) for i in range(20)]
+        + [(1, 99, 10_000)]            # blatant outlier for key 1
+        + [(2, i, v) for i, v in enumerate([5, 5, 5, 5, 5])]  # zero variance
+        + [(3, 0, 42)]                 # singleton: never flags
+    )
+    df = spark.createDataFrame(rows, "k long, id long, v long")
+    got = sorted((r.k, r.id) for r in anomaly_flags(df, "k", "id", "v", z=3).collect())
+
+    from collections import defaultdict
+
+    by_k = defaultdict(list)
+    for k, i, v in rows:
+        by_k[k].append((i, v))
+    want = []
+    for k, items in by_k.items():
+        vals = [v for _, v in items]
+        mu = statistics.fmean(vals)
+        sig = statistics.pstdev(vals)
+        for i, v in items:
+            if abs(v - mu) > 3 * sig:
+                want.append((k, i))
+    assert got == sorted(want) == [(1, 99)]

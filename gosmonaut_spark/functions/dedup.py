@@ -577,3 +577,94 @@ pd_f AS (
 SELECT doc_id, para_idx, fp,
        row_number() OVER (PARTITION BY fp ORDER BY doc_id, para_idx) = 1 AS keep
 FROM pd_f"""
+
+
+def editdist_pairs(
+    strings: DataFrame,
+    max_dist: int = 1,
+    id_col: str = "id",
+    str_col: str = "s",
+) -> DataFrame:
+    """Fuzzy-string self-join: all unordered pairs of strings within
+    Levenshtein distance ``max_dist`` — the typo/variant matcher (title
+    dedup, entity aliasing, URL-slug drift) that complements the
+    set-similarity family (jaccard/minhash/simhash measure token
+    overlap; edit distance catches single-character drift tokenizers
+    can't see).
+
+    Candidate law: ``lev(a, b) <= d`` forces ``|len(a) - len(b)| <= d``,
+    so each string emits its length band ``[len, len + d]`` (constant
+    ``d + 1`` fan-out) and candidates meet in an equi-join of band
+    against EXACT length — cross-length pairs meet exactly once (only
+    the shorter side's band reaches the longer side's length); equal-
+    length pairs dedupe by the id tie-break. The verify is the built-in
+    ``levenshtein`` (identical integer DP on both engines).
+
+    Scale note: a length band is a coarse block — for corpus-scale
+    string tables compose with the PPJoin prefix filter
+    (:func:`jaccard_prefix_pairs`) on character q-grams to thin the
+    band first (the standard count-filter cascade); the band join here
+    is the exact, dependency-free core. Inputs are deduplicated on the
+    string: run AFTER exact dedup (distance-0 pairs of identical
+    strings are exact-dedup's job, and roster semantics stay with it).
+
+    Returns ``(id_a, id_b, dist)`` with dist in [0, max_dist] — 0 only
+    when duplicate strings slipped past the caller's dedup.
+    """
+    d = int(max_dist)
+    if d < 0:
+        raise ValueError("editdist_pairs: max_dist must be >= 0")
+    base = strings.select(
+        F.col(id_col).alias("__id"),
+        F.col(str_col).alias("__s"),
+        F.length(str_col).alias("__len"),
+    )
+    probe = base.select(
+        F.col("__id").alias("id_a"),
+        F.col("__s").alias("s_a"),
+        F.col("__len").alias("len_a"),
+        F.explode(
+            F.sequence(F.col("__len"), F.col("__len") + F.lit(d))
+        ).alias("__band"),
+    )
+    exact = base.select(
+        F.col("__id").alias("id_b"),
+        F.col("__s").alias("s_b"),
+        F.col("__len").alias("__band"),
+    )
+    cand = probe.join(exact, "__band").where(
+        (F.col("len_a") < F.col("__band"))
+        | (F.col("id_a") < F.col("id_b"))
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.levenshtein("s_a", "s_b").alias("dist"),
+    ).where(F.col("dist") <= F.lit(d))
+
+
+def editdist_pairs_sql(
+    strings_sql: str,
+    max_dist: int = 1,
+    id_expr: str = "id",
+    str_expr: str = "s",
+) -> str:
+    """DuckDB twin — same band/tie-break candidates, same built-in
+    ``levenshtein`` verify."""
+    d = int(max_dist)
+    return f"""WITH ed_src AS (
+  SELECT {id_expr} AS sid, {str_expr} AS s, length({str_expr}) AS slen
+  FROM ({strings_sql})
+),
+ed_probe AS (
+  SELECT sid AS id_a, s AS s_a, slen AS len_a,
+         slen + unnest(range(0, {d + 1})) AS band
+  FROM ed_src
+),
+ed_cand AS (
+  SELECT p.id_a, p.s_a, e.sid AS id_b, e.s AS s_b
+  FROM ed_probe p JOIN ed_src e ON e.slen = p.band
+  WHERE p.len_a < e.slen OR p.id_a < e.sid
+)
+SELECT id_a, id_b, levenshtein(s_a, s_b) AS dist
+FROM ed_cand WHERE levenshtein(s_a, s_b) <= {d}"""

@@ -1232,6 +1232,43 @@ SELECT lang, bigram, n, rank FROM ranked WHERE rank <= 10
 ORDER BY lang, rank""",
     )
 
+    # ---- edit-distance fuzzy title join -----------------------------------------
+    # synthetic titles (source x doc_id%37) carry genuine 1-edit drift
+    # (digit bumps, src11 vs src1 elisions); distinct-title table keyed
+    # by min doc_id (exact dedup owns distance-0).
+    def q_editdist(spark, sf):
+        from .functions.dedup import editdist_pairs
+
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        titles = (
+            d.select(
+                "doc_id",
+                F.concat(
+                    F.col("source"),
+                    F.lit(" "),
+                    (F.col("doc_id") % 37).cast("string"),
+                ).alias("s"),
+            )
+            .groupBy("s")
+            .agg(F.min("doc_id").alias("id"))
+        )
+        return editdist_pairs(titles, 1, "id", "s").orderBy("id_a", "id_b")
+
+    from .functions.dedup import editdist_pairs_sql
+
+    q["dedup_title_editdist"] = (
+        q_editdist,
+        editdist_pairs_sql(
+            "SELECT min(doc_id) AS id, s FROM ("
+            "SELECT doc_id, source || ' ' || CAST(doc_id % 37 AS VARCHAR) AS s "
+            "FROM documents) GROUP BY s",
+            1,
+            "id",
+            "s",
+        )
+        + "\nORDER BY id_a, id_b",
+    )
+
     # ---- Count-Min sketch: token-frequency estimates ---------------------------
     def q_cms(spark, sf):
         from .functions.sketch import cms_estimates

@@ -1223,3 +1223,41 @@ def test_cms_external_probe_set(spark):
     assert got["a"] == 2
     assert got["zz"] >= 0  # absent key: whatever its cells hold (>= 0)
     assert set(got) == {"a", "zz"}
+
+
+def test_editdist_pairs_matches_brute(spark):
+    from itertools import combinations
+
+    from gosmonaut_spark.functions.dedup import editdist_pairs
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    strings = [
+        (1, "kitten"), (2, "sitten"), (3, "sittin"),     # 1-edit chain
+        (4, "kitten!"),                                  # insertion off 1
+        (5, "cat"), (6, "ca"), (7, "c"),                 # deletions
+        (8, "wholly-different"), (9, "catt"),
+    ]
+    df = spark.createDataFrame(strings, "id long, s string")
+    for d in (0, 1, 2):
+        out = editdist_pairs(df, d, "id", "s").collect()
+        got = {frozenset((r.id_a, r.id_b)): r.dist for r in out}
+        want = {
+            frozenset((i, j)): lev(a, b)
+            for (i, a), (j, b) in combinations(strings, 2)
+            if lev(a, b) <= d
+        }
+        assert got == want, f"max_dist={d}"
+        assert all(len(k) == 2 for k in got)  # no self-pairs
+    # spot: the classic kitten/sitten pair at d=1
+    out1 = editdist_pairs(df, 1, "id", "s").collect()
+    assert frozenset((1, 2)) in {frozenset((r.id_a, r.id_b)) for r in out1}

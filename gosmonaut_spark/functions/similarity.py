@@ -881,3 +881,118 @@ rp_d AS (
 SELECT id, generate_subscripts(pv, 1) - 1 AS d,
        CAST(unnest(pv) AS DOUBLE) - dot * unnest(varr) AS e
 FROM rp_d"""
+
+
+def pq_encode(
+    vectors: DataFrame,
+    m: int = 8,
+    centroid_stride: int = 32,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011): split each
+    vector into ``m`` subspaces and replace every subvector with the id
+    of its nearest codebook entry — the vector-compression step that
+    makes billion-scale ANN memory-resident (a 64-dim float vector
+    becomes m=8 single-byte codes: 32x smaller; completes the engine's
+    vector family alongside LSH buckets and IVF lists).
+
+    * **Codebooks**: every ``centroid_stride``-th vector by id donates
+      its subvectors (deterministic and exactly oracle-checkable, same
+      contract as the IVF stride centroids — at corpus scale swap in
+      per-subspace k-means codebooks via :func:`kmeans_train`; the
+      encode plan below is identical either way).
+    * **Encode**: per (vector, subspace): argmin of the subspace L2²
+      over the BROADCAST codebook, computed as an unrolled fixed-order
+      chain of (dim/m) squared-difference terms (the
+      :func:`dot_codegen` discipline — whole-stage codegen, bit-exact
+      cross-engine), ties broken by the smaller code id via one
+      map-side-combinable ``min(struct(d2, code))`` aggregation —
+      shuffle volume O(n·m), never O(n·k).
+
+    Returns ``(vec_id, subspace, code, d2)`` — one row per subspace,
+    the relational form of the code matrix (pivot downstream if a
+    packed array is wanted).
+    """
+    if dim % m:
+        raise ValueError(f"pq_encode: dim {dim} not divisible by m {m}")
+    sub = dim // m
+    subspaces = F.explode(F.array(*[F.lit(j) for j in range(int(m))]))
+    cents = vectors.where(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("code"), F.col(vec).alias("__cv")
+    )
+    v_j = vectors.select(
+        F.col(id_col), F.col(vec).alias("__v"), subspaces.alias("subspace")
+    ).select(
+        id_col,
+        "subspace",
+        F.slice(F.col("__v"), F.col("subspace") * sub + 1, sub).alias("__vs"),
+    )
+    c_j = cents.select(
+        "code", subspaces.alias("subspace"), F.col("__cv").alias("__cv")
+    ).select(
+        "code",
+        "subspace",
+        F.slice(F.col("__cv"), F.col("subspace") * sub + 1, sub).alias("__cs"),
+    )
+    d2: Column = F.lit(0.0)
+    for i in range(1, sub + 1):
+        diff = F.element_at("__vs", i).cast("double") - F.element_at(
+            "__cs", i
+        ).cast("double")
+        d2 = d2 + diff * diff
+    scored = v_j.join(F.broadcast(c_j), "subspace").select(
+        id_col, "subspace", F.struct(d2.alias("d2"), F.col("code")).alias("__s")
+    )
+    best = scored.groupBy(id_col, "subspace").agg(F.min("__s").alias("__b"))
+    return best.select(
+        id_col,
+        "subspace",
+        F.col("__b.code").alias("code"),
+        F.col("__b.d2").alias("d2"),
+    )
+
+
+def pq_encode_sql(
+    vectors_sql: str,
+    m: int = 8,
+    centroid_stride: int = 32,
+    dim: int = 64,
+    id_expr: str = "vec_id",
+    vec_expr: str = "embedding",
+) -> str:
+    """DuckDB twin — identical slice/unrolled-L2/tie law (argmin via a
+    deterministic row_number: semantics, not plan)."""
+    if dim % m:
+        raise ValueError("pq_encode_sql: dim not divisible by m")
+    sub = dim // m
+    terms = " + ".join(
+        f"(CAST(vs[{i}] AS DOUBLE) - CAST(cs[{i}] AS DOUBLE))"
+        f" * (CAST(vs[{i}] AS DOUBLE) - CAST(cs[{i}] AS DOUBLE))"
+        for i in range(1, sub + 1)
+    )
+    return f"""WITH pq_src AS ({vectors_sql}),
+pq_j AS (SELECT unnest(range(0, {int(m)})) AS subspace),
+pq_v AS (
+  SELECT {id_expr} AS vid, subspace,
+         list_slice({vec_expr}, subspace * {sub} + 1, subspace * {sub} + {sub}) AS vs
+  FROM pq_src CROSS JOIN pq_j
+),
+pq_c AS (
+  SELECT {id_expr} AS code, subspace,
+         list_slice({vec_expr}, subspace * {sub} + 1, subspace * {sub} + {sub}) AS cs
+  FROM pq_src CROSS JOIN pq_j
+  WHERE {id_expr} % {int(centroid_stride)} = 0
+),
+pq_d AS (
+  SELECT v.vid, v.subspace, c.code, (0.0 + {terms}) AS d2
+  FROM pq_v v JOIN pq_c c ON c.subspace = v.subspace
+),
+pq_r AS (
+  SELECT vid, subspace, code, d2,
+         row_number() OVER (PARTITION BY vid, subspace
+                            ORDER BY d2 ASC, code ASC) AS rn
+  FROM pq_d
+)
+SELECT vid AS {id_expr}, subspace, code, d2 FROM pq_r WHERE rn = 1"""

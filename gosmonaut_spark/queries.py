@@ -2126,6 +2126,30 @@ ORDER BY d""",
 ORDER BY id, d""",
     )
 
+    # ---- product-quantization codes (vector compression for ANN) -------------
+    def q_pq(spark, sf):
+        from .functions.similarity import pq_encode
+
+        e = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        return pq_encode(e, m=8, centroid_stride=32, dim=64).orderBy(
+            "vec_id", "subspace"
+        )
+
+    from .functions.similarity import pq_encode_sql
+
+    q["embeddings_pq_codes"] = (
+        q_pq,
+        pq_encode_sql(
+            "SELECT vec_id, embedding FROM embeddings",
+            m=8,
+            centroid_stride=32,
+            dim=64,
+        )
+        + "\nORDER BY vec_id, subspace",
+    )
+
     # ---- geohash cells (Z-order layout key; base32 public index) -------------
     def q_geohash(spark, sf):
         from .functions.geohash import geohash_encode

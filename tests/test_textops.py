@@ -1261,3 +1261,38 @@ def test_editdist_pairs_matches_brute(spark):
     # spot: the classic kitten/sitten pair at d=1
     out1 = editdist_pairs(df, 1, "id", "s").collect()
     assert frozenset((1, 2)) in {frozenset((r.id_a, r.id_b)) for r in out1}
+
+
+def test_pq_encode_matches_numpy(spark):
+    import numpy as np
+
+    from gosmonaut_spark.functions.similarity import pq_encode
+
+    rng = np.random.default_rng(11)
+    n, dim, m, stride = 60, 16, 4, 8
+    sub = dim // m
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    out = pq_encode(df, m=m, centroid_stride=stride, dim=dim).collect()
+    got = {(r.vec_id, r.subspace): r.code for r in out}
+
+    codes = [i for i in range(n) if i % stride == 0]
+    v64 = vecs.astype(np.float64)
+    for i in range(n):
+        for j in range(m):
+            s = v64[i, j * sub : (j + 1) * sub]
+            d2 = [
+                (float(np.sum((s - v64[c, j * sub : (j + 1) * sub]) ** 2)), c)
+                for c in codes
+            ]
+            want = min(d2)[1]
+            assert got[(i, j)] == want, (i, j)
+    # shape invariant: every vector gets exactly m codes, codes are codebook ids
+    assert len(out) == n * m
+    assert {r.code for r in out} <= set(codes)
+    # a codebook vector encodes to ITSELF in every subspace with d2 == 0
+    self_rows = [r for r in out if r.vec_id == 0]
+    assert all(r.code == 0 and r.d2 == 0.0 for r in self_rows)

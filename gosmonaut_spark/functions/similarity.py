@@ -996,3 +996,146 @@ pq_r AS (
   FROM pq_d
 )
 SELECT vid AS {id_expr}, subspace, code, d2 FROM pq_r WHERE rn = 1"""
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int,
+    m: int = 8,
+    centroid_stride: int = 32,
+    dim: int = 64,
+    query_id: str = "query_id",
+    target_id: str = "target_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k search — the payoff of
+    :func:`pq_encode`: score(query, target) = Σ_j L2²(query subvector j,
+    codebook[target's code j]). The scorer touches only the CODES and a
+    per-query m×k lookup table — never the target vectors — which is
+    why PQ search fits a billion vectors in RAM.
+
+    Exactness law: the per-subspace lookup distances are the same
+    unrolled bit-exact chains as the encoder; the m-term ADC sum is an
+    EXPLICIT in-order fold over subspace index (collect → sort →
+    left-to-right aggregate on Spark; ``list_reduce`` over an ORDER BY
+    subspace list in DuckDB — the 0.0-seeded and seedless folds agree
+    because 0.0 + x == x for the nonnegative first term), so scores and
+    the (score, target_id) ranking are bit-identical cross-engine.
+
+    Plan shape (100 TB lens): codes = one :func:`pq_encode` pass over
+    the targets (shuffle O(n·m)); the distance table is queries ×
+    codebook — tiny, broadcast; scoring is an equi-join on (subspace,
+    code) + one (query, target) hash agg with constant-size (m) groups;
+    top-k is a bounded per-query window. Returns
+    ``(query_id, target_id, adc_d2, rank)``.
+    """
+    sub = dim // m
+    codes = pq_encode(
+        targets, m=m, centroid_stride=centroid_stride, dim=dim,
+        id_col=target_id, vec=vec,
+    ).select(F.col(target_id), "subspace", "code")
+    subspaces = F.explode(F.array(*[F.lit(j) for j in range(int(m))]))
+    cents = targets.where(F.col(target_id) % centroid_stride == 0).select(
+        F.col(target_id).alias("code"), F.col(vec).alias("__cv")
+    )
+    c_j = cents.select(
+        "code", subspaces.alias("subspace"), F.col("__cv")
+    ).select(
+        "code",
+        "subspace",
+        F.slice(F.col("__cv"), F.col("subspace") * sub + 1, sub).alias("__cs"),
+    )
+    q_j = queries.select(
+        F.col(query_id), F.col(vec).alias("__q"), subspaces.alias("subspace")
+    ).select(
+        query_id,
+        "subspace",
+        F.slice(F.col("__q"), F.col("subspace") * sub + 1, sub).alias("__qs"),
+    )
+    qd2: Column = F.lit(0.0)
+    for i in range(1, sub + 1):
+        diff = F.element_at("__qs", i).cast("double") - F.element_at(
+            "__cs", i
+        ).cast("double")
+        qd2 = qd2 + diff * diff
+    dtab = q_j.join(F.broadcast(c_j), "subspace").select(
+        query_id, "subspace", "code", qd2.alias("__qd2")
+    )
+    scored = codes.join(dtab, ["subspace", "code"]).groupBy(
+        query_id, target_id
+    ).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("subspace", "__qd2"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["__qd2"],
+        ).alias("adc_d2")
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("adc_d2").asc(), F.col(target_id).asc()
+    )
+    return (
+        scored.select("*", F.row_number().over(w).cast("int").alias("rank"))
+        .where(F.col("rank") <= F.lit(int(k)))
+    )
+
+
+def pq_adc_topk_sql(
+    queries_sql: str,
+    targets_sql: str,
+    k: int,
+    m: int = 8,
+    centroid_stride: int = 32,
+    dim: int = 64,
+    query_id: str = "query_id",
+    target_id: str = "target_id",
+    vec_expr: str = "embedding",
+) -> str:
+    """DuckDB twin — re-derives codes + distance table with the same
+    laws; in-order fold via list_reduce over ORDER BY subspace."""
+    sub = dim // m
+    enc = pq_encode_sql(
+        targets_sql, m=m, centroid_stride=centroid_stride, dim=dim,
+        id_expr=target_id, vec_expr=vec_expr,
+    )
+    terms = " + ".join(
+        f"(CAST(qs[{i}] AS DOUBLE) - CAST(cs[{i}] AS DOUBLE))"
+        f" * (CAST(qs[{i}] AS DOUBLE) - CAST(cs[{i}] AS DOUBLE))"
+        for i in range(1, sub + 1)
+    )
+    return f"""WITH adc_codes AS (
+{enc}
+),
+adc_qsrc AS ({queries_sql}),
+adc_tsrc AS ({targets_sql}),
+adc_j AS (SELECT unnest(range(0, {int(m)})) AS subspace),
+adc_c AS (
+  SELECT {target_id} AS code, subspace,
+         list_slice({vec_expr}, subspace * {sub} + 1, subspace * {sub} + {sub}) AS cs
+  FROM adc_tsrc CROSS JOIN adc_j
+  WHERE {target_id} % {int(centroid_stride)} = 0
+),
+adc_q AS (
+  SELECT {query_id} AS qid, subspace,
+         list_slice({vec_expr}, subspace * {sub} + 1, subspace * {sub} + {sub}) AS qs
+  FROM adc_qsrc CROSS JOIN adc_j
+),
+adc_tab AS (
+  SELECT q.qid, q.subspace, c.code, (0.0 + {terms}) AS qd2
+  FROM adc_q q JOIN adc_c c ON c.subspace = q.subspace
+),
+adc_scored AS (
+  SELECT t.qid, d.{target_id} AS tid,
+         list_reduce(list(t.qd2 ORDER BY t.subspace), (a, b) -> a + b) AS adc_d2
+  FROM adc_codes d
+  JOIN adc_tab t ON t.subspace = d.subspace AND t.code = d.code
+  GROUP BY t.qid, d.{target_id}
+),
+adc_ranked AS (
+  SELECT qid, tid, adc_d2,
+         CAST(row_number() OVER (PARTITION BY qid
+                                 ORDER BY adc_d2 ASC, tid ASC) AS INTEGER) AS rank
+  FROM adc_scored
+)
+SELECT qid AS {query_id}, tid AS {target_id}, adc_d2, rank
+FROM adc_ranked WHERE rank <= {int(k)}"""

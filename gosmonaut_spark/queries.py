@@ -2150,6 +2150,35 @@ ORDER BY id, d""",
         + "\nORDER BY vec_id, subspace",
     )
 
+    # ---- PQ asymmetric-distance top-k search ----------------------------------
+    def q_adc(spark, sf):
+        from .functions.similarity import pq_adc_topk
+
+        e = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qs = e.where(F.col("vec_id") % 17 == 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        ts = e.select(F.col("vec_id").alias("target_id"), "embedding")
+        return pq_adc_topk(qs, ts, k=3, m=8, centroid_stride=32, dim=64).orderBy(
+            "query_id", "rank"
+        )
+
+    from .functions.similarity import pq_adc_topk_sql
+
+    q["embeddings_pq_adc_topk"] = (
+        q_adc,
+        pq_adc_topk_sql(
+            "SELECT vec_id AS query_id, embedding FROM embeddings "
+            "WHERE vec_id % 17 = 3",
+            "SELECT vec_id AS target_id, embedding FROM embeddings",
+            k=3,
+            m=8,
+            centroid_stride=32,
+            dim=64,
+        )
+        + "\nORDER BY query_id, rank",
+    )
+
     # ---- geohash cells (Z-order layout key; base32 public index) -------------
     def q_geohash(spark, sf):
         from .functions.geohash import geohash_encode

@@ -1296,3 +1296,61 @@ def test_pq_encode_matches_numpy(spark):
     # a codebook vector encodes to ITSELF in every subspace with d2 == 0
     self_rows = [r for r in out if r.vec_id == 0]
     assert all(r.code == 0 and r.d2 == 0.0 for r in self_rows)
+
+
+def test_pq_adc_topk_matches_numpy(spark):
+    import numpy as np
+
+    from gosmonaut_spark.functions.similarity import pq_adc_topk
+
+    rng = np.random.default_rng(5)
+    n, dim, m, stride, k = 60, 16, 4, 8, 3
+    sub = dim // m
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    ts = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "target_id long, embedding array<float>",
+    )
+    q_ids = [3, 20, 41]
+    qs = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in q_ids],
+        "query_id long, embedding array<float>",
+    )
+    out = pq_adc_topk(qs, ts, k=k, m=m, centroid_stride=stride, dim=dim).collect()
+    got = {(r.query_id, r.rank): (r.target_id, r.adc_d2) for r in out}
+
+    v = vecs.astype(np.float64)
+    codes = [c for c in range(n) if c % stride == 0]
+
+    def encode(t):
+        return [
+            min(
+                (float(np.sum((v[t, j*sub:(j+1)*sub] - v[c, j*sub:(j+1)*sub]) ** 2)), c)
+                for c in codes
+            )[1]
+            for j in range(m)
+        ]
+
+    enc = {t: encode(t) for t in range(n)}
+    for qi in q_ids:
+        scores = []
+        for t in range(n):
+            s = sum(
+                float(np.sum((v[qi, j*sub:(j+1)*sub] - v[enc[t][j], j*sub:(j+1)*sub]) ** 2))
+                for j in range(m)
+            )
+            scores.append((s, t))
+        scores.sort()
+        for r in range(1, k + 1):
+            tid, d2 = got[(qi, r)]
+            assert tid == scores[r - 1][1]
+            assert abs(d2 - scores[r - 1][0]) < 1e-9
+    # a query that IS a codebook vector has ADC distance 0 to itself
+    out0 = pq_adc_topk(
+        spark.createDataFrame(
+            [(0, [float(x) for x in vecs[0]])],
+            "query_id long, embedding array<float>",
+        ),
+        ts, k=1, m=m, centroid_stride=stride, dim=dim,
+    ).collect()
+    assert out0[0].target_id == 0 and out0[0].adc_d2 == 0.0

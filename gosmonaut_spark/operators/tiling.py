@@ -524,3 +524,85 @@ SELECT DISTINCT pid AS {id_expr}
 FROM cc_pts
 WHERE EXISTS (SELECT 1 FROM cc_cover c
               WHERE c.cell IN ({anc_cols}))"""
+
+
+def label_regions(tiles: DataFrame, res: int) -> DataFrame:
+    """Raster region labeling (blob / connected-component labeling over
+    occupied cells, 4-connectivity): every occupied cell gets a region
+    id = the minimum cell id of its orthogonally-connected blob — the
+    map-algebra "group contiguous area" step (landmass extraction,
+    coverage-patch naming, contiguous-AOI detection) that turns a tile
+    layer back into vector-ish regions.
+
+    ``tiles`` carries cell ids at resolution ``res`` (column ``cell``).
+    Adjacency wraps across the antimeridian in x (same geometry as
+    ``focal_sum``) and clamps at the poles in y.
+
+    Plan shape (100 TB lens): each occupied cell derives its right and
+    down neighbor ids by integer arithmetic (branch-free, rides the
+    scan) and an equi-join against the occupied set keeps real edges —
+    O(2) candidates per cell, never a range join; the component fold is
+    the engine's O(log n)-round alternating-star
+    :func:`..operators.graph.connected_components` on the EDGE table;
+    isolated cells never enter the loop and are restored by a left
+    join. Returns ``(cell, region)``.
+    """
+    cells = tiles.select("cell").distinct()
+    n = 1 << res
+    base = 1 << (2 * res)
+    x = ((F.col("cell") - F.lit(base)) / F.lit(n)).cast("long")
+    y = F.pmod(F.col("cell") - F.lit(base), F.lit(n))
+    right = F.lit(base) + F.pmod(x + 1, F.lit(n)) * F.lit(n) + y
+    down = F.lit(base) + x * F.lit(n) + (y + 1)
+    cand = cells.select(
+        F.col("cell").alias("u"), right.alias("v")
+    ).where(F.col("u") != F.col("v")).unionByName(
+        cells.select(F.col("cell").alias("u"), down.alias("v")).where(
+            y + 1 < F.lit(n)
+        )
+    )
+    edges = cand.join(
+        cells.select(F.col("cell").alias("v")), "v", "left_semi"
+    )
+    from .graph import connected_components
+
+    comp = connected_components(edges, "u", "v")
+    return (
+        cells.join(comp.withColumnRenamed("id", "cell"), "cell", "left")
+        .select(
+            "cell",
+            F.coalesce(F.col("component"), F.col("cell")).alias("region"),
+        )
+    )
+
+
+def label_regions_sql(tiles_sql: str, res: int) -> str:
+    """DuckDB twin — same neighbor law, recursive reachability closure
+    (exact on oracle inputs; the engine runs the star algorithm)."""
+    n = 1 << res
+    base = 1 << (2 * res)
+    x = f"((a.cell - {base}) // {n})"
+    y = f"((a.cell - {base}) % {n})"
+    right = f"({base} + (({x} + 1) % {n}) * {n} + {y})"
+    down = f"({base} + {x} * {n} + ({y} + 1))"
+    return f"""WITH RECURSIVE rl_cells AS MATERIALIZED (
+  SELECT DISTINCT cell FROM ({tiles_sql})
+),
+rl_dir AS MATERIALIZED (
+  SELECT a.cell AS u, b.cell AS v
+  FROM rl_cells a JOIN rl_cells b ON b.cell = {right}
+  WHERE a.cell <> b.cell
+  UNION ALL
+  SELECT a.cell, b.cell
+  FROM rl_cells a JOIN rl_cells b ON b.cell = {down}
+  WHERE {y} + 1 < {n}
+),
+rl_pairs AS MATERIALIZED (
+  SELECT u, v FROM rl_dir UNION SELECT v, u FROM rl_dir
+),
+rl_reach(id, lbl) AS (
+  SELECT cell, cell FROM rl_cells
+  UNION
+  SELECT p.v, r.lbl FROM rl_reach r JOIN rl_pairs p ON p.u = r.id
+)
+SELECT id AS cell, min(lbl) AS region FROM rl_reach GROUP BY id"""

@@ -2877,6 +2877,25 @@ ORDER BY url""",
         + "\nORDER BY cell",
     )
 
+    # ---- raster region labeling (connected blobs, 4-connectivity) ---------------
+    # res 8 keeps occupancy ~15% so the layer splits into many genuine
+    # multi-cell blobs plus isolated cells.
+    def q_regions(spark, sf):
+        from .operators.tiling import label_regions
+
+        cells = _pts(spark, sf).select(cell_expr("lat", "lon", 8).alias("cell"))
+        return label_regions(cells, 8).orderBy("cell")
+
+    from .operators.tiling import label_regions_sql
+
+    q["tiles_region_label"] = (
+        q_regions,
+        label_regions_sql(
+            f"SELECT {cell_sql('lat', 'lon', 8)} AS cell FROM ({_PTS_SQL})", 8
+        )
+        + "\nORDER BY cell",
+    )
+
     # ---- containment against the compacted cover --------------------------------
     # cover built from EVEN-id points, probed with ODD-id points — the
     # cover/query split exercises genuine hits and misses at every level.

@@ -750,3 +750,53 @@ def test_anomaly_flags_matches_float_law(spark):
             if abs(v - mu) > 3 * sig:
                 want.append((k, i))
     assert got == sorted(want) == [(1, 99)]
+
+
+def test_label_regions_matches_union_find(spark):
+    from gosmonaut_spark.operators.tiling import label_regions
+
+    res, n = 3, 8
+    base = 1 << (2 * res)
+
+    def cid(x, y):
+        return base + x * n + y
+
+    # L-shaped blob, a 2x2 blob, an antimeridian-wrapping pair, singles
+    occupied = [
+        (0, 0), (0, 1), (0, 2), (1, 2),          # L blob
+        (4, 4), (4, 5), (5, 4), (5, 5),          # square blob
+        (7, 6), (0, 6),                          # x-wrap: 7 -> (7+1)%8 == 0
+        (3, 0),                                  # isolated
+        (6, 1),                                  # isolated
+    ]
+    cells = [cid(x, y) for x, y in occupied]
+    df = spark.createDataFrame([(c,) for c in cells], "cell long")
+    got = {r.cell: r.region for r in label_regions(df, res).collect()}
+
+    # union-find with the same 4-connectivity + x-wrap law
+    parent = {c: c for c in cells}
+
+    def find(c):
+        while parent[c] != c:
+            parent[c] = parent[parent[c]]
+            c = parent[c]
+        return c
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    occ = set(cells)
+    for x, y in occupied:
+        right = cid((x + 1) % n, y)
+        if right in occ:
+            union(cid(x, y), right)
+        if y + 1 < n and cid(x, y + 1) in occ:
+            union(cid(x, y), cid(x, y + 1))
+    want = {c: min(k for k in cells if find(k) == find(c)) for c in cells}
+    assert got == want
+    # shape: L and square are single regions; wrap pair merged; singles alone
+    assert len({got[cid(x, y)] for x, y in [(0, 0), (0, 1), (0, 2), (1, 2)]}) == 1
+    assert got[cid(7, 6)] == got[cid(0, 6)]
+    assert got[cid(3, 0)] == cid(3, 0)

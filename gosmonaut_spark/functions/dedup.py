@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import content_fingerprint, shingles
+from .text import content_fingerprint, norm_text, shingles
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -668,3 +668,150 @@ ed_cand AS (
 )
 SELECT id_a, id_b, levenshtein(s_a, s_b) AS dist
 FROM ed_cand WHERE levenshtein(s_a, s_b) <= {d}"""
+
+
+def _cdc_chunks_col(s, codes, window: int, base: int, modulus: int, divisor: int):
+    """Array of content-defined chunks of string column ``s`` — boundary
+    at every position whose ``window``-char polynomial rolling hash ≡ 0
+    (mod ``divisor``). ``codes`` is the MATERIALIZED per-row char-code
+    array of ``s`` (projected once — the hash then costs ``window``
+    array lookups per position instead of ``window`` substring
+    re-evaluations inside the interpreted lambda: measured ~10x). Pure
+    HOF/array expressions; the hash stays < 256·window·base^(window-1)
+    before ONE mod, overflow-free in int64 for the default parameters.
+    The SQL twin computes the identical hash from substrings directly —
+    staging is plan, not semantics."""
+    L = F.length(s)
+
+    def hexpr(i):
+        acc = F.lit(0).cast("long")
+        for j in range(window):
+            acc = acc + F.element_at(codes, i - F.lit(j)) * F.lit(base**j)
+        return F.pmod(acc, F.lit(modulus))
+
+    pos = F.sequence(F.lit(window), L)
+    bnd = F.filter(pos, lambda i: F.pmod(hexpr(i), F.lit(divisor)) == 0)
+    # interior boundaries only, then the end — uniform for empty bnd and
+    # for a boundary landing exactly on L
+    bnds = F.when(L < F.lit(window), F.array(L)).otherwise(
+        F.concat(F.filter(bnd, lambda p: p < L), F.array(L))
+    )
+    starts = F.concat(
+        F.array(F.lit(1)),
+        F.transform(F.slice(bnds, 1, F.size(bnds) - 1), lambda p: p + 1),
+    )
+    return F.zip_with(starts, bnds, lambda st, en: F.substring(s, st, en - st + 1))
+
+
+def cdc_shared_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    base: int = 31,
+    modulus: int = 1_000_003,
+    divisor: int = 32,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Content-defined-chunking dedup (the rsync/LBFS law): split each
+    normalized document at ROLLING-HASH boundaries — so chunk edges
+    follow content, not offsets — fingerprint the chunks, and report
+    fingerprints shared by at least ``min_docs`` documents. Catches
+    shifted duplicated passages that fixed paragraph/offset chunking
+    misses (an inserted sentence moves every downstream fixed block,
+    but CDC boundaries re-synchronize within one window).
+
+    Average chunk length ≈ ``divisor`` characters (boundary probability
+    1/divisor per position). Returns ``(chunk_fp, n_docs, chunk_len)``.
+
+    Plan shape (100 TB lens): chunking is pure per-row array
+    expressions riding the scan (zero shuffle; O(len·window) work per
+    doc with a constant window); the dedup is one (doc, fp) DISTINCT +
+    one fp hash agg — after the distinct, ``count(*)`` IS the
+    distinct-doc count. No pairwise joins anywhere: fingerprint
+    grouping replaces pair enumeration, which is why storage dedup
+    systems scale this way.
+    """
+    normed = docs.select(
+        F.col(id_col).alias("__id"), norm_text(text_col).alias("__s")
+    )
+    sc = F.col("__s")
+    staged = normed.select(
+        "__id",
+        "__s",
+        F.transform(
+            F.sequence(F.lit(1), F.length(sc)),
+            lambda i: F.ascii(F.substring(sc, i, 1)).cast("long"),
+        ).alias("__codes"),
+    )
+    chunks = _cdc_chunks_col(
+        F.col("__s"), F.col("__codes"), window, base, modulus, divisor
+    )
+    per_doc = (
+        staged.select("__id", F.explode(chunks).alias("__c"))
+        .select("__id", F.md5(F.col("__c")).alias("chunk_fp"),
+                F.length("__c").alias("__len"))
+        .distinct()
+    )
+    return (
+        per_doc.groupBy("chunk_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("__len").alias("chunk_len"),
+        )
+        .where(F.col("n_docs") >= F.lit(int(min_docs)))
+    )
+
+
+def cdc_shared_chunks_sql(
+    docs_sql: str,
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    window: int = 8,
+    base: int = 31,
+    modulus: int = 1_000_003,
+    divisor: int = 32,
+    min_docs: int = 2,
+) -> str:
+    """DuckDB twin — identical rolling-hash/boundary/fingerprint law."""
+    from .text import norm_text_sql
+
+    n = norm_text_sql(text_expr)
+    hterms = " + ".join(
+        f"CAST(ascii(substring(s, CAST(i - {j} AS INT), 1)) AS BIGINT)"
+        f" * CAST({base**j} AS BIGINT)"
+        for j in range(window)
+    )
+    return f"""WITH cdc_src AS (
+  SELECT {id_expr} AS did, {n} AS s FROM ({docs_sql})
+),
+cdc_b AS (
+  SELECT did, s, length(s) AS L,
+         CASE WHEN length(s) < {window} THEN [length(s)]
+              ELSE list_concat(
+                list_filter(
+                  list_filter(range({window}, length(s) + 1),
+                              i -> (({hterms}) % {modulus}) % {divisor} = 0),
+                  p -> p < length(s)),
+                [length(s)])
+         END AS bnds
+  FROM cdc_src
+),
+cdc_sp AS (
+  SELECT did, s, bnds,
+         list_concat([1], list_transform(bnds[1:len(bnds)-1], p -> p + 1)) AS starts
+  FROM cdc_b
+),
+cdc_ch AS (
+  SELECT did,
+         unnest(list_transform(list_zip(starts, bnds),
+                z -> substring(s, CAST(z[1] AS INT),
+                               CAST(z[2] - z[1] + 1 AS INT)))) AS c
+  FROM cdc_sp
+),
+cdc_fp AS (
+  SELECT DISTINCT did, md5(c) AS chunk_fp, length(c) AS clen FROM cdc_ch
+)
+SELECT chunk_fp, count(*) AS n_docs, min(clen) AS chunk_len
+FROM cdc_fp GROUP BY chunk_fp
+HAVING count(*) >= {int(min_docs)}"""

@@ -1232,6 +1232,25 @@ SELECT lang, bigram, n, rank FROM ranked WHERE rank <= 10
 ORDER BY lang, rank""",
     )
 
+    # ---- content-defined-chunking dedup (rsync/LBFS law) -------------------------
+    def q_cdc(spark, sf):
+        from .functions.dedup import cdc_shared_chunks
+
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        return cdc_shared_chunks(d, "doc_id", "text", divisor=32).orderBy(
+            "chunk_fp"
+        )
+
+    from .functions.dedup import cdc_shared_chunks_sql
+
+    q["dedup_cdc_chunks"] = (
+        q_cdc,
+        cdc_shared_chunks_sql(
+            "SELECT doc_id, text FROM documents", divisor=32
+        )
+        + "\nORDER BY chunk_fp",
+    )
+
     # ---- edit-distance fuzzy title join -----------------------------------------
     # synthetic titles (source x doc_id%37) carry genuine 1-edit drift
     # (digit bumps, src11 vs src1 elisions); distinct-title table keyed

@@ -1354,3 +1354,63 @@ def test_pq_adc_topk_matches_numpy(spark):
         ts, k=1, m=m, centroid_stride=stride, dim=dim,
     ).collect()
     assert out0[0].target_id == 0 and out0[0].adc_d2 == 0.0
+
+
+def test_cdc_shared_chunks_matches_brute(spark):
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    from gosmonaut_spark.functions.dedup import cdc_shared_chunks
+
+    W, B, M, D = 8, 31, 1_000_003, 16
+    passage = (
+        "the quick brown fox jumps over the lazy dog and runs far away into "
+        "the night again and again while the moon rises slowly over the "
+        "quiet hills and the river bends through the valley toward the sea"
+    )
+    rows = [
+        (1, passage),
+        (2, "A Brand New Intro, Sentence Here; " + passage),  # shifted dup
+        (3, "completely different words entirely with no overlap at all"),
+        (4, passage),                                          # exact dup
+        (5, "short"),                                          # < window
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = cdc_shared_chunks(df, divisor=D, min_docs=2).collect()
+    got = {r.chunk_fp: (r.n_docs, r.chunk_len) for r in out}
+
+    def norm(t):
+        return re.sub(r" +", " ", re.sub(r"[^a-z0-9]+", " ", t.lower())).strip()
+
+    def chunks(t):
+        s = norm(t)
+        L = len(s)
+        if L < W:
+            return [s]
+        bnd = []
+        for i in range(W, L + 1):
+            h = sum(ord(s[i - 1 - j]) * (B ** j) for j in range(W)) % M
+            if h % D == 0:
+                bnd.append(i)
+        b = [p for p in bnd if p < L] + [L]
+        starts = [1] + [p + 1 for p in b[:-1]]
+        return [s[st - 1 : en] for st, en in zip(starts, b)]
+
+    docs_by_fp = defaultdict(set)
+    len_by_fp = {}
+    for i, t in rows:
+        for c in chunks(t):
+            fp = hashlib.md5(c.encode()).hexdigest()
+            docs_by_fp[fp].add(i)
+            len_by_fp[fp] = len(c)
+    want = {
+        fp: (len(ds), len_by_fp[fp])
+        for fp, ds in docs_by_fp.items()
+        if len(ds) >= 2
+    }
+    assert got == want
+    # the shifted duplicate re-synchronizes: docs 1/2/4 share interior
+    # chunks despite doc 2's prefix shifting every offset
+    shared_124 = [fp for fp, ds in docs_by_fp.items() if {1, 2, 4} <= ds]
+    assert shared_124 and all(fp in got for fp in shared_124)

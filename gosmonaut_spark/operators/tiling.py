@@ -606,3 +606,90 @@ rl_reach(id, lbl) AS (
   SELECT p.v, r.lbl FROM rl_reach r JOIN rl_pairs p ON p.u = r.id
 )
 SELECT id AS cell, min(lbl) AS region FROM rl_reach GROUP BY id"""
+
+
+def hotspots_gi(
+    tiles: DataFrame,
+    res: int,
+    k: int = 1,
+    z: int = 2,
+    value_col: str = "n_points",
+) -> DataFrame:
+    """Getis-Ord Gi* hot/cold-spot detection over a tile layer with an
+    EXACT integer significance law — the standard local spatial
+    statistic (crime/disease/demand clustering) without a single float.
+
+    Gi* compares each cell's (2k+1)²-neighborhood sum W (self included)
+    against its expectation under the global distribution of the n
+    OCCUPIED cells (study area = occupied cells, documented choice —
+    empty ocean does not dilute the field). The usual z-test
+
+        (W - m·S/n) / (s·sqrt(m(n-m)/(n-1)))   with s² = (nQ-S²)/n²
+
+    is multiplied through by n²(n-1), giving the integer inequality
+
+        (n-1)·(nW - mS)²  >  z²·(nQ - S²)·m·(n-m)
+
+    (m = occupied neighbor count incl. self). Both sides are exact
+    BIGINTs: flags are bit-reproducible across engines and
+    partitionings — no libm, no boundary flips. Overflow envelope:
+    needs n²·W² within int64; callers at planetary cell counts
+    pre-aggregate to a coarser res (documented contract, same family
+    as anomaly_flags).
+
+    Returns flagged cells ``(cell, w_sum, m_neighbors, spot)`` with
+    ``spot`` ∈ {'hot','cold'}.
+
+    Plan shape (100 TB lens): neighborhood sums reuse
+    :func:`focal_sum` (constant scatter over occupied tiles); the
+    global (n, S, Q) is one 1-row agg broadcast back — no window over
+    the whole layer, no join explosion.
+    """
+    zz = int(z) * int(z)
+    base_stats = tiles.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(value_col).cast("long")).alias("__s"),
+        F.sum(
+            F.col(value_col).cast("long") * F.col(value_col).cast("long")
+        ).alias("__q"),
+    )
+    focal = focal_sum(tiles, res, k=k, value_col=value_col)
+    j = focal.crossJoin(F.broadcast(base_stats))
+    n, s, q = F.col("__n"), F.col("__s"), F.col("__q")
+    w, m = F.col("focal_sum").cast("long"), F.col("n_neighbors").cast("long")
+    dev = n * w - m * s
+    lhs = (n - F.lit(1)) * dev * dev
+    rhs = F.lit(zz) * (n * q - s * s) * m * (n - m)
+    return (
+        j.where(lhs > rhs)
+        .select(
+            "cell",
+            F.col("focal_sum").alias("w_sum"),
+            F.col("n_neighbors").alias("m_neighbors"),
+            F.when(dev > 0, F.lit("hot")).otherwise(F.lit("cold")).alias("spot"),
+        )
+    )
+
+
+def hotspots_gi_sql(
+    tiles_sql: str, res: int, k: int = 1, z: int = 2
+) -> str:
+    """DuckDB twin — identical focal law + integer inequality.
+    ``tiles_sql`` must yield ``(cell, n_points)``."""
+    zz = int(z) * int(z)
+    focal = focal_sum_sql(tiles_sql, res, k=k)
+    return f"""WITH hg_focal AS (
+{focal}
+),
+hg_stats AS (
+  SELECT count(*) AS n, sum(CAST(n_points AS BIGINT)) AS s,
+         sum(CAST(n_points AS BIGINT) * CAST(n_points AS BIGINT)) AS q
+  FROM ({tiles_sql})
+)
+SELECT f.cell, f.focal_sum AS w_sum, f.n_neighbors AS m_neighbors,
+       CASE WHEN g.n * f.focal_sum - f.n_neighbors * g.s > 0
+            THEN 'hot' ELSE 'cold' END AS spot
+FROM hg_focal f CROSS JOIN hg_stats g
+WHERE (g.n - 1) * (g.n * f.focal_sum - f.n_neighbors * g.s)
+      * (g.n * f.focal_sum - f.n_neighbors * g.s)
+    > {zz} * (g.n * g.q - g.s * g.s) * f.n_neighbors * (g.n - f.n_neighbors)"""

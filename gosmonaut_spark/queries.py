@@ -2896,6 +2896,40 @@ ORDER BY url""",
         + "\nORDER BY cell",
     )
 
+    # ---- Getis-Ord Gi* hot/cold spots (exact integer significance) ---------------
+    # a planted "metro" block (lat/lon in [0,30)) carries 10x point
+    # weight so the field has genuine hot structure, not just uniform
+    # noise with cold clipped edges
+    def q_hotspots(spark, sf):
+        from .operators.tiling import hotspots_gi
+
+        wgt = F.when(
+            (F.col("lat") >= 0)
+            & (F.col("lat") < 30)
+            & (F.col("lon") >= 0)
+            & (F.col("lon") < 30),
+            F.lit(10),
+        ).otherwise(F.lit(1))
+        tiles = (
+            _pts(spark, sf)
+            .groupBy(cell_expr("lat", "lon", 5).alias("cell"))
+            .agg(F.sum(wgt).alias("n_points"))
+        )
+        return hotspots_gi(tiles, 5, k=1, z=2).orderBy("cell")
+
+    from .operators.tiling import hotspots_gi_sql
+
+    _HS_TILES = (
+        f"SELECT {cell_sql('lat', 'lon', 5)} AS cell, "
+        f"sum(CASE WHEN lat >= 0 AND lat < 30 AND lon >= 0 AND lon < 30 "
+        f"THEN 10 ELSE 1 END) AS n_points "
+        f"FROM ({_PTS_SQL}) GROUP BY 1"
+    )
+    q["tiles_hotspots"] = (
+        q_hotspots,
+        hotspots_gi_sql(_HS_TILES, 5, k=1, z=2) + "\nORDER BY cell",
+    )
+
     # ---- raster region labeling (connected blobs, 4-connectivity) ---------------
     # res 8 keeps occupancy ~15% so the layer splits into many genuine
     # multi-cell blobs plus isolated cells.

@@ -800,3 +800,59 @@ def test_label_regions_matches_union_find(spark):
     assert len({got[cid(x, y)] for x, y in [(0, 0), (0, 1), (0, 2), (1, 2)]}) == 1
     assert got[cid(7, 6)] == got[cid(0, 6)]
     assert got[cid(3, 0)] == cid(3, 0)
+
+
+def test_hotspots_gi_matches_float_law(spark):
+    import math
+
+    from gosmonaut_spark.operators.tiling import hotspots_gi
+
+    res, n_grid = 3, 8
+    base = 1 << (2 * res)
+
+    def cid(x, y):
+        return base + x * n_grid + y
+
+    # flat field of 10s with a hot 2x2 island of 200s and one cold
+    # depression of 1s in a corner
+    vals = {}
+    for x in range(n_grid):
+        for y in range(n_grid):
+            vals[(x, y)] = 10
+    for x, y in [(3, 3), (3, 4), (4, 3), (4, 4)]:
+        vals[(x, y)] = 200
+    for x, y in [(0, 0), (0, 1), (1, 0), (1, 1)]:
+        vals[(x, y)] = 1
+    df = spark.createDataFrame(
+        [(cid(x, y), v) for (x, y), v in vals.items()], "cell long, n_points long"
+    )
+
+    n = len(vals)
+    S = sum(vals.values())
+    Q = sum(v * v for v in vals.values())
+    mean = S / n
+    sd = math.sqrt(Q / n - mean * mean)
+
+    def float_flags(z):
+        want = {}
+        for (x, y), v in vals.items():
+            w = m = 0
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    nx, ny = (x + dx) % n_grid, y + dy
+                    if 0 <= ny < n_grid and (nx, ny) in vals:
+                        w += vals[(nx, ny)]
+                        m += 1
+            gi = (w - m * mean) / (sd * math.sqrt(m * (n - m) / (n - 1)))
+            if abs(gi) > z:
+                want[cid(x, y)] = (w, m, "hot" if gi > 0 else "cold")
+        return want
+
+    for z in (1, 2):
+        out = hotspots_gi(df, res, k=1, z=z).collect()
+        got = {r.cell: (r.w_sum, r.m_neighbors, r.spot) for r in out}
+        assert got == float_flags(z), f"z={z}"
+    # the island flags hot at z=2; the depression reaches only |z|>1
+    assert "hot" in {v[2] for v in float_flags(2).values()}
+    z1 = {r.cell: r.spot for r in hotspots_gi(df, res, k=1, z=1).collect()}
+    assert "cold" in set(z1.values())

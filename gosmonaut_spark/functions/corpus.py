@@ -227,3 +227,152 @@ FROM pm_kept k
 JOIN pm_uni u1 ON u1.t = k.w1
 JOIN pm_uni u2 ON u2.t = k.w2
 CROSS JOIN pm_ntok t CROSS JOIN pm_nbig b"""
+
+
+def rake_keywords(
+    docs: DataFrame,
+    stopwords: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs; each word scores degree/frequency
+    (degree = Σ length of the phrases it appears in, frequency = its
+    occurrence count — both corpus-wide); a phrase scores the sum of
+    its words' scores. The classic no-model keyword extractor for a web
+    corpus (index terms, tag suggestions, weak topic labels).
+
+    Exactness law: word scores are ONE division of exact integers
+    (bit-identical cross-engine); the phrase sum is an explicit
+    in-order fold over token position (the ADC-sum discipline), so
+    scores AND the (score, phrase) ranking match DuckDB bit-for-bit.
+
+    Plan shape (100 TB lens): phrase segmentation is the sessionize
+    run-length law (ONE per-doc window over token position); word
+    stats are one hash agg on the word key (vocab-bounded); the score
+    join is word-keyed (AQE broadcasts the stats side); per-doc top-k
+    is a bounded window. ``stopwords`` is a literal config list riding
+    the plan (same contract as geofences/blocklists).
+
+    Returns ``(id, phrase, score, rank)`` — top ``top_k`` per doc,
+    ties broken by (phrase ASC, first position ASC).
+    """
+    stops = F.array(*[F.lit(w) for w in stopwords])
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokens(text_col)).alias("__pos", "__w"),
+    ).select(
+        "__id", "__pos", "__w", F.array_contains(stops, F.col("__w")).alias("__stop")
+    )
+    wdoc = Window.partitionBy("__id").orderBy(F.col("__pos").asc())
+    phrased = toks.select(
+        "__id",
+        "__pos",
+        "__w",
+        "__stop",
+        F.sum(F.when(F.col("__stop"), 1).otherwise(0))
+        .over(wdoc.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__pid"),
+    ).where(~F.col("__stop"))
+    wph = Window.partitionBy("__id", "__pid")
+    ph = phrased.select(
+        "__id", "__pid", "__pos", "__w", F.count(F.lit(1)).over(wph).alias("__plen")
+    )
+    stats = ph.groupBy("__w").agg(
+        F.count(F.lit(1)).alias("__freq"), F.sum("__plen").alias("__deg")
+    )
+    scored = ph.join(stats, "__w").select(
+        "__id",
+        "__pid",
+        "__pos",
+        "__w",
+        (F.col("__deg").cast("double") / F.col("__freq").cast("double")).alias(
+            "__ws"
+        ),
+    )
+    phrases = scored.groupBy("__id", "__pid").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("__pos", "__ws"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["__ws"],
+        ).alias("score"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__w"))),
+                lambda x: x["__w"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.min("__pos").alias("__first"),
+    )
+    wtop = Window.partitionBy("__id").orderBy(
+        F.col("score").desc(), F.col("phrase").asc(), F.col("__first").asc()
+    )
+    return (
+        phrases.select(
+            F.col("__id").alias(id_col),
+            "phrase",
+            "score",
+            F.row_number().over(wtop).cast("int").alias("rank"),
+        )
+        .where(F.col("rank") <= F.lit(int(top_k)))
+    )
+
+
+def rake_keywords_sql(
+    docs_sql: str,
+    stopwords: list[str],
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    top_k: int = 3,
+) -> str:
+    """DuckDB twin — identical run-length/score/fold/rank law."""
+    stoplist = ", ".join(f"'{w}'" for w in stopwords)
+    return f"""WITH rk_src AS ({docs_sql}),
+rk_toks AS (
+  SELECT did, pos, w, w IN ({stoplist}) AS isstop
+  FROM (
+    SELECT {id_expr} AS did,
+           generate_subscripts(ts, 1) - 1 AS pos,
+           unnest(ts) AS w
+    FROM (SELECT {id_expr}, {tokens_sql(text_expr)} AS ts FROM rk_src)
+  )
+),
+rk_ph AS (
+  SELECT did, pos, w,
+         sum(CASE WHEN isstop THEN 1 ELSE 0 END)
+           OVER (PARTITION BY did ORDER BY pos ASC
+                 ROWS UNBOUNDED PRECEDING) AS pid,
+         isstop
+  FROM rk_toks
+),
+rk_words AS (
+  SELECT did, pid, pos, w,
+         count(*) OVER (PARTITION BY did, pid) AS plen
+  FROM rk_ph WHERE NOT isstop
+),
+rk_stats AS (
+  SELECT w, count(*) AS freq, sum(plen) AS deg FROM rk_words GROUP BY w
+),
+rk_scored AS (
+  SELECT r.did, r.pid, r.pos, r.w,
+         CAST(s.deg AS DOUBLE) / CAST(s.freq AS DOUBLE) AS ws
+  FROM rk_words r JOIN rk_stats s ON s.w = r.w
+),
+rk_phrases AS (
+  SELECT did, pid,
+         list_reduce(list_prepend(0.0, list(ws ORDER BY pos)),
+                     (a, b) -> a + b) AS score,
+         string_agg(w, ' ' ORDER BY pos) AS phrase,
+         min(pos) AS firstpos
+  FROM rk_scored GROUP BY did, pid
+),
+rk_ranked AS (
+  SELECT did, phrase, score,
+         CAST(row_number() OVER (PARTITION BY did
+              ORDER BY score DESC, phrase ASC, firstpos ASC) AS INTEGER) AS rank
+  FROM rk_phrases
+)
+SELECT did AS {id_expr}, phrase, score, rank
+FROM rk_ranked WHERE rank <= {int(top_k)}"""

@@ -1232,6 +1232,32 @@ SELECT lang, bigram, n, rank FROM ranked WHERE rank <= 10
 ORDER BY lang, rank""",
     )
 
+    # ---- RAKE keyword extraction --------------------------------------------------
+    def q_rake(spark, sf):
+        from .functions.corpus import rake_keywords
+        from .functions.text import STOPWORDS
+
+        stops = sorted({w for ws in STOPWORDS.values() for w in ws})
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        return rake_keywords(d, stops, "doc_id", "text", top_k=3).orderBy(
+            "doc_id", "rank"
+        )
+
+    from .functions.corpus import rake_keywords_sql
+    from .functions.text import STOPWORDS as _SW
+
+    q["text_rake_keywords"] = (
+        q_rake,
+        rake_keywords_sql(
+            "SELECT doc_id, text FROM documents",
+            sorted({w for ws in _SW.values() for w in ws}),
+            "doc_id",
+            "text",
+            top_k=3,
+        )
+        + "\nORDER BY doc_id, rank",
+    )
+
     # ---- content-defined-chunking dedup (rsync/LBFS law) -------------------------
     def q_cdc(spark, sf):
         from .functions.dedup import cdc_shared_chunks

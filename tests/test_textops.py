@@ -1414,3 +1414,58 @@ def test_cdc_shared_chunks_matches_brute(spark):
     # chunks despite doc 2's prefix shifting every offset
     shared_124 = [fp for fp, ds in docs_by_fp.items() if {1, 2, 4} <= ds]
     assert shared_124 and all(fp in got for fp in shared_124)
+
+
+def test_rake_keywords_matches_brute(spark):
+    import re
+    from collections import Counter, defaultdict
+
+    from gosmonaut_spark.functions.corpus import rake_keywords
+
+    stops = ["the", "and", "of", "is", "for", "a", "in"]
+    texts = [
+        (1, "deep learning models and deep learning systems for the modern web"),
+        (2, "the web is full of learning systems and a modern web stack"),
+        (3, "the of and"),  # all stopwords: no phrases at all
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    out = rake_keywords(df, stops, top_k=2).collect()
+    got = {(r.doc_id, r.rank): (r.phrase, r.score) for r in out}
+
+    def toks(t):
+        return re.sub(r" +", " ", re.sub(r"[^a-z0-9]+", " ", t.lower())).strip().split()
+
+    # brute RAKE
+    phrases = []  # (doc, firstpos, [words])
+    freq, deg = Counter(), Counter()
+    for did, t in texts:
+        run, start = [], None
+        for i, w in enumerate(toks(t) + ["the"]):  # sentinel flushes tail
+            if w in stops:
+                if run:
+                    phrases.append((did, start, run))
+                    for x in run:
+                        freq[x] += 1
+                        deg[x] += len(run)
+                run, start = [], None
+            else:
+                if not run:
+                    start = i
+                run = run + [w]
+    scored = defaultdict(list)
+    for did, start, run in phrases:
+        s = 0.0
+        for w in run:
+            s += deg[w] / freq[w]
+        scored[did].append((-s, " ".join(run), start))
+    want = {}
+    for did, lst in scored.items():
+        lst.sort()
+        for r, (negs, phrase, _st) in enumerate(lst[:2], 1):
+            want[(did, r)] = (phrase, -negs)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-9
+    assert not any(d == 3 for d, _ in got)  # all-stopword doc yields nothing
+    assert got[(1, 1)][0] in ("deep learning models", "deep learning systems")

@@ -48,6 +48,8 @@ __all__ = [
     "bearing_sectors_sql",
     "simplify_track",
     "simplify_track_sql",
+    "traj_jaccard_pairs",
+    "traj_jaccard_pairs_sql",
 ]
 
 
@@ -424,3 +426,127 @@ FROM st_win
 WHERE plat IS NULL OR nlat IS NULL
    OR abs((lat - plat) * (nlon - plon) - (nlat - plat) * (lon - plon))
       >= {float(eps_area2)!r}"""
+
+
+# ---------------------------------------------------------------------------
+# trajectory territory similarity (visited-cell Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def traj_jaccard_pairs(
+    pts: DataFrame,
+    res: int,
+    threshold: float,
+    key_col: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_cell_df: int | None = None,
+) -> DataFrame:
+    """Territory-overlap join: pairs of movers whose VISITED-CELL sets
+    have Jaccard similarity >= ``threshold`` — trajectory similarity at
+    the raster level (commute twins, shared delivery zones, account
+    sharing), the movement sibling of document n-gram Jaccard: the
+    "tokens" are res-``res`` cells.
+
+    Returns ``(k1, k2, n_inter, n_union, jaccard)`` with ``k1 < k2``;
+    the Jaccard is ONE division of exact integers (bit-identical
+    cross-engine), and the threshold compares identical doubles.
+
+    Plan shape (100 TB lens): DISTINCT (key, cell) first (ping volume
+    never reaches the join), candidate pairs meet ONLY inside one cell
+    (self equi-join on the cell key — never all-pairs), then one pair
+    hash agg + a size join. ``max_cell_df`` is the same skew guard as
+    the document jaccard: cells visited by more than that many movers
+    (airports, central stations) are excluded from candidate generation
+    by an identical window-count predicate on both engines — a
+    DOCUMENTED approximation (a pair connected only through mega-hub
+    cells is missed; intersections lose capped cells), the standard
+    hot-token cap for set-similarity joins.
+    """
+    from ..functions.cells import cell_expr
+
+    vis = (
+        pts.select(
+            F.col(key_col).alias("__k"),
+            cell_expr(lat_col, lon_col, res).alias("__cell"),
+        )
+        .distinct()
+    )
+    sizes = vis.groupBy("__k").agg(F.count(F.lit(1)).alias("__n"))
+    cand_src = vis
+    if max_cell_df is not None:
+        wdf = Window.partitionBy("__cell")
+        cand_src = (
+            vis.select("*", F.count(F.lit(1)).over(wdf).alias("__df"))
+            .where(F.col("__df") <= F.lit(int(max_cell_df)))
+            .drop("__df")
+        )
+    a, b = cand_src.alias("a"), cand_src.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.__cell") == F.col("b.__cell"))
+            & (F.col("a.__k") < F.col("b.__k")),
+        )
+        .groupBy(F.col("a.__k").alias("k1"), F.col("b.__k").alias("k2"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("__k").alias("k1"), F.col("__n").alias("__n1")), "k1")
+        .join(sizes.select(F.col("__k").alias("k2"), F.col("__n").alias("__n2")), "k2")
+        .select(
+            "k1",
+            "k2",
+            "n_inter",
+            (F.col("__n1") + F.col("__n2") - F.col("n_inter")).alias("n_union"),
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("__n1") + F.col("__n2") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return out.where(F.col("jaccard") >= F.lit(float(threshold)))
+
+
+def traj_jaccard_pairs_sql(
+    pts_sql: str,
+    res: int,
+    threshold: float,
+    key_expr: str,
+    lat_expr: str = "lat",
+    lon_expr: str = "lon",
+    max_cell_df: int | None = None,
+) -> str:
+    """DuckDB twin — identical distinct/cap/join/division law."""
+    from ..functions.cells import cell_sql
+
+    cell = cell_sql(lat_expr, lon_expr, res)
+    cap = (
+        f""",
+tj_cand AS (
+  SELECT k, cell FROM (
+    SELECT k, cell, count(*) OVER (PARTITION BY cell) AS df FROM tj_vis
+  ) WHERE df <= {int(max_cell_df)}
+)"""
+        if max_cell_df is not None
+        else """,
+tj_cand AS (SELECT * FROM tj_vis)"""
+    )
+    return f"""WITH tj_src AS ({pts_sql}),
+tj_vis AS (
+  SELECT DISTINCT {key_expr} AS k, {cell} AS cell FROM tj_src
+),
+tj_sizes AS (SELECT k, count(*) AS n FROM tj_vis GROUP BY k){cap},
+tj_inter AS (
+  SELECT a.k AS k1, b.k AS k2, count(*) AS n_inter
+  FROM tj_cand a JOIN tj_cand b ON a.cell = b.cell AND a.k < b.k
+  GROUP BY a.k, b.k
+)
+SELECT i.k1, i.k2, i.n_inter,
+       s1.n + s2.n - i.n_inter AS n_union,
+       CAST(i.n_inter AS DOUBLE)
+         / CAST(s1.n + s2.n - i.n_inter AS DOUBLE) AS jaccard
+FROM tj_inter i
+JOIN tj_sizes s1 ON s1.k = i.k1 JOIN tj_sizes s2 ON s2.k = i.k2
+WHERE CAST(i.n_inter AS DOUBLE)
+      / CAST(s1.n + s2.n - i.n_inter AS DOUBLE) >= {float(threshold)!r}"""

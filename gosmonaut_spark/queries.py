@@ -3124,6 +3124,24 @@ FROM events""",
         + "\nORDER BY user_id, ms",
     )
 
+    # ---- trajectory territory similarity (visited-cell Jaccard) ---------------
+    def q_traj_jac(spark, sf):
+        from .operators.trajectory import traj_jaccard_pairs
+
+        return traj_jaccard_pairs(
+            _dwell_pts(spark, sf), 4, 0.25, "user_id", max_cell_df=32
+        ).orderBy("k1", "k2")
+
+    from .operators.trajectory import traj_jaccard_pairs_sql
+
+    q["geo_traj_jaccard"] = (
+        q_traj_jac,
+        traj_jaccard_pairs_sql(
+            _DWELL_PTS_SQL, 4, 0.25, "user_id", max_cell_df=32
+        )
+        + "\nORDER BY k1, k2",
+    )
+
     # ---- co-presence analytics: contact pairs, geofence crossings, cohorts ----
     # the dwell world (one hashed position per (user, 3-day block)) makes
     # co-location genuine (movers sharing a cell for a whole block) and

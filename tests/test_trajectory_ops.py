@@ -196,3 +196,71 @@ def test_simplify_track_matches_brute(spark):
     assert kept_1 == [0, 2000, 3000, 4000]
     assert (2, 0, 10.0, 10.0) in got          # singleton kept
     assert [ms for k, ms, _, _ in got if k == 3] == [0, 2000]  # dup interior dropped
+
+
+def test_traj_jaccard_matches_brute(spark):
+    from itertools import combinations
+
+    from gosmonaut_spark.operators.trajectory import traj_jaccard_pairs
+
+    res = 4
+    # 4 movers: 1 and 2 share most territory; 3 overlaps partially;
+    # 4 disjoint; one "airport" cell visited by everyone
+    rows = []
+    common = [(10.0, 20.0), (10.5, 21.0), (11.0, 22.0)]
+    for i, (la, lo) in enumerate(common):
+        for k in (1, 2):
+            rows.append((k, i * 1000, k * 100 + i, la, lo))
+    rows += [(1, 9000, 900, 40.0, 40.0)]          # unique to 1
+    rows += [(2, 9100, 910, 40.0, 40.1)]          # same cell as 1's extra!
+    rows += [(3, 0, 300, 10.0, 20.0), (3, 1000, 301, -50.0, -100.0)]
+    rows += [(4, 0, 400, 70.0, 150.0)]
+    for k in (1, 2, 3, 4):                        # airport cell for all
+        rows.append((k, 50_000, 5000 + k, -20.0, -60.0))
+    df = spark.createDataFrame(
+        rows, "user_id long, ms long, event_id long, lat double, lon double"
+    )
+
+    def _brute(max_df=None, t=0.0):
+        vis = {}
+        for k, _ms, _id, la, lo in rows:
+            vis.setdefault(k, set()).add(_cell(la, lo, res))
+        sizes = {k: len(s) for k, s in vis.items()}
+        df_count = {}
+        for s in vis.values():
+            for c in s:
+                df_count[c] = df_count.get(c, 0) + 1
+        out = {}
+        for a, b in combinations(sorted(vis), 2):
+            inter_cells = vis[a] & vis[b]
+            if max_df is not None:
+                inter_cells = {c for c in inter_cells if df_count[c] <= max_df}
+            ni = len(inter_cells)
+            if ni == 0:
+                continue
+            nu = sizes[a] + sizes[b] - ni
+            j = ni / nu
+            if j >= t:
+                out[(a, b)] = (ni, nu, j)
+        return out
+
+    # uncapped: exact jaccard over full cell sets
+    got = {
+        (r.k1, r.k2): (r.n_inter, r.n_union, r.jaccard)
+        for r in traj_jaccard_pairs(df, res, 0.0, "user_id").collect()
+    }
+    assert got == _brute()
+    # capped at df<=3: the everyone-airport cell (df=4) stops generating
+    # candidates — 4's only link disappears
+    got_cap = {
+        (r.k1, r.k2): (r.n_inter, r.n_union, r.jaccard)
+        for r in traj_jaccard_pairs(df, res, 0.0, "user_id", max_cell_df=3).collect()
+    }
+    assert got_cap == _brute(max_df=3)
+    assert not any(4 in p for p in got_cap)
+    # threshold keeps only the territory twins
+    got_t = {
+        (r.k1, r.k2)
+        for r in traj_jaccard_pairs(df, res, 0.5, "user_id").collect()
+    }
+    assert (1, 2) in got_t and (3, 4) not in got_t

@@ -693,3 +693,150 @@ FROM hg_focal f CROSS JOIN hg_stats g
 WHERE (g.n - 1) * (g.n * f.focal_sum - f.n_neighbors * g.s)
       * (g.n * f.focal_sum - f.n_neighbors * g.s)
     > {zz} * (g.n * g.q - g.s * g.s) * f.n_neighbors * (g.n - f.n_neighbors)"""
+
+
+def st_hotspots_gi(
+    st_tiles: DataFrame,
+    res: int,
+    k: int = 1,
+    t_k: int = 1,
+    z: int = 2,
+    value_col: str = "n_points",
+    tbin_col: str = "tbin",
+) -> DataFrame:
+    """Space-TIME Getis-Ord Gi* — the emerging-hotspot primitive (the
+    space-time cube analysis ESRI popularized): each occupied
+    (cell, time-bin) voxel tests its (2k+1)² × (2·t_k+1) neighborhood
+    sum against the global field, with the SAME n²(n-1)-multiplied
+    exact-integer significance law as :func:`hotspots_gi` — flags are
+    bit-reproducible, no float mean/stddev anywhere.
+
+    Study area = occupied voxels (documented, as in the 2-D op).
+    Spatial x wraps at the antimeridian, y clamps at the poles; time
+    clamps at the data's edge bins implicitly (no wrap — neighbors
+    simply don't exist there, shrinking m like the spatial borders).
+
+    Plan shape (100 TB lens): constant (2k+1)²(2t_k+1) scatter per
+    OCCUPIED voxel + one hash agg on the (cell, tbin) key; global
+    (n, S, Q) is one broadcast 1-row agg. Returns flagged voxels
+    ``(cell, tbin, w_sum, m_neighbors, spot)``.
+    """
+    zz = int(z) * int(z)
+    n_grid = 1 << res
+    base = 1 << (2 * res)
+    x = ((F.col("cell") - F.lit(base)) / F.lit(n_grid)).cast("long")
+    y = F.pmod(F.col("cell") - F.lit(base), F.lit(n_grid))
+    offsets = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"), F.lit(dy).alias("dy"), F.lit(dt).alias("dt")
+            )
+            for dx in range(-k, k + 1)
+            for dy in range(-k, k + 1)
+            for dt in range(-t_k, t_k + 1)
+        ]
+    )
+    voxels = st_tiles.select(
+        "cell",
+        F.col(tbin_col).alias("__t"),
+        F.col(value_col).cast("long").alias("__v"),
+    )
+    scattered = (
+        voxels.select(
+            "__v",
+            x.alias("x"),
+            y.alias("y"),
+            "__t",
+            F.explode(offsets).alias("o"),
+        )
+        .select(
+            "__v",
+            (F.pmod(F.col("x") + F.col("o.dx") + F.lit(n_grid), F.lit(n_grid))).alias("nx"),
+            (F.col("y") + F.col("o.dy")).alias("ny"),
+            (F.col("__t") + F.col("o.dt")).alias("nt"),
+        )
+        .where((F.col("ny") >= 0) & (F.col("ny") < n_grid))
+        .select(
+            (F.lit(base) + F.col("nx") * F.lit(n_grid) + F.col("ny")).alias("cell"),
+            F.col("nt").alias("__t"),
+            "__v",
+        )
+    )
+    contrib = scattered.groupBy("cell", "__t").agg(
+        F.sum("__v").alias("w_sum"), F.count(F.lit(1)).alias("m_neighbors")
+    )
+    focal = voxels.select("cell", "__t").join(contrib, ["cell", "__t"])
+    stats = voxels.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__v").alias("__s"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__q"),
+    )
+    j = focal.crossJoin(F.broadcast(stats))
+    n, s, q = F.col("__n"), F.col("__s"), F.col("__q")
+    w, m = F.col("w_sum"), F.col("m_neighbors")
+    dev = n * w - m * s
+    lhs = (n - F.lit(1)) * dev * dev
+    rhs = F.lit(zz) * (n * q - s * s) * m * (n - m)
+    return (
+        j.where(lhs > rhs)
+        .select(
+            "cell",
+            F.col("__t").alias(tbin_col),
+            "w_sum",
+            "m_neighbors",
+            F.when(dev > 0, F.lit("hot")).otherwise(F.lit("cold")).alias("spot"),
+        )
+    )
+
+
+def st_hotspots_gi_sql(
+    st_tiles_sql: str,
+    res: int,
+    k: int = 1,
+    t_k: int = 1,
+    z: int = 2,
+) -> str:
+    """DuckDB twin — identical voxel scatter + integer inequality.
+    ``st_tiles_sql`` must yield ``(cell, tbin, n_points)``."""
+    zz = int(z) * int(z)
+    n_grid = 1 << res
+    base = 1 << (2 * res)
+    offs = ", ".join(
+        f"({dx}, {dy}, {dt})"
+        for dx in range(-k, k + 1)
+        for dy in range(-k, k + 1)
+        for dt in range(-t_k, t_k + 1)
+    )
+    return f"""WITH sth_vox AS MATERIALIZED (
+  SELECT cell, tbin, CAST(n_points AS BIGINT) AS v FROM ({st_tiles_sql})
+),
+sth_xy AS (
+  SELECT v, CAST((cell - {base}) // {n_grid} AS BIGINT) AS x,
+         CAST((cell - {base}) % {n_grid} AS BIGINT) AS y, tbin
+  FROM sth_vox
+),
+sth_off(dx, dy, dt) AS (VALUES {offs}),
+sth_scat AS (
+  SELECT ({base} + ((x + dx + {n_grid}) % {n_grid}) * {n_grid} + (y + dy)) AS cell,
+         tbin + dt AS tbin, v
+  FROM sth_xy, sth_off
+  WHERE y + dy >= 0 AND y + dy < {n_grid}
+),
+sth_c AS (
+  SELECT cell, tbin, sum(v) AS w_sum, count(*) AS m_neighbors
+  FROM sth_scat GROUP BY cell, tbin
+),
+sth_f AS (
+  SELECT x.cell, x.tbin, c.w_sum, c.m_neighbors
+  FROM (SELECT cell, tbin FROM sth_vox) x JOIN sth_c c USING (cell, tbin)
+),
+sth_g AS (
+  SELECT count(*) AS n, sum(v) AS s, sum(v * v) AS q FROM sth_vox
+)
+SELECT f.cell, f.tbin, f.w_sum, f.m_neighbors,
+       CASE WHEN g.n * f.w_sum - f.m_neighbors * g.s > 0
+            THEN 'hot' ELSE 'cold' END AS spot
+FROM sth_f f CROSS JOIN sth_g g
+WHERE (g.n - 1) * (g.n * f.w_sum - f.m_neighbors * g.s)
+      * (g.n * f.w_sum - f.m_neighbors * g.s)
+    > {zz} * (g.n * g.q - g.s * g.s) * f.m_neighbors * (g.n - f.m_neighbors)"""

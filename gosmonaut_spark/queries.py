@@ -2956,6 +2956,54 @@ ORDER BY url""",
         hotspots_gi_sql(_HS_TILES, 5, k=1, z=2) + "\nORDER BY cell",
     )
 
+    # ---- space-time Gi* (emerging hotspot over (cell, day) voxels) ---------------
+    # a metro block that is only hot during one mid-January week: the
+    # voxel field has genuine SPATIOTEMPORAL structure, not just spatial.
+    def q_st_hotspots(spark, sf):
+        from .functions.timeops import ntz_epoch_ms
+        from .operators.tiling import st_hotspots_gi
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        hlat = (F.col("event_id") * F.lit(_P1)) % F.lit(_M)
+        hlon = (F.col("event_id") * F.lit(_P2) + F.lit(_O2)) % F.lit(_M)
+        lat = (hlat % F.lit(1_700_000)) / F.lit(10_000.0) - F.lit(85.0)
+        lon = (hlon % F.lit(3_600_000)) / F.lit(10_000.0) - F.lit(180.0)
+        day = (ntz_epoch_ms(F.col("ts")) / F.lit(86_400_000)).cast("long")
+        metro = (lat >= 0) & (lat < 30) & (lon >= 0) & (lon < 30)
+        spike = (day >= 19_732) & (day <= 19_738)
+        wgt = F.when(metro & spike, F.lit(10)).otherwise(F.lit(1))
+        voxels = (
+            ev.select(
+                cell_expr(lat, lon, 4).alias("cell"),
+                day.alias("tbin"),
+                wgt.alias("w"),
+            )
+            .groupBy("cell", "tbin")
+            .agg(F.sum("w").alias("n_points"))
+        )
+        return st_hotspots_gi(voxels, 4, k=1, t_k=1, z=3).orderBy(
+            "cell", "tbin"
+        )
+
+    from .operators.tiling import st_hotspots_gi_sql
+
+    _STH_VOX = f"""SELECT {cell_sql('lat', 'lon', 4)} AS cell,
+       epoch_ms(ts) // 86400000 AS tbin,
+       sum(CASE WHEN lat >= 0 AND lat < 30 AND lon >= 0 AND lon < 30
+                 AND epoch_ms(ts) // 86400000 BETWEEN 19732 AND 19738
+            THEN 10 ELSE 1 END) AS n_points
+FROM (
+  SELECT ts,
+         ((((event_id * {_P1}) % {_M}) % 1700000) / 10000.0) - 85.0 AS lat,
+         ((((event_id * {_P2} + {_O2}) % {_M}) % 3600000) / 10000.0) - 180.0 AS lon
+  FROM events
+) GROUP BY 1, 2"""
+    q["tiles_st_hotspots"] = (
+        q_st_hotspots,
+        st_hotspots_gi_sql(_STH_VOX, 4, k=1, t_k=1, z=3)
+        + "\nORDER BY cell, tbin",
+    )
+
     # ---- raster region labeling (connected blobs, 4-connectivity) ---------------
     # res 8 keeps occupancy ~15% so the layer splits into many genuine
     # multi-cell blobs plus isolated cells.

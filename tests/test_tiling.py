@@ -856,3 +856,53 @@ def test_hotspots_gi_matches_float_law(spark):
     assert "hot" in {v[2] for v in float_flags(2).values()}
     z1 = {r.cell: r.spot for r in hotspots_gi(df, res, k=1, z=1).collect()}
     assert "cold" in set(z1.values())
+
+
+def test_st_hotspots_gi_matches_float_law(spark):
+    import math
+
+    from gosmonaut_spark.operators.tiling import st_hotspots_gi
+
+    res, n_grid = 3, 8
+    base = 1 << (2 * res)
+
+    def cid(x, y):
+        return base + x * n_grid + y
+
+    # flat 10s over 4 days; one cell spikes to 300 on day 2 only
+    vals = {}
+    for x in range(n_grid):
+        for y in range(n_grid):
+            for t in range(4):
+                vals[(x, y, t)] = 10
+    vals[(4, 4, 2)] = 300
+    df = spark.createDataFrame(
+        [(cid(x, y), t, v) for (x, y, t), v in vals.items()],
+        "cell long, tbin long, n_points long",
+    )
+    out = st_hotspots_gi(df, res, k=1, t_k=1, z=2).collect()
+    got = {(r.cell, r.tbin): (r.w_sum, r.m_neighbors, r.spot) for r in out}
+
+    n = len(vals)
+    S = sum(vals.values())
+    Q = sum(v * v for v in vals.values())
+    mean, sd = S / n, math.sqrt(Q / n - (S / n) ** 2)
+    want = {}
+    for (x, y, t), v in vals.items():
+        w = m = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dt in (-1, 0, 1):
+                    key = ((x + dx) % n_grid, y + dy, t + dt)
+                    if 0 <= y + dy < n_grid and key in vals:
+                        w += vals[key]
+                        m += 1
+        gi = (w - m * mean) / (sd * math.sqrt(m * (n - m) / (n - 1)))
+        if abs(gi) > 2:
+            want[(cid(x, y), t)] = (w, m, "hot" if gi > 0 else "cold")
+    assert got == want
+    # the spike's spatiotemporal halo flags ONLY around (4,4,2)
+    assert got and all(
+        abs(c - cid(4, 4)) <= n_grid + 1 and abs(t - 2) <= 1 for (c, t) in got
+    )
+    assert all(v[2] == "hot" for v in got.values())

@@ -173,3 +173,17 @@ def test_retention_matches_brute(spark):
     assert got == dict(brute)
     assert got[(0, 0)] == 2 and got[(0, 1)] == 2 and got[(0, 3)] == 1
     assert got[(2, 0)] == 1
+
+
+def test_colocation_plan_is_equijoin(spark):
+    """Candidates must meet in an equi-join on (cell, bucket) — never a
+    cartesian pairing."""
+    from gosmonaut_spark.operators.colocation import colocation_pairs
+
+    pts = _mk_pts(spark, _CO_ROWS)
+    plan = (
+        colocation_pairs(pts, 5, 3_600_000, "user_id", "ms")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -81,3 +81,18 @@ def test_snap_clamps_projection_to_endpoints(spark):
     segs = [(7, 0.0, 0.0, 2.0, 0.0)]
     got = _run(spark, points, segs, r=1.5, g=1.0)
     assert got == {1: (7, 1.0, 1.0)}
+
+
+def test_snap_plan_has_no_cartesian_product(spark):
+    """The cell-bucketed candidate join must plan as an equi-join on the
+    grid keys — a CartesianProduct/BroadcastNestedLoop here would be the
+    all-pairs shape the operator exists to avoid."""
+    from gosmonaut_spark.operators.mapmatch import snap_to_segments
+
+    p = spark.createDataFrame([(1, 0.0, 0.0)], "id long, lon double, lat double")
+    s = spark.createDataFrame(
+        [(7, 0.0, 0.0, 1.0, 1.0)], "seg_id long, ax double, ay double, bx double, by double"
+    )
+    plan = snap_to_segments(p, s, radius=1.0, grid_deg=2.0)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

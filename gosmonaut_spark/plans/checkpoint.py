@@ -272,6 +272,44 @@ class CheckpointStore:
             extra_meta={"operation": "merge", "merge_keys": keys},
         )
 
+    def compact_files(
+        self,
+        name: str,
+        target_files: int,
+        partition_by: list[str] | None = None,
+    ) -> DataFrame:
+        """Iceberg ``rewrite_data_files`` analog — small-file compaction
+        as a COMMIT: read the current snapshot, rewrite it into
+        ``target_files`` files, and record the result as a new snapshot
+        with ``operation: rewrite`` and the old snapshot as parent.
+        Content is bit-identical (a pure repartition — no row changes),
+        so readers see only fewer, larger files; time travel to the
+        pre-compaction snapshot still reads the original file layout.
+
+        Why it exists: every streaming sink and incremental merge
+        accretes small files; at 100 TB a scan's task count (and the
+        NameNode/manifest pressure) follows file count, so periodic
+        rewrite is standard table maintenance. The expired small files
+        are reclaimed later by ``expire_snapshots`` — compaction itself
+        never deletes data a live snapshot references.
+        """
+        if not self.has(name):
+            raise ValueError(f"compact_files: no snapshot for {name!r}")
+
+        def build():
+            return self.read(name).repartition(int(target_files))
+
+        return self.run_pass(
+            name,
+            build,
+            partition_by=partition_by,
+            overwrite=True,
+            extra_meta={
+                "operation": "rewrite",
+                "target_files": int(target_files),
+            },
+        )
+
     def run_pass(
         self,
         name: str,

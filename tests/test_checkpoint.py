@@ -211,3 +211,54 @@ def test_merge_upsert(spark, tmp_path):
     out3 = ck.merge_upsert("t", ups2, ["k"])
     got = {r.k: (r.v, r.score) for r in out3.collect()}
     assert got == {1: ("a", None), 2: ("B", None), 4: ("D", 7)}
+
+
+def test_compact_files_rewrites_layout_not_content(spark, tmp_path):
+    import glob
+
+    from gosmonaut_spark.plans.checkpoint import CheckpointStore
+
+    ck = CheckpointStore(spark, str(tmp_path / "cmp"), retain=10)
+    rows = [(i, f"v{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, v string").repartition(16)
+    ck.run_pass("t", lambda: df)
+
+    def n_files(sid):
+        return len(
+            glob.glob(str(tmp_path / "cmp" / "t" / f"snap-{sid}" / "**" / "*.parquet"),
+                      recursive=True)
+        ) or len(glob.glob(str(tmp_path / "cmp" / "t" / "*" / "**" / "*.parquet"),
+                           recursive=True))
+
+    files_before = len(
+        glob.glob(str(tmp_path / "cmp" / "**" / "*.parquet"), recursive=True)
+    )
+    assert files_before >= 16
+
+    out = ck.compact_files("t", target_files=2)
+    # content identical
+    assert sorted((r.k, r.v) for r in out.collect()) == sorted(rows)
+    assert sorted((r.k, r.v) for r in ck.read("t").collect()) == sorted(rows)
+    # layout rewritten: the new snapshot holds far fewer files
+    snaps = ck.snapshots("t")
+    assert snaps[-1]["operation"] == "rewrite" and snaps[-1]["parent"] == snaps[0]["id"]
+    new_dir = glob.glob(str(tmp_path / "cmp" / "**" / "*.parquet"), recursive=True)
+    per_snap = {}
+    for f in new_dir:
+        sid = [p for p in f.split("/") if p.startswith("snap-")]
+        if sid:
+            per_snap.setdefault(sid[0], []).append(f)
+    assert len(per_snap) == 2  # both snapshots' files still on disk
+    new_snap = f"snap-{snaps[-1]['id']:05d}"
+    old_snap = f"snap-{snaps[0]['id']:05d}"
+    assert len(per_snap[new_snap]) == 2
+    assert len(per_snap[old_snap]) >= 16
+    # time travel reads the pre-compaction snapshot unchanged
+    assert sorted(
+        (r.k, r.v) for r in ck.read("t", snapshot_id=snaps[0]["id"]).collect()
+    ) == sorted(rows)
+    # expire reclaims the small-file snapshot, keeping the compacted one
+    expired = ck.expire_snapshots("t", keep_last=1)
+    assert snaps[0]["id"] in expired
+    left = glob.glob(str(tmp_path / "cmp" / "**" / "*.parquet"), recursive=True)
+    assert all(new_snap in f for f in left)

@@ -1139,3 +1139,50 @@ adc_ranked AS (
 )
 SELECT qid AS {query_id}, tid AS {target_id}, adc_d2, rank
 FROM adc_ranked WHERE rank <= {int(k)}"""
+
+
+def knn_classify(
+    topk: DataFrame,
+    labels: DataFrame,
+    query_id: str = "query_id",
+    target_id: str = "target_id",
+    label_col: str = "label",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """kNN label transfer — majority vote over a top-k neighbor table:
+    the classification/weak-labeling step (dataset label propagation,
+    semi-supervised tagging, embedding-space QA) that every vector
+    pipeline runs after its ANN search.
+
+    Deliberately topk-AGNOSTIC: ``topk`` is any (query_id, target_id)
+    neighbor table — :func:`cosine_topk_brute` for oracle work,
+    :func:`cosine_topk_lsh` / :func:`cosine_topk_ivf` at scale, or
+    :func:`pq_adc_topk` for code-only search; the vote is the same one
+    hash agg + one bounded window regardless. ``exclude_self`` drops
+    target == query rows first (a query inside the target corpus always
+    finds itself at similarity 1 — letting it vote leaks the answer).
+
+    Ties break by the smaller label (count DESC, label ASC) — total
+    order, both engines. Returns ``(query_id, label, n_votes)``.
+    """
+    pairs = topk.select(query_id, target_id)
+    if exclude_self:
+        pairs = pairs.where(F.col(query_id) != F.col(target_id))
+    votes = (
+        pairs.join(
+            labels.select(
+                F.col(target_id), F.col(label_col).alias("label")
+            ),
+            target_id,
+        )
+        .groupBy(query_id, "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.select("*", F.row_number().over(w).alias("__rn"))
+        .where(F.col("__rn") == 1)
+        .select(query_id, "label", "n_votes")
+    )

@@ -698,6 +698,56 @@ WHERE rank <= {_IVF_K}
 ORDER BY query_id, target_id""",
     )
 
+    # ---- kNN label transfer (majority vote over exact-at-full-probe IVF) ------
+    # the Spark plan is the IVF scale shape; nprobe >= n_lists makes it
+    # EXACT (the documented recall dial), so the brute cross-join twin
+    # is the oracle. Self-votes excluded (the query is in the corpus).
+    def q_knn_classify(spark, sf):
+        from .functions.similarity import knn_classify
+
+        e = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qs = e.where(F.col("vec_id") % 17 == 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        ts = e.select(F.col("vec_id").alias("target_id"), "embedding")
+        topk = S.cosine_topk_ivf(
+            qs, ts, k=6, centroid_stride=25, nprobe=10_000, dim=64
+        )
+        labels = e.select(F.col("vec_id").alias("target_id"), "label")
+        return knn_classify(topk, labels).orderBy("query_id")
+
+    q["embeddings_knn_classify"] = (
+        q_knn_classify,
+        f"""WITH kq AS (
+  SELECT vec_id AS query_id, embedding AS qv, {_norm_sql("embedding")} AS qn
+  FROM embeddings WHERE vec_id % 17 = 3
+),
+kt AS (
+  SELECT vec_id AS target_id, embedding AS tv, {_norm_sql("embedding")} AS tn,
+         label
+  FROM embeddings
+),
+kranked AS (
+  SELECT query_id, target_id, label, row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY ({_dot_sql("qv", "tv")}) / (qn * tn) DESC, target_id ASC
+  ) AS rank
+  FROM kq, kt
+),
+kvotes AS (
+  SELECT query_id, label, count(*) AS n_votes
+  FROM kranked WHERE rank <= 6 AND target_id <> query_id
+  GROUP BY query_id, label
+),
+kwin AS (
+  SELECT query_id, label, n_votes, row_number() OVER (
+    PARTITION BY query_id ORDER BY n_votes DESC, label ASC) AS rn
+  FROM kvotes
+)
+SELECT query_id, label, n_votes FROM kwin WHERE rn = 1
+ORDER BY query_id""",
+    )
+
     def q_cos_dup(spark, sf):
         e = spark.read.parquet(f"{sf}/embeddings.parquet").select("vec_id", "embedding")
         dup = e.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))

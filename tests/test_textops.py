@@ -1469,3 +1469,55 @@ def test_rake_keywords_matches_brute(spark):
         assert abs(got[k][1] - want[k][1]) < 1e-9
     assert not any(d == 3 for d, _ in got)  # all-stopword doc yields nothing
     assert got[(1, 1)][0] in ("deep learning models", "deep learning systems")
+
+
+def test_knn_classify_matches_brute_vote(spark):
+    import numpy as np
+
+    from gosmonaut_spark.functions.similarity import (
+        cosine_topk_brute,
+        knn_classify,
+    )
+
+    rng = np.random.default_rng(3)
+    # two well-separated label clusters + a contested query between them
+    a = rng.normal(loc=(5, 0, 0, 0), scale=0.3, size=(10, 4))
+    b = rng.normal(loc=(0, 5, 0, 0), scale=0.3, size=(10, 4))
+    vecs = np.vstack([a, b]).astype(np.float32)
+    labels = [0] * 10 + [1] * 10
+    ts = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "target_id long, embedding array<float>",
+    )
+    lab = spark.createDataFrame(
+        list(zip(range(20), labels)), "target_id long, label long"
+    )
+    qs = spark.createDataFrame(
+        [(0, [float(x) for x in vecs[0]]),       # in cluster a: label 0
+         (15, [float(x) for x in vecs[15]]),     # in cluster b: label 1
+         (99, [2.5, 2.5, 0.0, 0.0])],            # equidistant: tie -> label 0
+        "query_id long, embedding array<float>",
+    )
+    topk = cosine_topk_brute(qs, ts, k=4)
+    got = {r.query_id: (r.label, r.n_votes) for r in knn_classify(topk, lab).collect()}
+
+    # brute vote with the same exclude-self and (votes desc, label asc) law
+    v64 = vecs.astype(np.float64)
+    qv = {0: v64[0], 15: v64[15], 99: np.array([2.5, 2.5, 0.0, 0.0])}
+    want = {}
+    for qid, v in qv.items():
+        sims = [
+            (float(v @ v64[t] / (np.linalg.norm(v) * np.linalg.norm(v64[t]))), -t)
+            for t in range(20)
+        ]
+        sims.sort(reverse=True)
+        top = [-t for _, t in sims[:4] if -t != qid][: 4]
+        votes = {}
+        for t in top:
+            if t == qid:
+                continue
+            votes[labels[t]] = votes.get(labels[t], 0) + 1
+        best = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        want[qid] = best
+    assert got[0][0] == 0 and got[15][0] == 1
+    assert got == want

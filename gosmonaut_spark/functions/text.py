@@ -659,3 +659,94 @@ def pii_scrub_sql(id_col: str = "doc_id", text_expr: str = "text") -> str:
         f"regexp_replace(regexp_replace({text_expr}, '{PII_EMAIL_RE}', '<EMAIL>', 'g'), "
         f"'{PII_PHONE_RE}', '<PHONE>', 'g') AS redacted"
     )
+
+
+def oov_bigram_rate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+) -> DataFrame:
+    """Character-level gibberish score: the share of a document's
+    word-internal char bigrams that are OUT of the corpus vocabulary
+    (bigrams occurring >= ``min_df`` times corpus-wide) — a cheap
+    perplexity proxy (random strings, mojibake, and ROT-13'd spam score
+    high; natural text scores near 0) that needs no language model and
+    no transcendentals.
+
+    Returns ``(id, n_bigrams, n_oov, oov_rate)`` for documents with at
+    least one bigram; ``oov_rate`` is ONE division of exact integers
+    (bit-identical cross-engine).
+
+    Plan shape (100 TB lens): the vocabulary is the
+    :func:`bpe_pair_counts` dictionary-first aggregation (key space
+    alphabet² — broadcast side of the flag join); per-doc bigrams ride
+    the scan via the same codegen ``transform(sequence)``; the flag is
+    a broadcast LEFT join + one doc-keyed hash agg.
+    """
+    vocab = bpe_pair_counts(docs, text_col).where(
+        F.col("n_occurrences") >= F.lit(int(min_df))
+    ).select("pair")
+    per_doc = (
+        docs.select(
+            F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("__w")
+        )
+        .where(F.length("__w") >= 2)
+        .select(
+            "__id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(__w) - 1),"
+                    " i -> substring(__w, i, 2))"
+                )
+            ).alias("pair"),
+        )
+    )
+    flagged = per_doc.join(
+        F.broadcast(vocab.select("pair", F.lit(1).alias("__in"))), "pair", "left"
+    )
+    return (
+        flagged.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_bigrams",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_bigrams").cast("double")).alias(
+                "oov_rate"
+            ),
+        )
+    )
+
+
+def oov_bigram_rate_sql(
+    docs_sql: str,
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    min_df: int = 2,
+) -> str:
+    """DuckDB twin — same dictionary/flag/count law."""
+    return f"""WITH ov_src AS ({docs_sql}),
+ov_vocab AS (
+  SELECT pair FROM (
+{bpe_pair_counts_sql(f"SELECT {text_expr} FROM ov_src", text_expr)}
+  ) WHERE n_occurrences >= {int(min_df)}
+),
+ov_doc AS (
+  SELECT did, substring(w, CAST(i AS INT), 2) AS pair FROM (
+    SELECT {id_expr} AS did, w, unnest(range(1, length(w))) AS i FROM (
+      SELECT {id_expr}, unnest({tokens_sql(text_expr)}) AS w FROM ov_src
+    ) WHERE length(w) >= 2
+  )
+),
+ov_f AS (
+  SELECT d.did, CASE WHEN v.pair IS NULL THEN 1 ELSE 0 END AS oov
+  FROM ov_doc d LEFT JOIN ov_vocab v ON v.pair = d.pair
+)
+SELECT did AS {id_expr}, count(*) AS n_bigrams,
+       sum(oov) AS n_oov,
+       CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
+FROM ov_f GROUP BY did"""

@@ -1282,6 +1282,21 @@ SELECT lang, bigram, n, rank FROM ranked WHERE rank <= 10
 ORDER BY lang, rank""",
     )
 
+    # ---- OOV char-bigram rate (perplexity proxy / gibberish score) -----------------
+    # the synthetic corpus's bigram field is uniform (82 pairs, min df 26),
+    # so min_df 100 marks its genuinely rare tail ('du' etc.) as OOV
+    def q_oov(spark, sf):
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        return T.oov_bigram_rate(d, "doc_id", "text", min_df=100).orderBy("doc_id")
+
+    q["text_oov_rate"] = (
+        q_oov,
+        T.oov_bigram_rate_sql(
+            "SELECT doc_id, text FROM documents", "doc_id", "text", min_df=100
+        )
+        + "\nORDER BY doc_id",
+    )
+
     # ---- RAKE keyword extraction --------------------------------------------------
     def q_rake(spark, sf):
         from .functions.corpus import rake_keywords

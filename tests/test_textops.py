@@ -1521,3 +1521,43 @@ def test_knn_classify_matches_brute_vote(spark):
         want[qid] = best
     assert got[0][0] == 0 and got[15][0] == 1
     assert got == want
+
+
+def test_oov_bigram_rate_matches_brute(spark):
+    import re
+    from collections import Counter
+
+    from gosmonaut_spark.functions.text import oov_bigram_rate
+
+    texts = [
+        (1, "the quick brown fox and the lazy dog"),
+        (2, "the quick brown dog and the lazy fox again"),
+        (3, "zxqj vvkw qqpz"),              # gibberish: every bigram rare
+        (4, "a I . !"),                     # no >=2-char words: absent
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    out = oov_bigram_rate(df, min_df=2).collect()
+    got = {r.doc_id: (r.n_bigrams, r.n_oov, r.oov_rate) for r in out}
+
+    def words(t):
+        n = re.sub(r" +", " ", re.sub(r"[^a-z0-9]+", " ", t.lower())).strip()
+        return [w for w in n.split() if len(w) >= 2] if n else []
+
+    vocab_counts = Counter()
+    for _i, t in texts:
+        wc = Counter(words(t))
+        for w, c in wc.items():
+            for j in range(len(w) - 1):
+                vocab_counts[w[j : j + 2]] += c
+    vocab = {p for p, c in vocab_counts.items() if c >= 2}
+    want = {}
+    for i, t in texts:
+        bigs = [w[j : j + 2] for w in words(t) for j in range(len(w) - 1)]
+        if not bigs:
+            continue
+        oov = sum(1 for b in bigs if b not in vocab)
+        want[i] = (len(bigs), oov, oov / len(bigs))
+    assert got == want
+    assert got[3][1] == got[3][0]  # pure gibberish: rate 1.0
+    assert got[3][2] == 1.0
+    assert got[1][2] < 0.5 and 4 not in got

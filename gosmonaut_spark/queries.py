@@ -3237,6 +3237,50 @@ FROM events""",
         + "\nORDER BY user_id, ms",
     )
 
+    # ---- POI discovery: stay points -> per-cell visitor/dwell rollup -----------
+    # the composition statement: dwell detection feeds a place-mining
+    # rollup (n_dwells, distinct visitors, total dwell ms per cell),
+    # top-10 places by visitors — all integer laws end to end.
+    def q_poi(spark, sf):
+        from .operators.trajectory import stay_points
+
+        sp = stay_points(
+            _dwell_pts(spark, sf), 6, 12 * 3_600_000, "user_id", "ms", "event_id"
+        )
+        agg = sp.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n_dwells"),
+            F.countDistinct("user_id").alias("n_visitors"),
+            F.sum(F.col("exit_ms") - F.col("enter_ms")).alias("total_dwell_ms"),
+        )
+        w = Window.orderBy(
+            F.col("n_visitors").desc(),
+            F.col("total_dwell_ms").desc(),
+            F.col("cell").asc(),
+        )
+        return (
+            agg.select("*", F.row_number().over(w).cast("int").alias("rank"))
+            .where(F.col("rank") <= 10)
+            .orderBy("rank")
+        )
+
+    q["geo_poi_discovery"] = (
+        q_poi,
+        f"""WITH sp AS (
+{stay_points_sql(_DWELL_PTS_SQL, 6, 12 * 3_600_000, "user_id", "ms", "event_id")}
+),
+poi AS (
+  SELECT cell, count(*) AS n_dwells,
+         count(DISTINCT user_id) AS n_visitors,
+         sum(exit_ms - enter_ms) AS total_dwell_ms
+  FROM sp GROUP BY cell
+)
+SELECT cell, n_dwells, n_visitors, total_dwell_ms,
+       CAST(row_number() OVER (
+         ORDER BY n_visitors DESC, total_dwell_ms DESC, cell ASC) AS INTEGER) AS rank
+FROM poi QUALIFY rank <= 10
+ORDER BY rank""",
+    )
+
     # ---- trajectory territory similarity (visited-cell Jaccard) ---------------
     def q_traj_jac(spark, sf):
         from .operators.trajectory import traj_jaccard_pairs

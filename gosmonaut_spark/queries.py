@@ -3152,6 +3152,44 @@ FROM (
         + "\nORDER BY user_id, event_id",
     )
 
+    # ---- burst detection: per-user daily activity through the z-score law ------
+    # composition: (user, day) counts -> exact-integer anomaly flags;
+    # a user's burst days are the days whose event count deviates > 2
+    # population stddevs from that user's own daily baseline.
+    def q_bursts(spark, sf):
+        from .functions.timeops import ntz_epoch_ms
+        from .operators.rolling import anomaly_flags
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        daily = (
+            ev.select(
+                "user_id",
+                (ntz_epoch_ms(F.col("ts")) / F.lit(86_400_000))
+                .cast("long")
+                .alias("day"),
+            )
+            .groupBy("user_id", "day")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        return anomaly_flags(daily, "user_id", "day", "n_events", z=2).orderBy(
+            "user_id", "day"
+        )
+
+    from .operators.rolling import anomaly_flags_sql as _af_sql
+
+    q["events_burst_days"] = (
+        q_bursts,
+        _af_sql(
+            "SELECT user_id, epoch_ms(ts) // 86400000 AS day, "
+            "count(*) AS n_events FROM events GROUP BY 1, 2",
+            "user_id",
+            "day",
+            "n_events",
+            z=2,
+        )
+        + "\nORDER BY user_id, day",
+    )
+
     # ---- map matching: nearest-segment snap ------------------------------------
     # 100 synthetic road segments from supplier (hashed anchor + hashed
     # offset <= 2 deg); points snap within radius 1 deg. Spark runs the

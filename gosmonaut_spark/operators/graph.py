@@ -177,6 +177,7 @@ def pagerank(
     dst: str = "dst",
     iters: int = 5,
     damping: float = 0.85,
+    weight: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge table → ``(id, pr)``.
 
@@ -204,7 +205,14 @@ def pagerank(
     Reference parity: none — the reference has no graph surface; this
     belongs to the graft's web-pipeline family.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if weight is not None:
+        e = edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("long").alias("w"),
+        )
+    else:
+        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
@@ -212,15 +220,26 @@ def pagerank(
         .localCheckpoint()
     )
     n = float(nodes.count())
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
+    if weight is not None:
+        # weighted law: a node splits its rank proportionally to edge
+        # weight (pr·w/Σw) — integer weights, one division per edge in
+        # the same textual order as the SQL twin
+        deg = e.groupBy("src").agg(F.sum("w").alias("outdeg")).localCheckpoint()
+    else:
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
     base = (1.0 - float(damping)) / n
     ranks = nodes.select("id", F.lit(1.0 / n).alias("pr"))
     for _ in range(int(iters)):
+        share = (
+            F.col("pr") * F.col("w").cast("double") / F.col("outdeg").cast("double")
+            if weight is not None
+            else F.col("pr") / F.col("outdeg").cast("double")
+        )
         contrib = (
             e.join(ranks.withColumnRenamed("id", "src"), "src")
             .join(deg, "src")
             .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum(F.col("pr") / F.col("outdeg").cast("double")).alias("contrib"))
+            .agg(F.sum(share).alias("contrib"))
         )
         dang = ranks.join(
             deg.select(F.col("src").alias("id")), "id", "left_anti"
@@ -244,20 +263,32 @@ def pagerank(
     return ranks
 
 
-def pagerank_sql(edges_sql: str, iters: int = 5, damping: float = 0.85) -> str:
+def pagerank_sql(
+    edges_sql: str,
+    iters: int = 5,
+    damping: float = 0.85,
+    weighted: bool = False,
+) -> str:
     """DuckDB twin of :func:`pagerank`: the same law with the iteration
     loop UNROLLED into one CTE pair per round (c{t}: in-contributions,
     g{t}: dangling mass, r{t}: new ranks). Every float op mirrors the
     engine's op sequence (literals cast to DOUBLE so DuckDB's decimal
     arithmetic never enters); sums reassociate, so consumers compare at
-    round(pr, 9). ``edges_sql`` must yield ``(src, dst)``."""
+    round(pr, 9). ``edges_sql`` must yield ``(src, dst)`` — plus ``w``
+    (integer) when ``weighted``."""
     d_lit = f"CAST({float(damping)!r} AS DOUBLE)"
     n_lit = "(SELECT CAST(count(*) AS DOUBLE) FROM pr_nodes)"
+    deg_expr = "sum(w)" if weighted else "count(*)"
+    share = (
+        "r.pr * CAST(e.w AS DOUBLE) / CAST(d.outdeg AS DOUBLE)"
+        if weighted
+        else "r.pr / CAST(d.outdeg AS DOUBLE)"
+    )
     parts = [
         f"WITH pr_edges AS MATERIALIZED ({edges_sql})",
         "pr_nodes AS MATERIALIZED (SELECT src AS id FROM pr_edges "
         "UNION SELECT dst FROM pr_edges)",
-        "pr_deg AS MATERIALIZED (SELECT src AS id, count(*) AS outdeg "
+        f"pr_deg AS MATERIALIZED (SELECT src AS id, {deg_expr} AS outdeg "
         "FROM pr_edges GROUP BY src)",
         f"pr_r0 AS (SELECT id, CAST(1 AS DOUBLE) / {n_lit} AS pr FROM pr_nodes)",
     ]
@@ -265,7 +296,7 @@ def pagerank_sql(edges_sql: str, iters: int = 5, damping: float = 0.85) -> str:
         p = t - 1
         parts.append(
             f"pr_c{t} AS (SELECT e.dst AS id, "
-            "sum(r.pr / CAST(d.outdeg AS DOUBLE)) AS contrib "
+            f"sum({share}) AS contrib "
             f"FROM pr_edges e JOIN pr_r{p} r ON r.id = e.src "
             "JOIN pr_deg d ON d.id = e.src GROUP BY e.dst)"
         )

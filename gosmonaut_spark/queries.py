@@ -2847,6 +2847,42 @@ FROM (SELECT doc_id,
         f") ORDER BY host",
     )
 
+    # ---- OD-flow centrality: WEIGHTED PageRank over the trip graph -----------
+    # composition: od_matrix (dwell world, res 4) emits tile->tile trip
+    # counts; weighted PageRank splits rank along flow volume — which
+    # tiles are central in the MOVEMENT network, not just dense.
+    def q_od_pagerank(spark, sf):
+        from .operators.graph import pagerank
+        from .operators.trajectory import od_matrix
+
+        flows = od_matrix(
+            _dwell_pts(spark, sf), 4, "user_id", "ms", "event_id"
+        ).select(
+            F.col("o_cell").alias("src"),
+            F.col("d_cell").alias("dst"),
+            F.col("n_trips").alias("w"),
+        )
+        pr = pagerank(flows, iters=5, damping=0.85, weight="w")
+        return pr.select(
+            F.col("id").alias("cell"), F.round("pr", 9).alias("pr")
+        ).orderBy("cell")
+
+    from .operators.trajectory import od_matrix_sql as _od_sql
+
+    q["geo_od_pagerank"] = (
+        q_od_pagerank,
+        "SELECT id AS cell, round(pr, 9) AS pr FROM (\n"
+        + pagerank_sql(
+            "SELECT o_cell AS src, d_cell AS dst, n_trips AS w FROM ("
+            + _od_sql(_DWELL_PTS_SQL, 4, "user_id", "ms", "event_id")
+            + ")",
+            iters=5,
+            damping=0.85,
+            weighted=True,
+        )
+        + "\n) ORDER BY cell",
+    )
+
     # ---- rolling event-time window stats (trailing 1h per user) --------------
     # sums reassociate between Spark's sliding-frame executor and DuckDB's
     # window engine, so sum compares at round(x, 9); counts/min/max exact.

@@ -425,3 +425,35 @@ def test_triangle_count_empty_and_no_triangles(spark):
     chain = [(i, i + 1) for i in range(10)]
     df = spark.createDataFrame(chain, "src long, dst long")
     assert triangle_count(df).collect()[0].n_triangles == 0
+
+
+def test_weighted_pagerank_matches_numpy(spark):
+    import numpy as np
+
+    from gosmonaut_spark.operators.graph import pagerank
+
+    # weighted digraph with a dangling node (3) and a dominant flow 0->1
+    edges = [(0, 1, 90), (0, 2, 10), (1, 2, 50), (2, 0, 30), (2, 3, 70)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r.id: r.pr for r in pagerank(df, iters=5, damping=0.85, weight="w").collect()}
+
+    n, d, iters = 4, 0.85, 5
+    outw = {}
+    for s, _t, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    pr = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1 - d) / n)
+        dang = sum(pr[v] for v in range(n) if v not in outw)
+        for s, t, w in edges:
+            nxt[t] += d * pr[s] * w / outw[s]
+        nxt += d * dang / n
+        pr = nxt
+    for v in range(n):
+        assert abs(got[v] - pr[v]) < 1e-12, v
+    # the heavy 0->1 edge makes 1 outrank 2's direct share from 0
+    assert got[1] > got[0]
+
+    # weight=None path unchanged: equals count-based law on multi-edges
+    un = {r.id: r.pr for r in pagerank(df.select("src", "dst"), iters=3).collect()}
+    assert set(un) == {0, 1, 2, 3}

@@ -1652,6 +1652,86 @@ FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
 ORDER BY u.user_id""",
     )
 
+    # ---- conversion-latency quantiles per funnel stage ------------------------
+    # composition: funnel timestamps -> integer stage latencies -> the
+    # exact rank-quantile law (no approx_percentile twin gap).
+    def q_conv_latency(spark, sf):
+        from .functions.timeops import ntz_epoch_ms
+        from .operators.funnel import window_funnel
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        fun = window_funnel(ev, ["view", "click", "purchase"]).select(
+            "user_id",
+            "funnel_depth",
+            ntz_epoch_ms(F.col("t0")).alias("t0_ms"),
+            ntz_epoch_ms(F.col("t1")).alias("t1_ms"),
+            ntz_epoch_ms(F.col("t2")).alias("t2_ms"),
+        )
+        l1 = fun.where(F.col("funnel_depth") >= 2).select(
+            F.lit("view_to_click").alias("stage"),
+            (F.col("t1_ms") - F.col("t0_ms")).alias("l"),
+            F.col("user_id").alias("uid"),
+        )
+        l2 = fun.where(F.col("funnel_depth") >= 3).select(
+            F.lit("click_to_purchase").alias("stage"),
+            (F.col("t2_ms") - F.col("t1_ms")).alias("l"),
+            F.col("user_id").alias("uid"),
+        )
+        lat = l1.unionByName(l2)
+        w = Window.partitionBy("stage").orderBy("l", "uid")
+        cnt = Window.partitionBy("stage")
+        r = lat.withColumn("rk", F.row_number().over(w)).withColumn(
+            "n", F.count(F.lit(1)).over(cnt)
+        )
+        med = F.floor((F.col("n") + 1) / F.lit(2.0)).cast("long")
+        p90 = F.floor((F.col("n") * 9 + 9) / F.lit(10.0)).cast("long")
+        return (
+            r.groupBy("stage")
+            .agg(
+                F.count(F.lit(1)).alias("n_users"),
+                F.min("l").alias("min_ms"),
+                F.max(F.when(F.col("rk") == med, F.col("l"))).alias("median_ms"),
+                F.max(F.when(F.col("rk") == p90, F.col("l"))).alias("p90_ms"),
+                F.max("l").alias("max_ms"),
+            )
+            .orderBy("stage")
+        )
+
+    q["events_conversion_latency"] = (
+        q_conv_latency,
+        """WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t0 GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t1 GROUP BY 1),
+lat AS (
+  SELECT 'view_to_click' AS stage,
+         epoch_ms(c.t1) - epoch_ms(v.t0) AS l, c.user_id AS uid
+  FROM c JOIN v USING (user_id)
+  UNION ALL
+  SELECT 'click_to_purchase',
+         epoch_ms(p.t2) - epoch_ms(c.t1), p.user_id
+  FROM p JOIN c USING (user_id)
+),
+r AS (
+  SELECT stage, l,
+         row_number() OVER (PARTITION BY stage ORDER BY l, uid) AS rk,
+         count(*) OVER (PARTITION BY stage) AS n
+  FROM lat
+)
+SELECT stage, count(*) AS n_users, min(l) AS min_ms,
+       max(CASE WHEN rk = CAST(floor((n + 1) / 2.0) AS BIGINT) THEN l END)
+         AS median_ms,
+       max(CASE WHEN rk = CAST(floor((n * 9 + 9) / 10.0) AS BIGINT) THEN l END)
+         AS p90_ms,
+       max(l) AS max_ms
+FROM r GROUP BY stage
+ORDER BY stage""",
+    )
+
     # ---- distance-band (radius) join ----------------------------------------
     def q_radius(spark, sf):
         from .operators.knn import radius_join

@@ -815,3 +815,103 @@ cdc_fp AS (
 SELECT chunk_fp, count(*) AS n_docs, min(clen) AS chunk_len
 FROM cdc_fp GROUP BY chunk_fp
 HAVING count(*) >= {int(min_docs)}"""
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Excerpt / quotation detection: doc pairs (a < b) whose shingle-set
+    CONTAINMENT — ``|A ∩ B| / min(|A|, |B|)`` — reaches ``threshold``.
+
+    The asymmetric sibling of :func:`jaccard_pairs`: a short article
+    quoted whole inside a long aggregator page has near-zero Jaccard
+    (the union is dominated by the big doc) but containment ≈ 1 — the
+    relationship a dedup pipeline must catch to avoid training on the
+    same passage twice. Broder's containment measure, min-normalized so
+    one row covers both directions.
+
+    Plan and skew contract identical to :func:`jaccard_pairs` (shingle
+    self-join candidates, ``max_doc_freq`` cap applied to candidates
+    AND counts so the score stays self-consistent); the score is one
+    division of exact integers. Returns
+    ``(a, b, n_inter, n_a, n_b, containment)``.
+    """
+    sh = _shingle_table(docs, id_col, text_col, n)
+    if max_doc_freq is not None:
+        dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+        sh = sh.join(
+            dfreq.filter(F.col("__df") <= max_doc_freq), "sh", "left_semi"
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("a"), "sh")
+    b = sh.select(F.col("doc_id").alias("b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "n_a"),
+            "a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "n_b"),
+            "b",
+        )
+        .withColumn(
+            "containment",
+            F.col("n_inter").cast("double")
+            / F.least("n_a", "n_b").cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("a", "b", "n_inter", "n_a", "n_b", "containment")
+    )
+
+
+def containment_pairs_sql(
+    docs_sql: str,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    max_doc_freq: int | None = None,
+) -> str:
+    """DuckDB twin — identical shingle/cap/min-normalized law."""
+    from .text import shingles_sql
+
+    sh = shingles_sql(text_expr, n)
+    cap = (
+        f""",
+cn_kept AS (
+  SELECT did, sh FROM cn_sh
+  WHERE sh IN (SELECT sh FROM cn_sh GROUP BY sh
+               HAVING count(*) <= {int(max_doc_freq)})
+)"""
+        if max_doc_freq is not None
+        else """,
+cn_kept AS (SELECT * FROM cn_sh)"""
+    )
+    return f"""WITH cn_src AS ({docs_sql}),
+cn_sh AS (
+  SELECT {id_expr} AS did, unnest({sh}) AS sh FROM cn_src
+){cap},
+cn_sizes AS (SELECT did, count(*) AS n_sh FROM cn_kept GROUP BY did),
+cn_inter AS (
+  SELECT a.did AS a, b.did AS b, count(*) AS n_inter
+  FROM cn_kept a JOIN cn_kept b ON a.sh = b.sh AND a.did < b.did
+  GROUP BY a.did, b.did
+)
+SELECT i.a, i.b, i.n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       CAST(i.n_inter AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE)
+         AS containment
+FROM cn_inter i
+JOIN cn_sizes sa ON sa.did = i.a JOIN cn_sizes sb ON sb.did = i.b
+WHERE CAST(i.n_inter AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE)
+      >= {float(threshold)!r}"""

@@ -1323,6 +1323,44 @@ ORDER BY lang, rank""",
         + "\nORDER BY doc_id, rank",
     )
 
+    # ---- containment (excerpt) detection -----------------------------------------
+    # derived corpus plants an EXCERPT relation: every doc with
+    # doc_id % 10 == 7 contributes a truncated copy (first ~40% of its
+    # text) under a shifted id — near-1 containment, low jaccard.
+    def q_containment(spark, sf):
+        from .functions.dedup import containment_pairs
+
+        d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+        ex = d.where(F.col("doc_id") % 10 == 7).select(
+            (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+            F.substring(
+                F.col("text"),
+                1,
+                F.floor(F.length("text") * 2 / F.lit(5)).cast("int"),
+            ).alias("text"),
+        )
+        corpus = d.unionByName(ex)
+        return containment_pairs(
+            corpus, threshold=0.8, n=3, max_doc_freq=50
+        ).orderBy("a", "b")
+
+    from .functions.dedup import containment_pairs_sql
+
+    q["dedup_containment_pairs"] = (
+        q_containment,
+        containment_pairs_sql(
+            """SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id,
+       substring(text, 1, CAST(floor(length(text) * 2 / 5) AS INT)) AS text
+FROM documents WHERE doc_id % 10 = 7""",
+            threshold=0.8,
+            n=3,
+            max_doc_freq=50,
+        )
+        + "\nORDER BY a, b",
+    )
+
     # ---- content-defined-chunking dedup (rsync/LBFS law) -------------------------
     def q_cdc(spark, sf):
         from .functions.dedup import cdc_shared_chunks

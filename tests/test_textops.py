@@ -1561,3 +1561,43 @@ def test_oov_bigram_rate_matches_brute(spark):
     assert got[3][1] == got[3][0]  # pure gibberish: rate 1.0
     assert got[3][2] == 1.0
     assert got[1][2] < 0.5 and 4 not in got
+
+
+def test_containment_pairs_matches_brute(spark):
+    import re
+    from itertools import combinations
+
+    from gosmonaut_spark.functions.dedup import containment_pairs
+
+    body = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    texts = [
+        (1, body),
+        (2, "totally different words here nothing shared at all whatsoever ok"),
+        (3, "QUOTE: " + " ".join(body.split()[:8])),   # excerpt of 1
+        (4, body),                                     # exact dup of 1
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    out = containment_pairs(df, threshold=0.5, n=3).collect()
+    got = {(r.a, r.b): (r.n_inter, r.n_a, r.n_b, r.containment) for r in out}
+
+    def sh(t):
+        ws = re.sub(r" +", " ", re.sub(r"[^a-z0-9]+", " ", t.lower())).strip().split()
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    sets = {i: sh(t) for i, t in texts}
+    want = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter == 0:
+            continue
+        c = inter / min(len(sets[a]), len(sets[b]))
+        if c >= 0.5:
+            want[(a, b)] = (inter, len(sets[a]), len(sets[b]), c)
+    assert got == want
+    # the excerpt is contained (high) even though its jaccard vs 1 is low
+    assert got[(1, 3)][3] > 0.5
+    inter, na, nb, _ = got[(1, 3)]
+    assert inter / (na + nb - inter) < 0.5  # jaccard would have missed it
+    assert got[(1, 4)][3] == 1.0            # exact dup: containment 1
+    assert not any(2 in p for p in got)

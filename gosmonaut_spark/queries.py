@@ -1690,6 +1690,86 @@ FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
 ORDER BY u.user_id""",
     )
 
+    # ---- peak concurrency: sweep-line over gap sessions ------------------------
+    # how many users are in-session at once, and when the peak first
+    # happens — the capacity-planning question. Sessions via the
+    # sessionize gap law (30 min); the sweep line is +1/-1 deltas
+    # pre-aggregated per distinct timestamp (bounding the ordered scan
+    # by distinct boundary times, not events) + one running sum.
+    def q_peak_conc(spark, sf):
+        from .functions.timeops import ntz_epoch_ms
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            "user_id", ntz_epoch_ms(F.col("ts")).alias("ms")
+        )
+        wu = Window.partitionBy("user_id").orderBy("ms")
+        gap = 30 * 60_000
+        new_s = F.when(
+            (F.col("ms") - F.lag("ms").over(wu)) > gap, 1
+        ).otherwise(0)
+        sess = (
+            ev.withColumn("ns", new_s)
+            .withColumn(
+                "sid",
+                F.sum("ns").over(
+                    wu.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+            .groupBy("user_id", "sid")
+            .agg(F.min("ms").alias("s"), F.max("ms").alias("e"))
+        )
+        deltas = (
+            sess.select(F.col("s").alias("t"), F.lit(1).alias("d"))
+            .unionByName(
+                sess.select((F.col("e") + 1).alias("t"), F.lit(-1).alias("d"))
+            )
+            .groupBy("t")
+            .agg(F.sum("d").alias("dd"))
+        )
+        wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+        curve = deltas.select("t", F.sum("dd").over(wt).alias("conc"))
+        peak = curve.agg(F.max("conc").alias("max_concurrent"))
+        return (
+            curve.crossJoin(F.broadcast(peak))
+            .where(F.col("conc") == F.col("max_concurrent"))
+            .agg(
+                F.max("conc").alias("max_concurrent"),
+                F.min("t").alias("first_at_ms"),
+            )
+        )
+
+    q["events_peak_concurrency"] = (
+        q_peak_conc,
+        """WITH pe AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+ps AS (
+  SELECT user_id, ms,
+         CASE WHEN ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS ns
+  FROM pe WINDOW w AS (PARTITION BY user_id ORDER BY ms)
+),
+pss AS (
+  SELECT user_id, ms,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ms
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ps
+),
+sess AS (
+  SELECT user_id, sid, min(ms) AS s, max(ms) AS e
+  FROM pss GROUP BY user_id, sid
+),
+deltas AS (
+  SELECT t, sum(d) AS dd FROM (
+    SELECT s AS t, 1 AS d FROM sess
+    UNION ALL SELECT e + 1, -1 FROM sess
+  ) GROUP BY t
+),
+curve AS (
+  SELECT t, sum(dd) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS conc
+  FROM deltas
+)
+SELECT max(conc) AS max_concurrent, min(t) AS first_at_ms
+FROM curve WHERE conc = (SELECT max(conc) FROM curve)""",
+    )
+
     # ---- conversion-latency quantiles per funnel stage ------------------------
     # composition: funnel timestamps -> integer stage latencies -> the
     # exact rank-quantile law (no approx_percentile twin gap).

@@ -1690,6 +1690,66 @@ FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
 ORDER BY u.user_id""",
     )
 
+    # ---- DAU / WAU stickiness -----------------------------------------------------
+    # per-day active users and trailing-7-day actives WITHOUT a windowed
+    # count-distinct: each distinct (user, day) row scatters to the 7
+    # window days it serves (constant fan-out), one more distinct
+    # collapses multi-day users, then count(*) per day IS the distinct
+    # count. Stickiness = dau/wau, one exact division.
+    def q_dau_wau(spark, sf):
+        from .functions.timeops import ntz_epoch_ms
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        ud = (
+            ev.select(
+                "user_id",
+                (ntz_epoch_ms(F.col("ts")) / F.lit(86_400_000))
+                .cast("long")
+                .alias("day"),
+            )
+            .distinct()
+        )
+        dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+        scattered = (
+            ud.select(
+                "user_id",
+                F.explode(
+                    F.sequence(F.col("day"), F.col("day") + F.lit(6))
+                ).alias("day"),
+            )
+            .distinct()
+        )
+        wau = scattered.groupBy("day").agg(F.count(F.lit(1)).alias("wau"))
+        return (
+            dau.join(wau, "day")
+            .select(
+                "day",
+                "dau",
+                "wau",
+                (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+                    "stickiness"
+                ),
+            )
+            .orderBy("day")
+        )
+
+    q["events_dau_wau"] = (
+        q_dau_wau,
+        """WITH ud AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+),
+dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+scat AS (
+  SELECT DISTINCT user_id, day + i AS day
+  FROM ud, (SELECT unnest(range(0, 7)) AS i)
+),
+wau AS (SELECT day, count(*) AS wau FROM scat GROUP BY day)
+SELECT d.day, d.dau, w.wau,
+       CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+FROM dau d JOIN wau w USING (day)
+ORDER BY d.day""",
+    )
+
     # ---- peak concurrency: sweep-line over gap sessions ------------------------
     # how many users are in-session at once, and when the peak first
     # happens — the capacity-planning question. Sessions via the

@@ -186,3 +186,22 @@ def get_or_create(master: str | None = None, **kw) -> SparkSession:
     if active is not None:
         return active
     return build_session(master, **kw)
+
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def register_tables(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Expose the engine's SQL face: register the benchmark parquet
+    tables as temp views so every operator family is reachable from
+    ``spark.sql`` too. The engine's oracle-twin SQL is written in the
+    ANSI subset both DuckDB and Spark SQL execute, so dialect-portable
+    queries (the integer cell law, the hash-derived geo world, window
+    laws) run UNCHANGED on either engine — tested in
+    ``test_sql_surface.py``.
+    """
+    for t in tables:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)

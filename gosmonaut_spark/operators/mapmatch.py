@@ -37,7 +37,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["snap_to_segments", "snap_to_segments_sql"]
+__all__ = [
+    "snap_to_segments",
+    "snap_to_segments_sql",
+    "reverse_geocode",
+    "reverse_geocode_sql",
+]
 
 
 def snap_to_segments(
@@ -172,3 +177,95 @@ mm_ranked AS (
 )
 SELECT pid AS {pt_id}, sid AS {seg_id}, t, dist2
 FROM mm_ranked WHERE rn = 1"""
+
+
+def reverse_geocode(
+    pts: DataFrame,
+    regions: DataFrame,
+    pt_id: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    region_id: str = "region_id",
+    s_col: str = "s",
+    n_col: str = "n",
+    w_col: str = "west",
+    e_col: str = "east",
+) -> DataFrame:
+    """Reverse geocoding against a small region table: assign every
+    point its nearest rectangular region (containment = distance 0) —
+    the admin-area / service-zone tagging step. Planar point-to-box
+    distance with the same clamp law as :func:`snap_to_segments`:
+
+        d² = max(0, w−x, x−e)² + max(0, s−y, y−n)²
+
+    pure comparisons and multiplies on bit-identical doubles, so the
+    assignment (argmin with region-id tie-break) is exact cross-engine.
+
+    Plan: region tables are small by nature (admin areas, depots) — a
+    BROADCAST join of every point against all regions plus one
+    map-side-combinable min(struct) argmin is the right 100 TB shape
+    (constant |regions| work per point, zero shuffle of the point set
+    beyond the argmin's partial aggregation). For region tables too big
+    to broadcast, use the cell-cover candidates of
+    :func:`snap_to_segments` instead — same refine law.
+
+    Returns ``(id, region_id, dist2)`` — ``dist2`` 0.0 inside.
+    """
+    p = pts.select(
+        F.col(pt_id).alias("__pid"),
+        F.col(lon_col).alias("__px"),
+        F.col(lat_col).alias("__py"),
+    )
+    r = regions.select(
+        F.col(region_id).alias("__rid"),
+        F.col(s_col).alias("__s"),
+        F.col(n_col).alias("__n"),
+        F.col(w_col).alias("__w"),
+        F.col(e_col).alias("__e"),
+    )
+    dx = F.greatest(
+        F.lit(0.0), F.col("__w") - F.col("__px"), F.col("__px") - F.col("__e")
+    )
+    dy = F.greatest(
+        F.lit(0.0), F.col("__s") - F.col("__py"), F.col("__py") - F.col("__n")
+    )
+    scored = p.join(F.broadcast(r)).select(
+        "__pid",
+        F.struct((dx * dx + dy * dy).alias("d2"), F.col("__rid")).alias("__c"),
+    )
+    best = scored.groupBy("__pid").agg(F.min("__c").alias("__b"))
+    return best.select(
+        F.col("__pid").alias(pt_id),
+        F.col("__b.__rid").alias(region_id),
+        F.col("__b.d2").alias("dist2"),
+    )
+
+
+def reverse_geocode_sql(
+    pts_sql: str,
+    regions_sql: str,
+    pt_id: str = "id",
+    lat_expr: str = "lat",
+    lon_expr: str = "lon",
+    region_id: str = "region_id",
+) -> str:
+    """DuckDB twin — identical clamp/argmin law (row_number argmin:
+    semantics, not plan). ``regions_sql`` must yield
+    (region_id, s, n, west, east)."""
+    return f"""WITH rg_p AS (
+  SELECT {pt_id} AS pid, {lon_expr} AS px, {lat_expr} AS py FROM ({pts_sql})
+),
+rg_r AS ({regions_sql}),
+rg_d AS (
+  SELECT pid, {region_id} AS rid,
+         greatest(0.0, west - px, px - east) * greatest(0.0, west - px, px - east)
+         + greatest(0.0, s - py, py - n) * greatest(0.0, s - py, py - n) AS d2
+  FROM rg_p CROSS JOIN rg_r
+),
+rg_rank AS (
+  SELECT pid, rid, d2,
+         row_number() OVER (PARTITION BY pid ORDER BY d2 ASC, rid ASC) AS rn
+  FROM rg_d
+)
+SELECT pid AS {pt_id}, rid AS {region_id}, d2 AS dist2
+FROM rg_rank WHERE rn = 1"""

@@ -3264,6 +3264,48 @@ ORDER BY url""",
         + "\nORDER BY cell",
     )
 
+    # ---- reverse geocoding: nearest nation-derived region box -------------------
+    def q_revgeo(spark, sf):
+        from .operators.mapmatch import reverse_geocode
+
+        na = spark.read.parquet(f"{sf}/nation.parquet")
+        k = F.col("n_nationkey").cast("long")
+        cy = ((k * F.lit(_P1) + F.lit(11)) % F.lit(_M) % F.lit(1_500_000)) / F.lit(
+            10_000.0
+        ) - F.lit(75.0)
+        cx = ((k * F.lit(_P2) + F.lit(17)) % F.lit(_M) % F.lit(3_400_000)) / F.lit(
+            10_000.0
+        ) - F.lit(170.0)
+        hy = ((k * F.lit(7_919) + F.lit(3)) % F.lit(100)) / F.lit(10.0) + F.lit(2.0)
+        hx = ((k * F.lit(104_729) + F.lit(7)) % F.lit(100)) / F.lit(10.0) + F.lit(
+            2.0
+        )
+        regions = na.select(
+            k.alias("region_id"),
+            (cy - hy).alias("s"),
+            (cy + hy).alias("n"),
+            (cx - hx).alias("west"),
+            (cx + hx).alias("east"),
+        )
+        return reverse_geocode(_pts(spark, sf), regions).orderBy("id")
+
+    from .operators.mapmatch import reverse_geocode_sql
+
+    _RG_REGIONS = f"""SELECT k AS region_id,
+       cy - hy AS s, cy + hy AS n, cx - hx AS west, cx + hx AS east
+FROM (
+  SELECT k,
+         ((((k * {_P1} + 11) % {_M}) % 1500000) / 10000.0) - 75.0 AS cy,
+         ((((k * {_P2} + 17) % {_M}) % 3400000) / 10000.0) - 170.0 AS cx,
+         (((k * 7919 + 3) % 100) / 10.0) + 2.0 AS hy,
+         (((k * 104729 + 7) % 100) / 10.0) + 2.0 AS hx
+  FROM (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation)
+)"""
+    q["geo_reverse_geocode"] = (
+        q_revgeo,
+        reverse_geocode_sql(_PTS_SQL, _RG_REGIONS) + "\nORDER BY id",
+    )
+
     # ---- quadtree compaction of an occupied-cell cover -------------------------
     def q_compact(spark, sf):
         from .operators.tiling import compact_cells

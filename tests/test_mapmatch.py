@@ -96,3 +96,44 @@ def test_snap_plan_has_no_cartesian_product(spark):
     plan = snap_to_segments(p, s, radius=1.0, grid_deg=2.0)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_reverse_geocode_matches_brute(spark):
+    import random
+
+    from gosmonaut_spark.operators.mapmatch import reverse_geocode
+
+    rng = random.Random(9)
+    regions = []
+    for i in range(8):
+        cy, cx = rng.uniform(-60, 60), rng.uniform(-150, 150)
+        hy, hx = rng.uniform(2, 10), rng.uniform(2, 10)
+        regions.append((i, cy - hy, cy + hy, cx - hx, cx + hx))
+    pts = [(i, rng.uniform(-80, 80), rng.uniform(-170, 170)) for i in range(150)]
+    # plant: a point strictly inside region 0 and one exactly on its edge
+    _, s0, n0, w0, e0 = regions[0]
+    pts += [(900, (s0 + n0) / 2, (w0 + e0) / 2), (901, s0, w0)]
+
+    rdf = spark.createDataFrame(
+        regions, "region_id long, s double, n double, west double, east double"
+    )
+    pdf = spark.createDataFrame(pts, "id long, lat double, lon double")
+    got = {
+        r.id: (r.region_id, r.dist2)
+        for r in reverse_geocode(pdf, rdf).collect()
+    }
+
+    def d2(py, px, reg):
+        _, s, n, w, e = reg
+        dx = max(0.0, w - px, px - e)
+        dy = max(0.0, s - py, py - n)
+        return dx * dx + dy * dy
+
+    want = {}
+    for pid, py, px in pts:
+        scored = sorted((d2(py, px, r), r[0]) for r in regions)
+        want[pid] = (scored[0][1], scored[0][0])
+    assert got == want
+    assert got[900] == (0, 0.0)   # inside: distance 0
+    assert got[901] == (0, 0.0)   # closed boundary: corner counts inside
+    assert len(got) == len(pts)   # total assignment — nobody unmatched

@@ -1282,6 +1282,51 @@ SELECT lang, bigram, n, rank FROM ranked WHERE rank <= 10
 ORDER BY lang, rank""",
     )
 
+    # ---- lexical diversity: inverse-Simpson effective vocabulary per lang ---------
+    # eff_vocab = (Σc)² / Σc² — the rational diversity index (no
+    # entropy/log): 1 when one token dominates, |vocab| when uniform;
+    # exact BIGINT numerator/denominator, ONE division.
+    def q_lexdiv(spark, sf):
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        tc = (
+            d.select("lang", F.explode(T.tokens("text")).alias("tok"))
+            .groupBy("lang", "tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return (
+            tc.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_vocab"),
+                F.sum("c").alias("n_tokens"),
+                F.sum(F.col("c") * F.col("c")).alias("__sq"),
+            )
+            .select(
+                "lang",
+                "n_vocab",
+                "n_tokens",
+                (
+                    F.col("n_tokens").cast("double")
+                    * F.col("n_tokens").cast("double")
+                    / F.col("__sq").cast("double")
+                ).alias("eff_vocab"),
+            )
+            .orderBy("lang")
+        )
+
+    q["corpus_lexical_diversity"] = (
+        q_lexdiv,
+        f"""WITH tc AS (
+  SELECT lang, tok, count(*) AS c FROM (
+    SELECT lang, unnest({T.tokens_sql('text')}) AS tok FROM documents
+  ) GROUP BY lang, tok
+)
+SELECT lang, count(*) AS n_vocab, sum(c) AS n_tokens,
+       CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)
+         / CAST(sum(c * c) AS DOUBLE) AS eff_vocab
+FROM tc GROUP BY lang
+ORDER BY lang""",
+    )
+
     # ---- OOV char-bigram rate (perplexity proxy / gibberish score) -----------------
     # the synthetic corpus's bigram field is uniform (82 pairs, min df 26),
     # so min_df 100 marks its genuinely rare tail ('du' etc.) as OOV

@@ -748,6 +748,83 @@ SELECT query_id, label, n_votes FROM kwin WHERE rn = 1
 ORDER BY query_id""",
     )
 
+    # ---- Matryoshka truncation recall: 16-dim prefix vs full 64-dim top-k ------
+    # the evaluation query behind prefix-truncatable embeddings: how much
+    # of the exact top-5 survives when vectors are cut to their first 16
+    # dims. Brute top-k on both sides (the oracle-grade baseline; at
+    # scale both sides run the LSH/IVF paths — the recall JOIN is the
+    # same), overlap counted per query, one exact division.
+    def q_matryoshka(spark, sf):
+        e = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qs = e.where(F.col("vec_id") % 13 == 1).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        ts = e.select(F.col("vec_id").alias("target_id"), "embedding")
+        full = S.cosine_topk_brute(qs, ts, k=5).select("query_id", "target_id")
+        qs16 = qs.select("query_id", F.slice("embedding", 1, 16).alias("embedding"))
+        ts16 = ts.select("target_id", F.slice("embedding", 1, 16).alias("embedding"))
+        trunc = S.cosine_topk_brute(qs16, ts16, k=5).select(
+            "query_id", "target_id"
+        )
+        common = full.join(trunc, ["query_id", "target_id"], "left_semi")
+        return (
+            common.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            .select(
+                "query_id",
+                "n_common",
+                (F.col("n_common").cast("double") / F.lit(5.0)).alias("recall_at_5"),
+            )
+            .orderBy("query_id")
+        )
+
+    _MK_RANK = """row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, target_id ASC)"""
+    q["embeddings_matryoshka_recall"] = (
+        q_matryoshka,
+        f"""WITH mq AS (
+  SELECT vec_id AS query_id, embedding AS qv, {_norm_sql("embedding")} AS qn
+  FROM embeddings WHERE vec_id % 13 = 1
+),
+mt AS (
+  SELECT vec_id AS target_id, embedding AS tv, {_norm_sql("embedding")} AS tn
+  FROM embeddings
+),
+full_r AS (
+  SELECT query_id, target_id, {_MK_RANK} AS rank FROM (
+    SELECT q.query_id, t.target_id,
+           ({_dot_sql("qv", "tv")}) / (qn * tn) AS cos_sim
+    FROM mq q, mt t)
+),
+mq16 AS (
+  SELECT vec_id AS query_id, list_slice(embedding, 1, 16) AS qv,
+         {_norm_sql("list_slice(embedding, 1, 16)")} AS qn
+  FROM embeddings WHERE vec_id % 13 = 1
+),
+mt16 AS (
+  SELECT vec_id AS target_id, list_slice(embedding, 1, 16) AS tv,
+         {_norm_sql("list_slice(embedding, 1, 16)")} AS tn
+  FROM embeddings
+),
+tr_r AS (
+  SELECT query_id, target_id, {_MK_RANK} AS rank FROM (
+    SELECT q.query_id, t.target_id,
+           ({_dot_sql("qv", "tv")}) / (qn * tn) AS cos_sim
+    FROM mq16 q, mt16 t)
+),
+common AS (
+  SELECT f.query_id, count(*) AS n_common
+  FROM (SELECT query_id, target_id FROM full_r WHERE rank <= 5) f
+  JOIN (SELECT query_id, target_id FROM tr_r WHERE rank <= 5) t
+    USING (query_id, target_id)
+  GROUP BY f.query_id
+)
+SELECT query_id, n_common,
+       CAST(n_common AS DOUBLE) / 5.0 AS recall_at_5
+FROM common
+ORDER BY query_id""",
+    )
+
     def q_cos_dup(spark, sf):
         e = spark.read.parquet(f"{sf}/embeddings.parquet").select("vec_id", "embedding")
         dup = e.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))

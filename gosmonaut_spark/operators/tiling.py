@@ -840,3 +840,117 @@ FROM sth_f f CROSS JOIN sth_g g
 WHERE (g.n - 1) * (g.n * f.w_sum - f.m_neighbors * g.s)
       * (g.n * f.w_sum - f.m_neighbors * g.s)
     > {zz} * (g.n * g.q - g.s * g.s) * f.m_neighbors * (g.n - f.m_neighbors)"""
+
+
+def _res_ladder(cell):
+    """Per-row resolution of a self-describing cell id as a pure CASE
+    ladder of integer compares (no log2 — libm-free, ulp-free, portable
+    to any SQL engine). Mirrored textually in the SQL twin."""
+    expr = F.lit(0)
+    # ascending build => the LARGEST threshold sits outermost and wins
+    for r in range(1, 16):
+        expr = F.when(cell >= F.lit(1 << (2 * r)), F.lit(r)).otherwise(expr)
+    return expr
+
+
+def _res_ladder_sql(cell_expr_txt: str) -> str:
+    out = "0"
+    for r in range(1, 16):
+        out = f"CASE WHEN {cell_expr_txt} >= {1 << (2 * r)} THEN {r} ELSE {out} END"
+    return out
+
+
+def uncompact_cells(cells: DataFrame, target_res: int) -> DataFrame:
+    """Inverse of :func:`compact_cells`: expand a MIXED-resolution cell
+    set to uniform ``target_res`` cells — the read-side adapter when a
+    consumer needs a flat raster (join against a single-res tile layer,
+    export, k-ring math) from a compacted cover.
+
+    Plan: one fixed branch per source resolution 0..target (a cell's
+    res is its flag-bit range, so each branch is a literal-only filter
+    + literal shift arithmetic + a bounded ``sequence`` explode — no
+    data-dependent CASE ladders, every branch whole-stage-codegens
+    small), unioned. Cells already AT ``target_res`` pass through;
+    cells FINER than the target are rejected loudly (expanding cannot
+    coarsen — that is :func:`compact_cells`' direction).
+
+    ``compact_cells`` → ``uncompact_cells`` is an exact identity on any
+    uniform-res input (tested); fan-out is the true area, so a
+    compacted continent expands to exactly its fine cells — callers
+    wanting bounded output keep covers compacted and join with
+    :func:`cover_contains` instead.
+    """
+    t = int(target_res)
+    # each resolution branch re-scans the input: truncate the upstream
+    # lineage once (a compacted cover is tiny by construction) so the
+    # union does not replicate the producer plan per branch — the same
+    # localCheckpoint discipline as the iterative operators
+    cells = cells.select("cell").localCheckpoint()
+    cell = F.col("cell")
+    # STRICT guard branch: any cell above the target flag range raises
+    # at execution (assert_true rides the scan — no extra job)
+    guard = cells.where(cell >= F.lit(1 << (2 * (t + 1)))).select(
+        F.assert_true(
+            F.lit(False),
+            F.lit(f"uncompact_cells: cell finer than target_res {t}"),
+        ).cast("long").alias("cell")
+    )
+    branches = [guard]
+    for r in range(t + 1):
+        lo = 1 << (2 * r)
+        hi = 1 << (2 * r + 2)
+        d = t - r
+        side = 1 << d
+        n_r = 1 << r
+        b = cells.where((cell >= F.lit(lo)) & (cell < F.lit(hi)))
+        if d == 0:
+            branches.append(b.select("cell"))
+            continue
+        x = F.shiftright(cell, r) - F.lit(n_r)
+        y = cell - F.shiftleft(F.shiftright(cell, r), r)
+        exploded = b.select(
+            x.alias("__x"),
+            y.alias("__y"),
+            F.explode(F.sequence(F.lit(0), F.lit(side * side - 1))).alias("__i"),
+        )
+        cx = F.col("__x") * F.lit(side) + F.shiftright(F.col("__i"), d)
+        cy = F.col("__y") * F.lit(side) + F.pmod(F.col("__i"), F.lit(side))
+        branches.append(
+            exploded.select(
+                (F.lit(1 << (2 * t)) + cx * F.lit(1 << t) + cy).alias("cell")
+            )
+        )
+    out = branches[0]
+    for br in branches[1:]:
+        out = out.unionByName(br)
+    return out
+
+
+def uncompact_cells_sql(cells_sql: str, target_res: int) -> str:
+    """DuckDB twin — identical CASE-ladder / shift / explode law (the
+    finer-than-target guard is the engine's job; the twin assumes valid
+    input)."""
+    t = int(target_res)
+    res = _res_ladder_sql("cell")
+    p_lad = "0"
+    for r in range(16):
+        p_lad = f"CASE WHEN res = {r} THEN {1 << r} ELSE {p_lad} END"
+    s_lad = "0"
+    for r in range(16):
+        d = t - r
+        sv = 1 << d if d >= 0 else 0
+        s_lad = f"CASE WHEN res = {r} THEN {sv} ELSE {s_lad} END"
+    return f"""WITH uc_src AS (SELECT cell FROM ({cells_sql})),
+uc_res AS (SELECT cell, {res} AS res FROM uc_src),
+uc_st AS (
+  SELECT cell, res, {p_lad} AS p, {s_lad} AS side FROM uc_res
+),
+uc_xy AS (
+  SELECT CAST(cell // p AS BIGINT) - p AS x, cell % p AS y, side FROM uc_st
+),
+uc_i AS (
+  SELECT x, y, side, unnest(range(0, side * side)) AS i FROM uc_xy
+)
+SELECT ({1 << (2 * t)} + (x * side + CAST(i // side AS BIGINT)) * {1 << t}
+        + (y * side + i % side)) AS cell
+FROM uc_i"""

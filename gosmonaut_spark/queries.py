@@ -3546,6 +3546,28 @@ FROM (
         + "\nORDER BY cell",
     )
 
+    # ---- uncompact: mixed-res cover back to uniform res (identity check) --------
+    def q_uncompact(spark, sf):
+        from .operators.tiling import compact_cells, uncompact_cells
+
+        cells = _pts(spark, sf).select(cell_expr("lat", "lon", 6).alias("cell"))
+        return uncompact_cells(compact_cells(cells, 6, 2), 6).orderBy("cell")
+
+    from .operators.tiling import uncompact_cells_sql
+
+    q["tiles_uncompact_cover"] = (
+        q_uncompact,
+        uncompact_cells_sql(
+            compact_cells_sql(
+                f"SELECT {cell_sql('lat', 'lon', 6)} AS cell FROM ({_PTS_SQL})",
+                6,
+                2,
+            ),
+            6,
+        )
+        + "\nORDER BY cell",
+    )
+
     # ---- containment against the compacted cover --------------------------------
     # cover built from EVEN-id points, probed with ODD-id points — the
     # cover/query split exercises genuine hits and misses at every level.

@@ -906,3 +906,30 @@ def test_st_hotspots_gi_matches_float_law(spark):
         abs(c - cid(4, 4)) <= n_grid + 1 and abs(t - 2) <= 1 for (c, t) in got
     )
     assert all(v[2] == "hot" for v in got.values())
+
+
+def test_uncompact_roundtrip_identity_and_guard(spark):
+    import pytest
+
+    from gosmonaut_spark.operators.tiling import compact_cells, uncompact_cells
+
+    res, n = 4, 16
+    base = 1 << (2 * res)
+    cells = sorted(
+        {base + x * n + y for x in range(4) for y in range(4)}
+        | {base + 10 * n + 3, base + 12 * n + 12, base + 13 * n + 12}
+    )
+    df = spark.createDataFrame([(c,) for c in cells], "cell long")
+    comp = compact_cells(df, res, 0)
+    # compact -> uncompact is the identity on the original uniform set
+    back = sorted(r.cell for r in uncompact_cells(comp, res).collect())
+    assert back == cells
+    # expanding deeper multiplies each original cell by 4 exactly once
+    deeper = [r.cell for r in uncompact_cells(comp, res + 1).collect()]
+    assert len(deeper) == 4 * len(cells) and len(set(deeper)) == len(deeper)
+    # pass-through: already-at-target cells survive unchanged
+    same = sorted(r.cell for r in uncompact_cells(df, res).collect())
+    assert same == cells
+    # guard: a mixed set holding cells FINER than the target raises
+    with pytest.raises(Exception):
+        uncompact_cells(comp, 1).collect()

@@ -97,6 +97,17 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's parallelismFirst coalescing floors post-shuffle partition
+        # count at spark.default.parallelism, which local[N] sets to N —
+        # the assembly passes' shuffle-read stages were measured collapsing
+        # to ~9 fat tasks on an 8-core session (27s avg task, one wave +
+        # a ragged tail: stage utilization 0.68-0.87, the dominant
+        # non-scaling term in the N->4N legs). A real cluster's
+        # defaultParallelism is total-executor-cores, i.e. >= the sized
+        # shuffle partitions; pinning the floor to shuffle_partitions
+        # reproduces that geometry — AQE still merges sub-1MB fragments,
+        # it just can't erase wave-level parallelism.
+        .config("spark.default.parallelism", str(shuffle_partitions))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")

@@ -58,6 +58,7 @@ def ordered_collect_rows(
     value: Column,
     out_name: str,
     keep: Column | None = None,
+    order: str = "permute",
 ) -> DataFrame:
     """Order-preserving re-agg in ONE aggregation, no duplication, and —
     unlike its two predecessors — correct under ANY aggregation mode, so it
@@ -96,7 +97,28 @@ def ordered_collect_rows(
     zero-ref / all-missing way appear with ``nodes = []`` without a
     post-agg outer join.
 
+    ``order``: what stage 2 does about element order.
+
+    * ``"permute"`` (default — correct in ANY session): the native
+      permutation sort described above. Safe even when a foreign
+      session's ObjectHashAggregate sort-based fallback destroyed the
+      within-key pos order.
+    * ``"verify"`` (hot-path opt-in for sessions built by
+      :func:`..session.build_session`, whose SortAggregate pin makes the
+      streamed collect_list append preserve the stage-1 secondary sort):
+      assert the collected positions are already ascending — a LONGS-ONLY
+      check (strip, native comparator-free array_sort, array equality) —
+      then strip the payload once. This skips the permutation's
+      ``zip_with`` struct build and the random-access ``element_at``
+      gather, the allocation-heavy half of the re-agg's per-element work
+      (the stitch stage is memory-bandwidth bound at high core counts, so
+      per-element allocations are wall time). A session whose aggregation
+      mode broke the order fails LOUD with a pointer here — it cannot
+      return misordered arrays.
+
     Returns ``df.select(key, out_name)`` with one row per key."""
+    if order not in ("permute", "verify"):
+        raise ValueError(f"unknown order mode {order!r}")
     elem = F.struct(F.col(pos).cast("long").alias("_p"), value.alias("_v"))
     if keep is not None:
         elem = F.when(keep, elem)
@@ -106,6 +128,25 @@ def ordered_collect_rows(
     # (no second exchange)
     df2 = df.repartition(F.col(key)).sortWithinPartitions(key, pos)
     agg = df2.groupBy(key).agg(F.collect_list(elem).alias("_arr"))
+    if order == "verify":
+        ps = F.transform("_arr", lambda s: s["_p"])
+        sorted_ok = F.array_sort(ps) == ps  # longs: native ordering, no lambda
+        check = F.assert_true(
+            sorted_ok,
+            F.concat(
+                F.lit("ordered_collect_rows(order='verify'): collected "),
+                F.lit("positions not ascending for key "),
+                F.col(key).cast("string"),
+                F.lit(
+                    " — this session's aggregation does not preserve the "
+                    "secondary sort (use order='permute' or build the "
+                    "session with gosmonaut_spark.session.build_session)"
+                ),
+            ),
+        ).isNull()
+        gathered = F.transform("_arr", lambda s: s["_v"])
+        out = F.when(check | (F.rand() < F.lit(-1.0)), gathered)
+        return agg.select(key, out.alias(out_name))
     perm = F.array_sort(
         F.zip_with(
             F.transform("_arr", lambda s: s["_p"]),
@@ -186,6 +227,7 @@ def assemble_ways(
     nodes: DataFrame,
     mode: str = STRICT,
     metrics: AssemblyMetrics | None = None,
+    order: str = "permute",
 ) -> DataFrame:
     """Stitch each selected way's refs into a full node array, order
     preserved (reference scanWays, /root/reference/gosmonaut.go:350-403).
@@ -255,6 +297,7 @@ def assemble_ways(
         F.col("node"),
         "nodes",
         keep=F.col("node_id").isNotNull() & F.col("node").isNotNull(),
+        order=order,
     )
     return ways_sel.select("id", "tags", "url").join(
         stitched.withColumnRenamed("way_id", "id").hint("merge"), "id", "inner"
@@ -272,6 +315,7 @@ def assemble_relations(
     assembled_ways: DataFrame,
     nodes: DataFrame,
     metrics: AssemblyMetrics | None = None,
+    order: str = "permute",
 ) -> DataFrame:
     """Resolve each needed relation's members against assembled ways and
     nodes (reference scanRelations, /root/reference/gosmonaut.go:405-472).
@@ -353,7 +397,9 @@ def assemble_relations(
         F.col("node"),
         F.col("way"),
     )
-    agg = ordered_collect_rows(resolved, "rel_id", "pos", member_struct, "members")
+    agg = ordered_collect_rows(
+        resolved, "rel_id", "pos", member_struct, "members", order=order
+    )
     out = (
         rels_sel.select("id", "tags", "url")
         # merge hint for the same reason as way assembly: members arrays

@@ -418,14 +418,35 @@ def run_pipeline_checkpointed(
     mode: str = "skip_missing",
     debug: bool = False,
     post_pass=None,
+    order: str | None = None,
 ):
     """The 5-pass pipeline with a snapshot boundary after every pass
     (reference pass order, gosmonaut.go:144-216). Returns
     (CheckpointStore, dict of DataFrames). ``ck.invalidate(pass)`` forces
     recompute of that pass on the next run; ``ck.rollback(pass, id)``
-    resumes from a retained historical snapshot."""
+    resumes from a retained historical snapshot.
+
+    ``order=None`` (default) picks the re-agg order mode from the
+    SESSION: under :func:`..session.build_session`'s SortAggregate pin
+    the assemblies take the cheap verified-order path (the streamed
+    collect_list append preserves the secondary sort — see
+    ordered_collect_rows); in a plain session (driver smoke, notebooks),
+    whose ObjectHashAggregate sort-based fallback may legally reorder,
+    they take the order-agnostic permutation path. Explicit
+    ``order="verify"|"permute"`` overrides."""
     from ..operators.assembly import assemble_relations, assemble_ways
     from ..sources import pages as src
+
+    if order is None:
+        pinned = (
+            str(
+                spark.conf.get(
+                    "spark.sql.execution.useObjectHashAggregateExec", "true"
+                )
+            ).lower()
+            == "false"
+        )
+        order = "verify" if pinned else "permute"
 
     ck = CheckpointStore(spark, base_dir, debug=debug, post_pass=post_pass)
 
@@ -445,11 +466,14 @@ def run_pipeline_checkpointed(
 
     members = src.rel_members(rels_raw)
     assembled_ways = ck.run_pass(
-        "assembled_ways", lambda: assemble_ways(ways_raw, nodes, mode=mode)
+        "assembled_ways",
+        lambda: assemble_ways(ways_raw, nodes, mode=mode, order=order),
     )
     relations = ck.run_pass(
         "relations",
-        lambda: assemble_relations(rels_raw, members, assembled_ways, nodes),
+        lambda: assemble_relations(
+            rels_raw, members, assembled_ways, nodes, order=order
+        ),
     )
     return ck, {
         "entities": ents,

@@ -41,6 +41,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "bfs_hops",
+    "bfs_hops_sql",
     "connected_components",
     "pagerank",
     "pagerank_sql",
@@ -406,3 +408,103 @@ FROM tc_wedge wg
 WHERE EXISTS (SELECT 1 FROM tc_e e
               WHERE e.a = least(wg.w1, wg.w2)
                 AND e.b = greatest(wg.w1, wg.w2))"""
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distance (unweighted single/multi-source shortest path)
+# ---------------------------------------------------------------------------
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    max_hops: int = 10,
+    undirected: bool = True,
+) -> DataFrame:
+    """Hop distance from a seed set — unweighted multi-source BFS, the
+    iterative-graph primitive next to :func:`connected_components` (which
+    answers *whether* nodes connect, never *how far*).
+
+    Each round is two equi-joins: frontier ⨝ edges (expand) and an
+    anti-join against the visited set (prune) — so round ``h`` shuffles
+    O(frontier_h × avg_degree) rows, never the whole graph, and the state
+    carried across rounds is one ``(id, hops)`` row per *reached* node.
+    ``localCheckpoint`` per round truncates lineage (the standard guard for
+    iterative plans — without it round ``h`` re-plans all ``h-1``
+    predecessors). Rounds stop early when a frontier empties; ``max_hops``
+    bounds the walk on graphs with long chains.
+
+    Determinism: hop distance is a pure graph property (min #edges), so no
+    tie-breaks are needed — every schedule produces the same ``(id, hops)``
+    set. Returns one row per reached node: ``(id, hops)``, seeds at 0.
+
+    100 TB lens: per-round cost tracks the frontier, not the graph; the
+    visited set is the only monotone state (same O(reached) bound as the
+    CC star table). Degree skew lands in the expand join's build side —
+    AQE skew-join splits a hub's partition like any other hot key.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    if undirected:
+        e = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+    e = e.localCheckpoint()
+
+    seed_col = seeds.columns[0]
+    visited = (
+        seeds.select(F.col(seed_col).cast("long").alias("id"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited.select("id")
+    for h in range(1, int(max_hops) + 1):
+        nxt = (
+            frontier.join(e, frontier["id"] == e["u"], "inner")
+            .select(F.col("v").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint()
+        )
+        if not nxt.limit(1).count():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("id")
+    return visited
+
+
+def bfs_hops_sql(
+    edges_sql: str, seeds_sql: str, max_hops: int = 10, undirected: bool = True
+) -> str:
+    """DuckDB twin of :func:`bfs_hops` — a recursive CTE over the same
+    edge set. ``UNION`` (set semantics) bounds the recursion: every
+    ``(id, hops)`` pair with hops <= max_hops appears at most once, and
+    ``min(hops)`` per id is exactly the BFS distance (any shortest path
+    materializes one row per prefix). ``edges_sql`` must yield (u, v);
+    ``seeds_sql`` must yield one column ``id``."""
+    sym = (
+        "SELECT u, v FROM bfs_e0 UNION SELECT v, u FROM bfs_e0"
+        if undirected
+        else "SELECT u, v FROM bfs_e0"
+    )
+    return f"""WITH RECURSIVE bfs_e0 AS MATERIALIZED (
+  SELECT u, v FROM ({edges_sql}) WHERE u <> v
+),
+bfs_e AS MATERIALIZED ({sym}),
+bfs_reach AS (
+  SELECT id, 0 AS hops FROM ({seeds_sql})
+  UNION
+  SELECT e.v AS id, r.hops + 1 AS hops
+  FROM bfs_reach r JOIN bfs_e e ON e.u = r.id
+  WHERE r.hops < {int(max_hops)}
+)
+SELECT id, MIN(hops) AS hops FROM bfs_reach GROUP BY id"""

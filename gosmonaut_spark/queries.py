@@ -2169,6 +2169,193 @@ ORDER BY query_id, target_id""",
         + " ORDER BY seq_id, doc_id, doc_offset",
     )
 
+    # ---- BFS hop distance (multi-source shortest path, iterative) -------------
+    # graph: the deterministic functional graph u -> (u*P1) % M % n over
+    # customer keys, symmetrized inside the operator; seeds = keys < 10.
+    def q_bfs_hops(spark, sf):
+        from .operators.graph import bfs_hops
+
+        cu = spark.read.parquet(f"{sf}/customer.parquet").select(
+            F.col("c_custkey").cast("long").alias("u")
+        )
+        n = cu.count()
+        edges = cu.select(
+            "u", ((F.col("u") * F.lit(_P1)) % F.lit(_M) % F.lit(n)).alias("v")
+        )
+        seeds = cu.where(F.col("u") < 10).select(F.col("u").alias("id"))
+        return bfs_hops(edges, seeds, max_hops=8).orderBy("id")
+
+    from .operators.graph import bfs_hops_sql
+
+    q["graph_bfs_hops"] = (
+        q_bfs_hops,
+        bfs_hops_sql(
+            f"""SELECT CAST(c_custkey AS BIGINT) AS u,
+       ((CAST(c_custkey AS BIGINT) * {_P1}) % {_M})
+         % (SELECT count(*) FROM customer) AS v
+FROM customer""",
+            "SELECT CAST(c_custkey AS BIGINT) AS id FROM customer "
+            "WHERE c_custkey < 10",
+            max_hops=8,
+        )
+        + "\nORDER BY id",
+    )
+
+    # ---- last-touch attribution (asof composed into marketing channels) -------
+    # every purchase is attributed to the user's latest click/view within a
+    # 7-day lookback; right-side (user, ts) ties collapse to min(channel)
+    # BEFORE the sweep so the nearest-touch pick is deterministic.
+    def q_last_touch(spark, sf):
+        from .operators.asof import asof_join
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        conv = ev.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        touch = (
+            ev.where(F.col("event_type").isin("click", "view"))
+            .groupBy("user_id", "ts")
+            .agg(F.min("event_type").alias("channel"))
+        )
+        j = asof_join(
+            conv,
+            touch,
+            on="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            direction="backward",
+            tolerance_ms=7 * 86_400_000,
+            payload_cols=["channel"],
+        )
+        return (
+            j.groupBy(
+                F.coalesce(F.col("asof_channel"), F.lit("none")).alias("channel")
+            )
+            .agg(F.count(F.lit(1)).alias("n_conversions"))
+            .orderBy("channel")
+        )
+
+    q["events_last_touch"] = (
+        q_last_touch,
+        """WITH lt_conv AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+lt_touch AS (
+  SELECT user_id, ts, min(event_type) AS channel
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY user_id, ts
+),
+lt_att AS (
+  SELECT c.event_id,
+         (SELECT t.channel FROM lt_touch t
+          WHERE t.user_id = c.user_id AND t.ts <= c.ts
+            AND epoch_ms(c.ts) - epoch_ms(t.ts) <= 604800000
+          ORDER BY t.ts DESC LIMIT 1) AS channel
+  FROM lt_conv c
+)
+SELECT coalesce(channel, 'none') AS channel,
+       count(*) AS n_conversions
+FROM lt_att GROUP BY 1
+ORDER BY channel""",
+    )
+
+    # ---- positional inverted index + phrase search ----------------------------
+    def q_postings(spark, sf):
+        from .functions.indexing import inverted_postings
+
+        d = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .where(F.col("doc_id") < 300)
+            .select("doc_id", "text")
+        )
+        p = inverted_postings(d, max_df=0.9, min_tf=5)
+        return p.select(
+            "term",
+            "doc_id",
+            "tf",
+            F.array_join(
+                F.transform("positions", lambda x: x.cast("string")), ","
+            ).alias("positions_csv"),
+        ).orderBy("term", "doc_id")
+
+    from .functions.indexing import inverted_postings_sql, phrase_match_sql
+
+    q["text_inverted_postings"] = (
+        q_postings,
+        "SELECT term, doc_id, tf, "
+        "array_to_string(list_transform(positions, x -> CAST(x AS VARCHAR)), ',')"
+        " AS positions_csv FROM (\n"
+        + inverted_postings_sql(
+            "SELECT doc_id, text FROM documents WHERE doc_id < 300",
+            max_df=0.9,
+            min_tf=5,
+        )
+        + "\n) ORDER BY term, doc_id",
+    )
+
+    def q_phrase(spark, sf):
+        from .functions.indexing import inverted_postings, phrase_match
+
+        d = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .where(F.col("doc_id") < 500)
+            .select("doc_id", "text")
+        )
+        p = inverted_postings(d)
+        return phrase_match(p, "hash", "value").orderBy("doc_id")
+
+    q["text_phrase_search"] = (
+        q_phrase,
+        phrase_match_sql(
+            "SELECT doc_id, text FROM documents WHERE doc_id < 500",
+            "hash",
+            "value",
+        )
+        + "\nORDER BY doc_id",
+    )
+
+    # ---- segment-segment intersection join ------------------------------------
+    # ~unit-length segments concentrated in a 20x20-degree box (derived from
+    # event ids with the registry's integer-hash law) so crossings actually
+    # occur; the engine takes the cell-cover candidate path, the oracle
+    # brute-forces all pairs with the IDENTICAL strict orientation law.
+    def q_seg_intersect(spark, sf):
+        from .operators.segments import segment_intersection_join
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").where(
+            F.col("event_id") < 2000
+        )
+        k = F.col("event_id").cast("long")
+        cy = ((k * F.lit(_P1)) % F.lit(_M) % F.lit(200_000)) / F.lit(10_000.0) - F.lit(10.0)
+        cx = ((k * F.lit(_P2) + F.lit(_O2)) % F.lit(_M) % F.lit(200_000)) / F.lit(10_000.0) - F.lit(10.0)
+        dy = ((k * F.lit(7919)) % F.lit(1001)).cast("double") / F.lit(500.0) - F.lit(1.0)
+        dx = ((k * F.lit(104_729)) % F.lit(1001)).cast("double") / F.lit(500.0) - F.lit(1.0)
+        segs = ev.select(
+            k.alias("id"),
+            cy.alias("lat1"),
+            cx.alias("lon1"),
+            (cy + dy).alias("lat2"),
+            (cx + dx).alias("lon2"),
+        )
+        out = segment_intersection_join(segs, segs, res=8, max_cells=64)
+        return out.where(F.col("a_id") < F.col("b_id")).orderBy("a_id", "b_id")
+
+    from .operators.segments import segment_intersection_sql
+
+    _SEGS_SQL = f"""SELECT CAST(event_id AS BIGINT) AS id,
+       (((CAST(event_id AS BIGINT) * {_P1}) % {_M}) % 200000) / 10000.0 - 10.0 AS lat1,
+       (((CAST(event_id AS BIGINT) * {_P2} + {_O2}) % {_M}) % 200000) / 10000.0 - 10.0 AS lon1,
+       ((((CAST(event_id AS BIGINT) * {_P1}) % {_M}) % 200000) / 10000.0 - 10.0)
+         + (CAST((CAST(event_id AS BIGINT) * 7919) % 1001 AS DOUBLE) / 500.0 - 1.0) AS lat2,
+       ((((CAST(event_id AS BIGINT) * {_P2} + {_O2}) % {_M}) % 200000) / 10000.0 - 10.0)
+         + (CAST((CAST(event_id AS BIGINT) * 104729) % 1001 AS DOUBLE) / 500.0 - 1.0) AS lon2
+FROM events WHERE event_id < 2000"""
+
+    q["geo_segment_intersections"] = (
+        q_seg_intersect,
+        segment_intersection_sql(_SEGS_SQL, _SEGS_SQL)
+        + "\n  AND a.id < b.id\nORDER BY a_id, b_id",
+    )
+
     return q
 
 

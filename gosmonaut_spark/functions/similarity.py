@@ -1186,3 +1186,79 @@ def knn_classify(
         .where(F.col("__rn") == 1)
         .select(query_id, "label", "n_votes")
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (SQ8) — the other vector-compression family
+# next to PQ: per-vector max-abs scale + 8-bit codes, asymmetric scoring
+# ---------------------------------------------------------------------------
+
+
+def sq8_scale(vec: Column) -> Column:
+    """Per-vector quantization scale: max |x_i| (0.0 for a zero vector).
+    Max is associative, so the fold matches any engine's reduce exactly."""
+    return F.aggregate(
+        F.transform(vec, lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, v),
+    )
+
+
+def sq8_codes(vec: Column, scale: Column) -> Column:
+    """int8 codes: round-half-up(x / s * 127) clamped to [-127, 127],
+    written as ``floor(x/s*127 + 0.5)`` so BOTH engines evaluate the
+    identical IEEE expression (no engine-specific rounding mode). A zero
+    vector (scale 0) codes to all zeros."""
+    enc = F.transform(
+        vec,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.floor(
+                    x.cast("double") / scale * F.lit(127.0) + F.lit(0.5)
+                ).cast("int"),
+            ),
+        ),
+    )
+    zeros = F.transform(vec, lambda x: F.lit(0))
+    return F.when(scale > F.lit(0.0), enc).otherwise(zeros)
+
+
+def sq8_adc_dot(qvec: Column, codes: Column, scale: Column) -> Column:
+    """Asymmetric distance computation: full-precision query against int8
+    codes — ``(s / 127) * Σ q_i · code_i``, the standard SQ8 scoring that
+    never reconstructs the target vector. The fold is the engine's
+    left-to-right dot law (bit-identical to the DuckDB twin)."""
+    acc = F.aggregate(
+        F.zip_with(
+            qvec, codes, lambda x, c: x.cast("double") * c.cast("double")
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    return acc * scale / F.lit(127.0)
+
+
+def sq8_scale_sql(vec: str) -> str:
+    return (
+        f"list_reduce(list_transform({vec}, x -> abs(CAST(x AS DOUBLE))), "
+        "(acc, v) -> CASE WHEN v > acc THEN v ELSE acc END)"
+    )
+
+
+def sq8_codes_sql(vec: str, scale: str) -> str:
+    return (
+        f"CASE WHEN {scale} > 0.0 THEN "
+        f"list_transform({vec}, x -> greatest(-127, least(127, "
+        f"CAST(floor(CAST(x AS DOUBLE) / {scale} * 127.0 + 0.5) AS INT)))) "
+        f"ELSE list_transform({vec}, x -> 0) END"
+    )
+
+
+def sq8_adc_dot_sql(qvec: str, codes: str, scale: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({qvec}, {codes}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), "
+        f"(acc, v) -> acc + v) * {scale} / 127.0"
+    )

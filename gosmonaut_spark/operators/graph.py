@@ -508,3 +508,115 @@ bfs_reach AS (
   WHERE r.hops < {int(max_hops)}
 )
 SELECT id, MIN(hops) AS hops FROM bfs_reach GROUP BY id"""
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed-round peeling)
+# ---------------------------------------------------------------------------
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "u",
+    dst: str = "v",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Nodes of the k-core: the maximal subgraph where every node keeps
+    degree >= k — the standard spam/bot-farm density filter on a web host
+    graph (a k-core of interlinked hosts survives any order of low-degree
+    peeling) and the densest-region seed for community mining.
+
+    Peeling rounds: drop every node whose CURRENT degree < k, restrict
+    the edge set to surviving endpoints, repeat to fixpoint. Each round
+    is one degree aggregation + two semi-joins — all key-partitioned, no
+    broadcast of the vertex set; per-round ``localCheckpoint`` truncates
+    lineage (iterative-plan discipline, same as connected_components).
+    The edge set shrinks monotonically, so rounds get cheaper; the loop
+    raises if ``max_rounds`` was too small for the fixpoint (LOUD — a
+    truncated peel would silently return a supergraph of the core).
+
+    Returns ``(id, degree)`` for k-core members (degree = within-core).
+
+    Determinism: the k-core is unique (peeling order never matters), so
+    any schedule yields the same node set.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = e.count()
+    for _ in range(int(max_rounds)):
+        deg = (
+            e.select(F.col("u").alias("id"))
+            .unionAll(e.select(F.col("v").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.where(F.col("degree") >= F.lit(int(k))).select("id")
+        e2 = (
+            e.join(keep.withColumnRenamed("id", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("id", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        n2 = e2.count()
+        if n2 == n_edges:
+            return deg.where(F.col("degree") >= F.lit(int(k)))
+        e, n_edges = e2, n2
+        if n_edges == 0:
+            return e.select(
+                F.col("u").alias("id"), F.lit(0).cast("long").alias("degree")
+            ).limit(0)
+    raise RuntimeError(f"kcore did not reach fixpoint in {max_rounds} rounds")
+
+
+def kcore_sql(edges_sql: str, k: int, rounds: int) -> str:
+    """DuckDB twin of :func:`kcore` with the peel UNROLLED to ``rounds``
+    CTE pairs (the engine asserts fixpoint dynamically; the oracle
+    unrolls far enough that the last round is a no-op — same law as the
+    unrolled PageRank twin). ``edges_sql`` must yield (u, v).
+
+    Every per-round CTE is MATERIALIZED: each round references the
+    previous edge set three times (directly + twice through the degree
+    CTE), so DuckDB's default CTE inlining would expand the plan ~3^rounds
+    copies of the base scan — observed as a ~100 GB memory blow-up at 12
+    rounds. Materialization bounds the oracle linearly in ``rounds``."""
+    parts = [
+        f"""WITH kc_e0 AS MATERIALIZED (
+  SELECT least(u, v) AS u, greatest(u, v) AS v
+  FROM ({edges_sql}) WHERE u <> v GROUP BY 1, 2
+)"""
+    ]
+    prev = "kc_e0"
+    for t in range(1, int(rounds) + 1):
+        parts.append(
+            f"""kc_d{t} AS MATERIALIZED (
+  SELECT id, count(*) AS degree FROM (
+    SELECT u AS id FROM {prev} UNION ALL SELECT v FROM {prev}
+  ) GROUP BY id
+)"""
+        )
+        parts.append(
+            f"""kc_e{t} AS MATERIALIZED (
+  SELECT e.u, e.v FROM {prev} e
+  JOIN kc_d{t} a ON a.id = e.u AND a.degree >= {int(k)}
+  JOIN kc_d{t} b ON b.id = e.v AND b.degree >= {int(k)}
+)"""
+        )
+        prev = f"kc_e{t}"
+    r = int(rounds)
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT id, degree FROM (
+  SELECT id, count(*) AS degree FROM (
+    SELECT u AS id FROM kc_e{r} UNION ALL SELECT v FROM kc_e{r}
+  ) GROUP BY id
+) WHERE degree >= {int(k)}"""
+    )

@@ -50,6 +50,8 @@ __all__ = [
     "simplify_track_sql",
     "traj_jaccard_pairs",
     "traj_jaccard_pairs_sql",
+    "resample_track",
+    "resample_track_sql",
 ]
 
 
@@ -550,3 +552,112 @@ FROM tj_inter i
 JOIN tj_sizes s1 ON s1.k = i.k1 JOIN tj_sizes s2 ON s2.k = i.k2
 WHERE CAST(i.n_inter AS DOUBLE)
       / CAST(s1.n + s2.n - i.n_inter AS DOUBLE) >= {float(threshold)!r}"""
+
+
+# ---------------------------------------------------------------------------
+# fixed-epoch linear resampling
+# ---------------------------------------------------------------------------
+
+
+def resample_track(
+    points: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ms",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    step_ms: int = 60_000,
+) -> DataFrame:
+    """Resample each mover's track onto a fixed epoch grid by linear
+    interpolation between consecutive fixes — the normalization step
+    before any cross-track analytics (co-location at a common clock,
+    OD flows per uniform tick, model features at fixed cadence), since
+    raw pings arrive at irregular rates per device.
+
+    For every consecutive fix pair (t1 → t2) the op emits each grid
+    epoch ``g`` (multiple of ``step_ms``) with ``t1 <= g < t2``:
+    ``frac = (g - t1) / (t2 - t1)``, position = fix1 + (fix2 - fix1)
+    · frac. Consecutive half-open intervals partition the track's time
+    span, so every grid epoch inside [first_fix, last_fix) is emitted
+    EXACTLY once per key. Duplicate-timestamp fixes must be collapsed
+    upstream (t2 > t1 is required and enforced by the half-open grid).
+
+    Shape: ONE per-key window (the sessionize budget — lead() for the
+    next fix) + a bounded explode (``(t2-t1)/step`` rows per segment; a
+    multi-day gap at a 1-min step is the fan-out axis, so pick the step
+    against the upstream gap-split policy). All grid/frac arithmetic is
+    pure integer-epoch + one IEEE division — twinnable exactly.
+
+    Returns ``(key, grid_ms, lat, lon)``.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc())
+    t1, t2 = F.col(ts_col).cast("long"), F.lead(ts_col).over(w).cast("long")
+    nlat, nlon = F.lead(lat_col).over(w), F.lead(lon_col).over(w)
+    step = F.lit(int(step_ms))
+    gs = F.floor((t1 + step - F.lit(1)).cast("double") / step).cast("long")
+    ge = F.floor((t2 - F.lit(1)).cast("double") / step).cast("long")
+    seg = points.select(
+        F.col(key_col).alias("key"),
+        t1.alias("__t1"),
+        t2.alias("__t2"),
+        F.col(lat_col).alias("__lat1"),
+        F.col(lon_col).alias("__lon1"),
+        nlat.alias("__lat2"),
+        nlon.alias("__lon2"),
+        gs.alias("__gs"),
+        ge.alias("__ge"),
+    ).where(F.col("__t2").isNotNull() & (F.col("__ge") >= F.col("__gs")))
+    g = (F.col("__i") * step).alias("grid_ms")
+    frac = (F.col("__i") * step - F.col("__t1")).cast("double") / (
+        F.col("__t2") - F.col("__t1")
+    ).cast("double")
+    return seg.select(
+        "key",
+        F.explode(F.sequence(F.col("__gs"), F.col("__ge"))).alias("__i"),
+        "__t1",
+        "__t2",
+        "__lat1",
+        "__lon1",
+        "__lat2",
+        "__lon2",
+    ).select(
+        "key",
+        g,
+        (F.col("__lat1") + (F.col("__lat2") - F.col("__lat1")) * frac).alias(
+            "lat"
+        ),
+        (F.col("__lon1") + (F.col("__lon2") - F.col("__lon1")) * frac).alias(
+            "lon"
+        ),
+    )
+
+
+def resample_track_sql(
+    points_sql: str, step_ms: int = 60_000
+) -> str:
+    """DuckDB twin of :func:`resample_track` — same lead() pairing, same
+    half-open grid, same IEEE interpolation expression. ``points_sql``
+    must yield ``(key, ms, lat, lon)``."""
+    s = int(step_ms)
+    return f"""WITH rs_pts AS MATERIALIZED ({points_sql}),
+rs_seg AS (
+  SELECT key, ms AS t1,
+         lead(ms)  OVER w AS t2,
+         lat AS lat1, lon AS lon1,
+         lead(lat) OVER w AS lat2,
+         lead(lon) OVER w AS lon2
+  FROM rs_pts
+  WINDOW w AS (PARTITION BY key ORDER BY ms ASC)
+),
+rs_grid AS (
+  SELECT key, t1, t2, lat1, lon1, lat2, lon2,
+         CAST(floor(CAST(t1 + {s} - 1 AS DOUBLE) / {s}) AS BIGINT) AS gs,
+         CAST(floor(CAST(t2 - 1 AS DOUBLE) / {s}) AS BIGINT) AS ge
+  FROM rs_seg WHERE t2 IS NOT NULL
+)
+SELECT key, i * {s} AS grid_ms,
+       lat1 + (lat2 - lat1) * (CAST(i * {s} - t1 AS DOUBLE)
+                               / CAST(t2 - t1 AS DOUBLE)) AS lat,
+       lon1 + (lon2 - lon1) * (CAST(i * {s} - t1 AS DOUBLE)
+                               / CAST(t2 - t1 AS DOUBLE)) AS lon
+FROM rs_grid, LATERAL (SELECT unnest(range(gs, ge + 1)) AS i) g
+WHERE ge >= gs"""

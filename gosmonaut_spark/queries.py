@@ -2356,6 +2356,174 @@ FROM events WHERE event_id < 2000"""
         + "\n  AND a.id < b.id\nORDER BY a_id, b_id",
     )
 
+    # ---- k-core decomposition (iterative peel, unique fixpoint) ---------------
+    # graph: co-purchase-style pairs derived from orders — customers who
+    # ordered in the same "cohort" (o_custkey linked to a hashed partner);
+    # the 3-core keeps only the dense interaction region.
+    def q_kcore(spark, sf):
+        from .operators.graph import kcore
+
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        k1 = F.col("o_orderkey").cast("long")
+        edges = o.select(
+            (F.col("o_custkey").cast("long") % F.lit(300)).alias("u"),
+            ((k1 * F.lit(_P1)) % F.lit(_M) % F.lit(300)).alias("v"),
+        )
+        return kcore(edges, k=3, max_rounds=20).orderBy("id")
+
+    from .operators.graph import kcore_sql
+
+    q["graph_kcore_3"] = (
+        q_kcore,
+        kcore_sql(
+            f"""SELECT CAST(o_custkey AS BIGINT) % 300 AS u,
+       ((CAST(o_orderkey AS BIGINT) * {_P1}) % {_M}) % 300 AS v
+FROM orders""",
+            k=3,
+            rounds=12,
+        )
+        + "\nORDER BY id",
+    )
+
+    # ---- SQ8 scalar quantization: asymmetric top-k recall ---------------------
+    # the int8 compression family next to PQ: per-query recall@5 of the
+    # quantized ADC-dot top-k against the exact full-precision dot top-k.
+    def q_sq8(spark, sf):
+        e = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qs = e.where(F.col("vec_id") % 13 == 2).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+        ts = e.select(
+            F.col("vec_id").alias("target_id"), F.col("embedding").alias("tv")
+        )
+        enc = ts.select(
+            "target_id",
+            S.sq8_codes(F.col("tv"), S.sq8_scale(F.col("tv"))).alias("codes"),
+            S.sq8_scale(F.col("tv")).alias("scale"),
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("target_id").asc()
+        )
+        exact = (
+            qs.crossJoin(ts)
+            .select("query_id", "target_id", S.dot(F.col("qv"), F.col("tv")).alias("score"))
+            .withColumn("__rn", F.row_number().over(wq))
+            .where(F.col("__rn") <= 5)
+            .select("query_id", "target_id")
+        )
+        quant = (
+            qs.crossJoin(enc)
+            .select(
+                "query_id",
+                "target_id",
+                S.sq8_adc_dot(
+                    F.col("qv"), F.col("codes"), F.col("scale")
+                ).alias("score"),
+            )
+            .withColumn("__rn", F.row_number().over(wq))
+            .where(F.col("__rn") <= 5)
+            .select("query_id", "target_id")
+        )
+        common = exact.join(quant, ["query_id", "target_id"], "left_semi")
+        return (
+            common.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            .select(
+                "query_id",
+                "n_common",
+                (F.col("n_common").cast("double") / F.lit(5.0)).alias(
+                    "recall_at_5"
+                ),
+            )
+            .orderBy("query_id")
+        )
+
+    _SQ8_RANK = """row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, target_id ASC)"""
+    q["ann_sq8_recall"] = (
+        q_sq8,
+        f"""WITH sq AS (
+  SELECT vec_id AS query_id, embedding AS qv
+  FROM embeddings WHERE vec_id % 13 = 2
+),
+st AS (
+  SELECT vec_id AS target_id, embedding AS tv,
+         {S.sq8_scale_sql("embedding")} AS scale
+  FROM embeddings
+),
+senc AS (
+  SELECT target_id, scale, {S.sq8_codes_sql("tv", "scale")} AS codes FROM st
+),
+ex_r AS (
+  SELECT query_id, target_id, {_SQ8_RANK} AS rank FROM (
+    SELECT q.query_id, t.target_id,
+           list_reduce(list_transform(list_zip(q.qv, t.tv),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+             (acc, v) -> acc + v) AS score
+    FROM sq q, st t)
+),
+qt_r AS (
+  SELECT query_id, target_id, {_SQ8_RANK} AS rank FROM (
+    SELECT q.query_id, e.target_id,
+           {S.sq8_adc_dot_sql("q.qv", "e.codes", "e.scale")} AS score
+    FROM sq q, senc e)
+),
+common AS (
+  SELECT f.query_id, count(*) AS n_common
+  FROM (SELECT query_id, target_id FROM ex_r WHERE rank <= 5) f
+  JOIN (SELECT query_id, target_id FROM qt_r WHERE rank <= 5) t
+    USING (query_id, target_id)
+  GROUP BY f.query_id
+)
+SELECT query_id, n_common,
+       CAST(n_common AS DOUBLE) / 5.0 AS recall_at_5
+FROM common
+ORDER BY query_id""",
+    )
+
+    # ---- fixed-epoch linear track resampling -----------------------------------
+    def q_resample(spark, sf):
+        from .functions.timeops import ntz_epoch_ms
+        from .operators.trajectory import resample_track
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").where(
+            F.col("user_id") < 40
+        )
+        pts = (
+            _pts(spark, sf)
+            .join(
+                ev.select(
+                    F.col("event_id").alias("id"),
+                    F.col("user_id"),
+                    ntz_epoch_ms(F.col("ts")).alias("ms"),
+                ),
+                "id",
+            )
+            # collapse duplicate (user, ms) fixes deterministically: the
+            # resampler's half-open grid requires strictly increasing ts
+            .groupBy("user_id", "ms")
+            .agg(F.min("lat").alias("lat"), F.min("lon").alias("lon"))
+            .select(F.col("user_id").alias("key"), "ms", "lat", "lon")
+        )
+        out = resample_track(pts, step_ms=3_600_000)
+        return out.orderBy("key", "grid_ms")
+
+    from .operators.trajectory import resample_track_sql
+
+    q["traj_resample_hourly"] = (
+        q_resample,
+        resample_track_sql(
+            f"""SELECT user_id AS key, ms, min(lat) AS lat, min(lon) AS lon
+FROM (
+  SELECT e.user_id, epoch_ms(e.ts) AS ms, p.lat, p.lon
+  FROM events e JOIN ({_PTS_SQL.strip()}) p ON p.id = e.event_id
+  WHERE e.user_id < 40
+) GROUP BY user_id, ms""",
+            step_ms=3_600_000,
+        )
+        + "\nORDER BY key, grid_ms",
+    )
+
     return q
 
 

@@ -34,7 +34,7 @@ extends the graft's corpus family (tf-idf, boilerplate, decontaminate).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -42,6 +42,8 @@ __all__ = [
     "inverted_postings_sql",
     "phrase_match",
     "phrase_match_sql",
+    "bm25_topk",
+    "bm25_topk_sql",
 ]
 
 
@@ -176,3 +178,176 @@ FROM pm_tok t1 JOIN pm_tok t2
   ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
 WHERE t1.term = '{w1q}' AND t2.term = '{w2q}'
 GROUP BY t1.doc_id"""
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query under BM25-raw scoring —
+    the ranked-retrieval step after the inverted index: decontamination
+    triage ("most benchmark-like training docs first"), seed selection
+    for topic crawls, query-driven corpus audits.
+
+    score(d) = Σ_t  idf_raw(t) · tf(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    with idf_raw(t) = (N − df + 0.5) / (df + 0.5) — the ARGUMENT of the
+    standard BM25 log-idf. Rationale (the ``tfidf_top_terms`` law): a
+    log would hang cross-engine correctness on two libms (Java Math.log
+    is not correctly rounded; DuckDB's is glibc's); every factor here is
+    integer counts through one IEEE divide/multiply chain, bit-identical
+    across engines. The variant is documented, monotone per term, and
+    differs from log-BM25 only in how multi-term evidence mixes. The
+    per-doc sum folds the matched terms in LEXICOGRAPHIC term order via
+    an explicit left-to-right ``F.aggregate`` (the engine dot-product
+    law), so Spark and the SQL twin add the same floats in the same
+    order.
+
+    Plan shape (100 TB lens): tokenize-once explode → filter to the
+    broadcast query-term literal set BEFORE the tf aggregate (the only
+    full-corpus shuffles are that filtered tf agg and the per-doc
+    length agg — both with map-side partial aggregation); df and N are
+    tiny broadcast scalars; final top-k is a TakeOrdered over docs that
+    matched ≥1 term, never a full sort.
+
+    Returns ``(doc_id, score, rank)``, rank ties broken by doc_id.
+    """
+    qset = sorted(set(terms))
+    toks = _tokens(docs, id_col, text_col)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    qtf = (
+        toks.where(F.col("term").isin(qset))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k1l, bl = F.lit(float(k1)), F.lit(float(b))
+    # avgdl rides the broadcast N row: one exact bigint sum / one divide
+    total = toks.select(F.count(F.lit(1)).alias("n_toks"))
+    n = (
+        n.crossJoin(F.broadcast(total))
+        .select(
+            "n_docs",
+            (
+                F.col("n_toks").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("avgdl"),
+        )
+    )
+    scored = (
+        qtf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (
+                    (
+                        F.col("n_docs").cast("double")
+                        - F.col("df").cast("double")
+                        + F.lit(0.5)
+                    )
+                    / (F.col("df").cast("double") + F.lit(0.5))
+                )
+                * (
+                    F.col("tf").cast("double") * (k1l + F.lit(1.0))
+                    / (
+                        F.col("tf").cast("double")
+                        + k1l
+                        * (
+                            F.lit(1.0)
+                            - bl
+                            + bl
+                            * F.col("dl").cast("double")
+                            / F.col("avgdl")
+                        )
+                    )
+                )
+            ).alias("part"),
+        )
+    )
+    folded = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("term", "part"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["part"],
+            ).alias("score")
+        )
+    )
+    # top-k FIRST via orderBy+limit (Catalyst's TakeOrderedAndProject:
+    # per-partition partial top-k, only k rows ever cross to the driver
+    # side of the sort — never a global single-partition window over all
+    # matched docs), THEN rank the k survivors (bounded window).
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        folded.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(int(k))
+        .withColumn("rank", F.row_number().over(w))
+        .select("doc_id", "score", "rank")
+    )
+
+
+def bm25_topk_sql(
+    docs_sql: str,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB twin of :func:`bm25_topk` — identical idf_raw / saturation
+    expression trees, identical lexicographic-term left-to-right fold
+    (``list_reduce`` over the term-sorted struct list). ``docs_sql``
+    must yield ``(doc_id, text)``."""
+    qset = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in qset)
+    k1r, br = repr(float(k1)), repr(float(b))
+    return f"""WITH bm_docs AS MATERIALIZED ({docs_sql}),
+bm_tok AS MATERIALIZED (
+  SELECT doc_id, toks[i] AS term
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM bm_docs),
+       LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) g
+  WHERE toks[i] <> ''
+),
+bm_dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM bm_tok GROUP BY doc_id),
+bm_n AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM bm_docs) AS n_docs,
+         CAST((SELECT count(*) FROM bm_tok) AS DOUBLE)
+           / CAST((SELECT count(*) FROM bm_docs) AS DOUBLE) AS avgdl
+),
+bm_tf AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM bm_tok WHERE term IN ({inlist}) GROUP BY term, doc_id
+),
+bm_df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM bm_tf GROUP BY term),
+bm_part AS (
+  SELECT t.doc_id, t.term,
+         ((CAST(n.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+            / (CAST(f.df AS DOUBLE) + 0.5))
+         * (CAST(t.tf AS DOUBLE) * ({k1r} + 1.0)
+            / (CAST(t.tf AS DOUBLE)
+               + {k1r} * (1.0 - {br}
+                          + {br} * CAST(l.dl AS DOUBLE) / n.avgdl))) AS part
+  FROM bm_tf t JOIN bm_df f USING (term) JOIN bm_dl l USING (doc_id), bm_n n
+),
+bm_fold AS (
+  SELECT doc_id,
+         list_reduce(
+           list_transform(
+             list_sort(list({{'term': term, 'part': part}})),
+             s -> s.part),
+           (acc, v) -> acc + v) AS score
+  FROM bm_part GROUP BY doc_id
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+FROM bm_fold
+QUALIFY rank <= {int(k)}"""

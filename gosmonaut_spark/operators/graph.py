@@ -620,3 +620,122 @@ SELECT id, degree FROM (
   ) GROUP BY id
 ) WHERE degree >= {int(k)}"""
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted single-source shortest paths (frontier Bellman-Ford)
+# ---------------------------------------------------------------------------
+
+
+def sssp(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    weight: str = "w",
+    max_rounds: int = 20,
+    undirected: bool = True,
+) -> DataFrame:
+    """Weighted shortest-path distance from a seed set — the cost-aware
+    sibling of :func:`bfs_hops` (hop counts answer reachability depth;
+    link-cost distance answers routing/centrality questions: latency from
+    the crawler's edge POPs over a host graph, travel cost over a road
+    graph).
+
+    Frontier Bellman-Ford: each round relaxes only edges leaving nodes
+    IMPROVED in the previous round (expand ⨝ → min-agg per target →
+    anti/compare against the settled table), so round cost tracks the
+    improving frontier, never the whole graph; the carried state is one
+    ``(id, dist)`` row per reached node. Per-round ``localCheckpoint``
+    truncates lineage (iterative-plan discipline). Weights must be
+    non-negative integers (checked LOUDLY — one ``limit(1)`` probe at
+    build): integer sums and mins are exact in both engines, so the
+    result is schedule-independent and twinnable bit-for-bit. Parallel
+    edges collapse to their min weight up front.
+
+    Raises if the fixpoint is not reached within ``max_rounds`` — a
+    truncated relax would silently return upper bounds, not distances.
+
+    Returns one row per reached node: ``(id, dist)``, seeds at 0.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("u"),
+        F.col(dst).cast("long").alias("v"),
+        F.col(weight).cast("long").alias("w"),
+    ).where(F.col("u") != F.col("v"))
+    if e.where(F.col("w") < 0).limit(1).count():
+        raise ValueError("sssp requires non-negative edge weights")
+    if undirected:
+        e = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+        )
+    e = e.groupBy("u", "v").agg(F.min("w").alias("w")).localCheckpoint()
+
+    seed_col = seeds.columns[0]
+    dist = (
+        seeds.select(F.col(seed_col).cast("long").alias("id"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    frontier = dist
+    for _ in range(int(max_rounds)):
+        cand = (
+            frontier.join(e, frontier["id"] == e["u"], "inner")
+            .select(
+                F.col("v").alias("id"),
+                (frontier["dist"] + F.col("w")).alias("d"),
+            )
+            .groupBy("id")
+            .agg(F.min("d").alias("d"))
+        )
+        improved = (
+            cand.join(dist, "id", "left")
+            .where(F.col("dist").isNull() | (F.col("d") < F.col("dist")))
+            .select("id", F.col("d").alias("dist"))
+            .localCheckpoint()
+        )
+        if not improved.limit(1).count():
+            return dist
+        dist = (
+            dist.join(improved.select("id"), "id", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint()
+        )
+        frontier = dist.join(improved.select("id"), "id", "left_semi")
+    raise RuntimeError(f"sssp did not reach fixpoint in {max_rounds} rounds")
+
+
+def sssp_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    max_rounds: int = 20,
+    undirected: bool = True,
+) -> str:
+    """DuckDB twin of :func:`sssp` — a recursive CTE enumerating
+    ``(node, path-cost, hop-count)`` prefixes, bounded by ``hops <
+    max_rounds`` (``UNION`` set semantics dedups identical triples), then
+    ``min(dist)`` per node: exactly Bellman-Ford truncated at
+    ``max_rounds`` relaxation rounds — the engine raises unless its
+    fixpoint landed within the same bound, so both compute the same
+    distances. ``edges_sql`` must yield (u, v, w); ``seeds_sql`` one
+    column ``id``."""
+    sym = (
+        "SELECT u, v, w FROM sp_e0 UNION SELECT v, u, w FROM sp_e0"
+        if undirected
+        else "SELECT u, v, w FROM sp_e0"
+    )
+    return f"""WITH RECURSIVE sp_e0 AS MATERIALIZED (
+  SELECT u, v, CAST(w AS BIGINT) AS w FROM ({edges_sql}) WHERE u <> v
+),
+sp_e AS MATERIALIZED (
+  SELECT u, v, MIN(w) AS w FROM ({sym}) GROUP BY u, v
+),
+sp_reach AS (
+  SELECT id, CAST(0 AS BIGINT) AS dist, 0 AS hops FROM ({seeds_sql})
+  UNION
+  SELECT e.v AS id, r.dist + e.w AS dist, r.hops + 1 AS hops
+  FROM sp_reach r JOIN sp_e e ON e.u = r.id
+  WHERE r.hops < {int(max_rounds)}
+)
+SELECT id, MIN(dist) AS dist FROM sp_reach GROUP BY id"""

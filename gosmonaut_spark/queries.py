@@ -2201,6 +2201,58 @@ FROM customer""",
         + "\nORDER BY id",
     )
 
+    # ---- weighted SSSP (frontier Bellman-Ford, iterative) ----------------------
+    # TWO hash-edge families per node (degree ~4 after symmetrize) so the
+    # weighted diameter stays bounded — the single functional edge of
+    # graph_bfs_hops makes near-pure chains whose COST-shortest paths run
+    # 30+ hops (probed); two families converge by round 14 at sf0.01.
+    # Weights are deterministic integers 1..7 / 1..5.
+    def q_sssp(spark, sf):
+        from .operators.graph import sssp
+
+        cu = spark.read.parquet(f"{sf}/customer.parquet").select(
+            F.col("c_custkey").cast("long").alias("u")
+        )
+        n = cu.count()
+        edges = cu.select(
+            "u",
+            ((F.col("u") * F.lit(_P1)) % F.lit(_M) % F.lit(n)).alias("v"),
+            (F.lit(1) + F.col("u") % F.lit(7)).alias("w"),
+        ).unionByName(
+            cu.select(
+                "u",
+                ((F.col("u") * F.lit(_P2)) % F.lit(_M) % F.lit(n)).alias(
+                    "v"
+                ),
+                (F.lit(1) + F.col("u") % F.lit(5)).alias("w"),
+            )
+        )
+        seeds = cu.where(F.col("u") < 10).select(F.col("u").alias("id"))
+        return sssp(edges, seeds, max_rounds=18).orderBy("id")
+
+    from .operators.graph import sssp_sql
+
+    q["graph_sssp_cost"] = (
+        q_sssp,
+        sssp_sql(
+            f"""SELECT CAST(c_custkey AS BIGINT) AS u,
+       ((CAST(c_custkey AS BIGINT) * {_P1}) % {_M})
+         % (SELECT count(*) FROM customer) AS v,
+       1 + CAST(c_custkey AS BIGINT) % 7 AS w
+FROM customer
+UNION ALL
+SELECT CAST(c_custkey AS BIGINT) AS u,
+       ((CAST(c_custkey AS BIGINT) * {_P2}) % {_M})
+         % (SELECT count(*) FROM customer) AS v,
+       1 + CAST(c_custkey AS BIGINT) % 5 AS w
+FROM customer""",
+            "SELECT CAST(c_custkey AS BIGINT) AS id FROM customer "
+            "WHERE c_custkey < 10",
+            max_rounds=18,
+        )
+        + "\nORDER BY id",
+    )
+
     # ---- last-touch attribution (asof composed into marketing channels) -------
     # every purchase is attributed to the user's latest click/view within a
     # 7-day lookback; right-side (user, ts) ties collapse to min(channel)
@@ -2311,6 +2363,31 @@ ORDER BY channel""",
             "value",
         )
         + "\nORDER BY doc_id",
+    )
+
+    # ---- BM25 ranked retrieval (raw-idf variant, tfidf determinism law) --------
+    def q_bm25(spark, sf):
+        from .functions.indexing import bm25_topk
+
+        d = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .where(F.col("doc_id") < 800)
+            .select("doc_id", "text")
+        )
+        return bm25_topk(
+            d, ["hash", "value", "stream"], k=25
+        ).orderBy("rank")
+
+    from .functions.indexing import bm25_topk_sql
+
+    q["text_bm25_top25"] = (
+        q_bm25,
+        bm25_topk_sql(
+            "SELECT doc_id, text FROM documents WHERE doc_id < 800",
+            ["hash", "value", "stream"],
+            k=25,
+        )
+        + "\nORDER BY rank",
     )
 
     # ---- segment-segment intersection join ------------------------------------

@@ -954,3 +954,123 @@ uc_i AS (
 SELECT ({1 << (2 * t)} + (x * side + CAST(i // side AS BIGINT)) * {1 << t}
         + (y * side + i % side)) AS cell
 FROM uc_i"""
+
+
+def polyfill(
+    polygons: DataFrame, res: int, max_cells: int = 4096
+) -> DataFrame:
+    """Rasterize polygons: every res-``res`` cell whose CENTER lies inside
+    the closed ring (even-odd PNPOLY) -> ``(polygon_id, cell)``.
+
+    The dual of :func:`points_to_tiles` cover-of-points: here the *polygon*
+    is enumerated, not the data — the H3-polyfill primitive that turns the
+    reference's assembled areas (gosmonaut.go:156-186 way stitching) into a
+    raster layer joinable against any tile table by plain equi-join.
+
+    Scale shape: candidate enumeration is the bbox span at ``res``, bounded
+    per polygon by ``max_cells`` (a loud ``raise_error`` rides the
+    projection — a continent-sized ring at res 14 must go through
+    :func:`polygon_cover_cells`'s adaptive-res path instead, or be split by
+    compaction). The inside test is the native ray-cast fold from
+    operators/pip.py — no UDF, no shuffle: one narrow map over the polygon
+    table, output fan-out <= max_cells per row.
+    """
+    from ..functions.cells import _grid_n, cell_from_xy, cell_x, cell_y
+    from .pip import ray_cast_inside
+
+    p = polygons.select(
+        "polygon_id",
+        "lats",
+        "lons",
+        F.array_min("lats").alias("pf_min_lat"),
+        F.array_max("lats").alias("pf_max_lat"),
+        F.array_min("lons").alias("pf_min_lon"),
+        F.array_max("lons").alias("pf_max_lon"),
+    )
+    x0 = cell_x("pf_min_lon", res)
+    x1 = cell_x("pf_max_lon", res)
+    y0 = cell_y("pf_max_lat", res)  # y grows southward
+    y1 = cell_y("pf_min_lat", res)
+    n_cand = (x1 - x0 + F.lit(1)) * (y1 - y0 + F.lit(1))
+    x1_guarded = F.when(n_cand <= F.lit(int(max_cells)), x1).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"polyfill: polygon bbox exceeds {max_cells} cells at "
+                    f"res {res} (polygon_id="
+                ),
+                F.col("polygon_id").cast("string"),
+                F.lit(") — use polygon_cover_cells' adaptive res or split"),
+            )
+        )
+    )
+    cand = p.withColumn("pf_x", F.explode(F.sequence(x0, x1_guarded))).withColumn(
+        "pf_y", F.explode(F.sequence(y0, y1))
+    )
+    n = float(_grid_n(res))
+    clon = (F.col("pf_x").cast("double") + F.lit(0.5)) / F.lit(n) * F.lit(
+        360.0
+    ) - F.lit(180.0)
+    clat = F.lit(90.0) - (F.col("pf_y").cast("double") + F.lit(0.5)) / F.lit(
+        n
+    ) * F.lit(180.0)
+    inside = ray_cast_inside(clat, clon, F.col("lats"), F.col("lons"))
+    return cand.where(inside).select(
+        "polygon_id",
+        cell_from_xy(F.col("pf_x"), F.col("pf_y"), res).alias("cell"),
+    )
+
+
+def polyfill_sql(verts_sql: str, res: int) -> str:
+    """DuckDB twin of :func:`polyfill`. ``verts_sql`` must yield the closed
+    rings as ``(polygon_id, i, lat, lon)`` with ``i`` 1-based in ring order
+    and the last vertex duplicating the first. Every double expression
+    (bbox floor/clamp, cell centers, PNPOLY crossing) is textually the same
+    IEEE arithmetic as the Spark path, so the comparison is bit-exact."""
+    n = 1 << res
+    nf = float(n)
+
+    def _clamp(e: str) -> str:
+        return f"least(greatest(cast(floor({e}) as bigint), 0), {n - 1})"
+
+    x0 = _clamp(f"(min_lon + 180.0) / 360.0 * {nf}")
+    x1 = _clamp(f"(max_lon + 180.0) / 360.0 * {nf}")
+    y0 = _clamp(f"(90.0 - max_lat) / 180.0 * {nf}")
+    y1 = _clamp(f"(90.0 - min_lat) / 180.0 * {nf}")
+    return f"""WITH pfv AS ({verts_sql}),
+pf_edges AS (
+  SELECT a.polygon_id, a.lat AS y1, a.lon AS x1, b.lat AS y2, b.lon AS x2
+  FROM pfv a JOIN pfv b ON a.polygon_id = b.polygon_id AND b.i = a.i + 1
+),
+pf_bbox AS (
+  SELECT polygon_id, min(lat) AS min_lat, max(lat) AS max_lat,
+         min(lon) AS min_lon, max(lon) AS max_lon
+  FROM pfv GROUP BY polygon_id
+),
+pf_span AS (
+  SELECT polygon_id, {x0} AS x0, {x1} AS x1, {y0} AS y0, {y1} AS y1
+  FROM pf_bbox
+),
+pf_xy AS (
+  SELECT polygon_id, x, unnest(range(y0, y1 + 1)) AS y
+  FROM (
+    SELECT polygon_id, y0, y1, unnest(range(x0, x1 + 1)) AS x FROM pf_span
+  )
+),
+pf_ctr AS (
+  SELECT polygon_id, x, y,
+         90.0 - (CAST(y AS DOUBLE) + 0.5) / {nf} * 180.0 AS clat,
+         (CAST(x AS DOUBLE) + 0.5) / {nf} * 360.0 - 180.0 AS clon
+  FROM pf_xy
+),
+pf_k AS (
+  SELECT c.polygon_id, c.x, c.y,
+         sum(CASE WHEN (e.y1 > c.clat) != (e.y2 > c.clat)
+                   AND c.clon < (e.x2 - e.x1) * (c.clat - e.y1)
+                               / (e.y2 - e.y1) + e.x1
+              THEN 1 ELSE 0 END) AS k
+  FROM pf_ctr c JOIN pf_edges e ON e.polygon_id = c.polygon_id
+  GROUP BY c.polygon_id, c.x, c.y
+)
+SELECT polygon_id, CAST({1 << (2 * res)} + x * {n} + y AS BIGINT) AS cell
+FROM pf_k WHERE k % 2 = 1"""

@@ -2792,6 +2792,47 @@ FROM par WHERE k % 2 = 1
 GROUP BY way_id ORDER BY polygon_id""",
     )
 
+    # ---- polygon polyfill (rasterize assembled areas to res-15 cells) --------
+    # the H3-polyfill primitive: enumerate the bbox span per ring, keep the
+    # cells whose CENTER passes the same bit-exact PNPOLY as the pip joins.
+    def q_polyfill(spark, sf):
+        from .operators.assembly import SKIP_MISSING
+        from .operators.pip import polygons_from_ways
+        from .operators.tiling import polyfill
+        from .plans.pipeline import run_pipeline
+
+        res = run_pipeline(
+            _pages_for(spark, sf), {"node", "way"}, None, mode=SKIP_MISSING
+        )
+        polys = polygons_from_ways(res.ways)
+        return polyfill(polys, 15, max_cells=256).orderBy("polygon_id", "cell")
+
+    from .operators.tiling import polyfill_sql
+
+    _PF_VERTS = f"""SELECT s.way_id AS polygon_id,
+       row_number() OVER (PARTITION BY s.way_id ORDER BY s.pos) AS i,
+       s.lat, s.lon
+FROM (
+  SELECT r.way_id, r.pos, n.id, n.lat, n.lon
+  FROM read_parquet('{tp["way_refs"]}') r
+  JOIN read_parquet('{tp["nodes"]}') n ON r.ref = n.id
+) s
+JOIN (
+  SELECT way_id
+  FROM (
+    SELECT r.way_id, r.pos, n.id
+    FROM read_parquet('{tp["way_refs"]}') r
+    JOIN read_parquet('{tp["nodes"]}') n ON r.ref = n.id
+  )
+  GROUP BY way_id
+  HAVING count(*) >= 4 AND arg_min(id, pos) = arg_max(id, pos)
+) ring USING (way_id)"""
+
+    q["tiles_polyfill"] = (
+        q_polyfill,
+        polyfill_sql(_PF_VERTS, 15) + "\nORDER BY polygon_id, cell",
+    )
+
     def q_url_dedup(spark, sf):
         # the synthetic crawl's urls are already canonical; plant the
         # deterministic refetch noise a real crawl carries (same

@@ -933,3 +933,61 @@ def test_uncompact_roundtrip_identity_and_guard(spark):
     # guard: a mixed set holding cells FINER than the target raises
     with pytest.raises(Exception):
         uncompact_cells(comp, 1).collect()
+
+
+def test_polyfill_matches_numpy_bruteforce(spark):
+    """Polyfill vs per-center numpy PNPOLY over the full bbox span, plus the
+    fan-out guard. Uses a non-convex (L-shaped) ring so even-odd parity is
+    genuinely exercised."""
+    import numpy as np
+    import pytest
+
+    from gosmonaut_spark.functions.cells import cell_np
+    from gosmonaut_spark.operators.pip import _numpy_pnpoly
+    from gosmonaut_spark.operators.tiling import polyfill
+
+    res = 10  # 2^10 grid: cells ~0.176 x 0.352 deg
+    # L-shape around (10,10) and a small square across the antimeridian side
+    polys = [
+        (1, [10.0, 12.5, 12.5, 11.0, 11.0, 10.0, 10.0],
+            [20.0, 20.0, 21.0, 21.0, 23.0, 23.0, 20.0]),
+        (2, [-5.0, -5.0, -4.2, -4.2, -5.0],
+            [100.0, 101.1, 101.1, 100.0, 100.0]),
+    ]
+    df = spark.createDataFrame(
+        [(pid, lats, lons) for pid, lats, lons in polys],
+        "polygon_id long, lats array<double>, lons array<double>",
+    )
+    got = {
+        (r.polygon_id, r.cell)
+        for r in polyfill(df, res, max_cells=512).collect()
+    }
+
+    n = 1 << res
+    want = set()
+    for pid, lats, lons in polys:
+        la, lo = np.array(lats), np.array(lons)
+        x0 = int(np.clip(np.floor((lo.min() + 180.0) / 360.0 * n), 0, n - 1))
+        x1 = int(np.clip(np.floor((lo.max() + 180.0) / 360.0 * n), 0, n - 1))
+        y0 = int(np.clip(np.floor((90.0 - la.max()) / 180.0 * n), 0, n - 1))
+        y1 = int(np.clip(np.floor((90.0 - la.min()) / 180.0 * n), 0, n - 1))
+        xs, ys = np.meshgrid(np.arange(x0, x1 + 1), np.arange(y0, y1 + 1))
+        xs, ys = xs.ravel(), ys.ravel()
+        clon = (xs + 0.5) / n * 360.0 - 180.0
+        clat = 90.0 - (ys + 0.5) / n * 180.0
+        inside = _numpy_pnpoly(clat, clon, la, lo)
+        cells = (1 << (2 * res)) + xs * n + ys
+        want |= {(pid, int(c)) for c in cells[inside]}
+    assert got == want and len(got) > 10
+    # the L's notch (the removed quadrant) must NOT be filled: cells of the
+    # axis-aligned box [11,12.5]x[21,23] minus a 1-cell rim are outside
+    notch_lat, notch_lon = 12.0, 22.0  # center of the removed quadrant
+    notch_cell = int(cell_np(np.array([notch_lat]), np.array([notch_lon]), res)[0])
+    assert (1, notch_cell) not in got
+    # guard: a ring whose bbox explodes past max_cells raises loudly
+    big = spark.createDataFrame(
+        [(9, [0.0, 0.0, 60.0, 60.0, 0.0], [0.0, 60.0, 60.0, 0.0, 0.0])],
+        "polygon_id long, lats array<double>, lons array<double>",
+    )
+    with pytest.raises(Exception, match="polyfill"):
+        polyfill(big, res, max_cells=64).collect()

@@ -43,7 +43,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_distinct", "hll_distinct_sql", "cms_estimates", "cms_estimates_sql"]
+__all__ = [
+    "hll_distinct",
+    "hll_distinct_sql",
+    "cms_estimates",
+    "cms_estimates_sql",
+    "kmv_sketch",
+    "kmv_jaccard_pairs",
+    "kmv_jaccard_pairs_sql",
+]
 
 
 def _alpha(m: int) -> float:
@@ -221,3 +229,183 @@ cms_pos AS (
 SELECT p.k AS {key_expr}, min(coalesce(t.cnt, 0)) AS cms_est
 FROM cms_pos p LEFT JOIN cms_counters t ON t.i = p.i AND t.c = p.c
 GROUP BY p.k"""
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) — distinct counts AND set intersections.
+#
+# HLL above answers "how many distinct per group"; it cannot answer
+# "how much do two groups' key sets OVERLAP" without inclusion-exclusion
+# error stacking. KMV (Bar-Yossef et al. 2002 / Beyer et al. 2007) keeps
+# the k smallest 60-bit hashes per group: a uniform bottom-k sample of
+# the key space that is CLOSED under union (merge = k smallest of the
+# concatenation), so Jaccard(A,B) ~= |{x in KMV(A∪B): x in KMV(A) and
+# x in KMV(B)}| / k falls out exactly.
+#
+# Cross-engine law: hash = conv(md5(salt||key)[:15],16,10) — exact 60-bit
+# integer on both engines (repo-wide md5 discipline); the only floats are
+# the final estimates, each a single literal-times/over-integer IEEE
+# expression emitted verbatim into the SQL twin.
+#
+# Plan shape (100 TB lens): one distinct (group, hash) shuffle, then a
+# salted two-level k-min (row_number window per (group, hash%n_salts),
+# filter <= k, then the final per-group window over <= n_salts*k rows) —
+# no unbounded collect anywhere, the per-group state is exactly k longs.
+# ---------------------------------------------------------------------------
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int = 128,
+    salt: str = "kmv",
+    n_salts: int = 64,
+) -> DataFrame:
+    """Per-group bottom-k sketch: ``(group_col, kmv array<long> ascending)``.
+    A group with fewer than k distinct keys carries its EXACT hash set."""
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    dist = df.select(F.col(group_col).alias("g"), h.alias("h")).distinct()
+    w_local = Window.partitionBy("g", F.pmod("h", F.lit(n_salts))).orderBy("h")
+    survivors = (
+        dist.withColumn("rn", F.row_number().over(w_local))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+    w_g = Window.partitionBy("g").orderBy("h")
+    topk = (
+        survivors.withColumn("rn", F.row_number().over(w_g))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+    return topk.groupBy("g").agg(
+        F.array_sort(F.collect_set("h")).alias("kmv")
+    ).select(F.col("g").alias(group_col), "kmv")
+
+
+def kmv_jaccard_pairs(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int = 128,
+    salt: str = "kmv",
+) -> DataFrame:
+    """All group pairs (a < b): KMV distinct estimates for each side plus
+    the merged-sketch overlap count and Jaccard estimate.
+
+    Output: ``(g_a, g_b, est_a double, est_b double, overlap long,
+    jaccard double)`` — every float a single shared-literal IEEE op.
+    The pair join is over the per-group sketches (O(groups) rows, k longs
+    each), so even thousands of groups broadcast."""
+    sk = kmv_sketch(df, key_col, group_col, k=k, salt=salt)
+    c_est = float((k - 1) * (1 << 60))  # (k-1) / (h_k / 2^60), one division
+
+    def est(kmv):
+        return F.when(
+            F.size(kmv) < k, F.size(kmv).cast("double")
+        ).otherwise(F.lit(c_est) / F.element_at(kmv, k).cast("double"))
+
+    a = sk.select(
+        F.col(group_col).alias("g_a"), F.col("kmv").alias("kmv_a")
+    )
+    b = sk.select(
+        F.col(group_col).alias("g_b"), F.col("kmv").alias("kmv_b")
+    )
+    pairs = a.join(b, F.col("g_a") < F.col("g_b"))
+    merged = F.array_sort(F.array_union("kmv_a", "kmv_b"))
+    u = F.slice(merged, 1, k)
+    overlap = F.size(
+        F.filter(
+            u,
+            lambda x: F.array_contains("kmv_a", x)
+            & F.array_contains("kmv_b", x),
+        )
+    ).cast("long")
+    # denominator = |union sketch| = min(k, |merged|): when both sides are
+    # unsaturated the merged set IS A∪B and the ratio is the EXACT Jaccard;
+    # saturated pairs divide by k (the standard bottom-k estimator).
+    denom = F.least(F.lit(k), F.size(merged)).cast("long")
+    return pairs.select(
+        "g_a",
+        "g_b",
+        est(F.col("kmv_a")).alias("est_a"),
+        est(F.col("kmv_b")).alias("est_b"),
+        overlap.alias("overlap"),
+        (overlap.cast("double") / denom.cast("double")).alias("jaccard"),
+    )
+
+
+def kmv_jaccard_pairs_sql(
+    rows_sql: str,
+    key_expr: str = "key",
+    group_expr: str = "g",
+    k: int = 128,
+    salt: str = "kmv",
+) -> str:
+    """DuckDB twin of :func:`kmv_jaccard_pairs` — relational bottom-k via
+    row_number (the k-min of a distinct set is algorithm-independent), the
+    same hash law, the same single-division estimates."""
+    c_est = float((k - 1) * (1 << 60))
+    h = (
+        f"CAST(('0x' || substr(md5('{salt}' || CAST({key_expr} AS VARCHAR)),"
+        f" 1, 15)) AS BIGINT)"
+    )
+    return f"""WITH kmv_rows AS ({rows_sql}),
+kmv_dist AS (
+  SELECT DISTINCT {group_expr} AS g, {h} AS h FROM kmv_rows
+),
+kmv_rn AS (
+  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+  FROM kmv_dist
+),
+kmv_sk AS (SELECT g, h FROM kmv_rn WHERE rn <= {k}),
+kmv_stat AS (
+  SELECT g, count(*) AS cnt, max(h) AS hk FROM kmv_sk GROUP BY g
+),
+kmv_est AS (
+  SELECT g, CASE WHEN cnt < {k} THEN CAST(cnt AS DOUBLE)
+                 ELSE {c_est!r} / CAST(hk AS DOUBLE) END AS est
+  FROM kmv_stat
+),
+kmv_pairs AS (
+  SELECT a.g AS g_a, b.g AS g_b
+  FROM kmv_stat a JOIN kmv_stat b ON a.g < b.g
+),
+kmv_u AS (
+  SELECT p.g_a, p.g_b, s.h,
+         row_number() OVER (PARTITION BY p.g_a, p.g_b ORDER BY s.h) AS rn
+  FROM kmv_pairs p
+  JOIN (SELECT DISTINCT h, g FROM kmv_sk) s ON s.g IN (p.g_a, p.g_b)
+  GROUP BY p.g_a, p.g_b, s.h
+),
+kmv_ov AS (
+  SELECT u.g_a, u.g_b, count(*) AS overlap
+  FROM kmv_u u
+  WHERE u.rn <= {k}
+    AND EXISTS (SELECT 1 FROM kmv_sk x WHERE x.g = u.g_a AND x.h = u.h)
+    AND EXISTS (SELECT 1 FROM kmv_sk y WHERE y.g = u.g_b AND y.h = u.h)
+  GROUP BY u.g_a, u.g_b
+),
+kmv_den AS (
+  SELECT g_a, g_b, least({k}, count(*)) AS denom
+  FROM kmv_u GROUP BY g_a, g_b
+)
+SELECT p.g_a, p.g_b, ea.est AS est_a, eb.est AS est_b,
+       CAST(coalesce(o.overlap, 0) AS BIGINT) AS overlap,
+       CAST(coalesce(o.overlap, 0) AS DOUBLE) / CAST(d.denom AS DOUBLE)
+         AS jaccard
+FROM kmv_pairs p
+JOIN kmv_est ea ON ea.g = p.g_a
+JOIN kmv_est eb ON eb.g = p.g_b
+JOIN kmv_den d ON d.g_a = p.g_a AND d.g_b = p.g_b
+LEFT JOIN kmv_ov o ON o.g_a = p.g_a AND o.g_b = p.g_b"""

@@ -3615,6 +3615,37 @@ ORDER BY doc_id""",
         + "\nORDER BY source",
     )
 
+    # ---- KMV bottom-k sketch (cross-language shingle-set overlap) ------------
+    # HLL can't answer set INTERSECTION without inclusion-exclusion error
+    # stacking; the KMV merged-sketch Jaccard does it in one law. Keys are
+    # 3-gram shingles (3k-9k distinct per lang at sf0.01, true en-fr
+    # Jaccard ~0.11), so k=128 sketches genuinely saturate and the h_k
+    # estimation path is exercised — not just the exact small-set path.
+    def q_kmv(spark, sf):
+        from .functions.sketch import kmv_jaccard_pairs
+        from .functions.text import shingles
+
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        rows = d.select("lang", F.explode(shingles("text", 3)).alias("sh"))
+        return kmv_jaccard_pairs(rows, "sh", "lang", k=128).orderBy(
+            "g_a", "g_b"
+        )
+
+    from .functions.sketch import kmv_jaccard_pairs_sql
+    from .functions.text import shingles_sql
+
+    q["corpus_kmv_lang_jaccard"] = (
+        q_kmv,
+        kmv_jaccard_pairs_sql(
+            f"SELECT lang, unnest({shingles_sql('text', 3)}) AS sh "
+            "FROM documents",
+            key_expr="sh",
+            group_expr="lang",
+            k=128,
+        )
+        + "\nORDER BY 1, 2",
+    )
+
     # ---- sliding-window document chunking (RAG / embedding prep) -------------
     def q_chunk_docs(spark, sf):
         from .functions.packing import chunk_documents

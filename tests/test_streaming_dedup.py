@@ -35,12 +35,21 @@ def _doc_files(tmp_path, n_files: int = 3, per_file: int = 40):
             ("text", pa.string()),
         ]
     )
+    import os
+    import time
+
+    # FileStreamSource orders micro-batches by file modification time; pin
+    # strictly increasing mtimes so "file i arrives i-th" holds even when
+    # the writes land within one clock tick (otherwise the test flakes).
+    t0 = time.time()
     for i in range(n_files):
         chunk = pdf.iloc[i * per_file : (i + 1) * per_file]
+        path = str(src / f"part{i}.parquet")
         pq.write_table(
             pa.Table.from_pandas(chunk, schema=schema, preserve_index=False),
-            str(src / f"part{i}.parquet"),
+            path,
         )
+        os.utime(path, (t0 + i, t0 + i))
     return src, pdf
 
 

@@ -272,6 +272,25 @@ class CheckpointStore:
             extra_meta={"operation": "merge", "merge_keys": keys},
         )
 
+    def diff(
+        self,
+        name: str,
+        from_snapshot: int,
+        to_snapshot: int,
+        key_cols: list[str],
+        compare_cols: list[str],
+    ) -> DataFrame:
+        """Changelog between two committed snapshots of a pass — the
+        Iceberg ``changelog scan`` analog over the versioned store:
+        time-travel both ids and :func:`snapshot_diff` them. Drives
+        incremental consumers off merge history without full re-reads."""
+        return snapshot_diff(
+            self.read(name, snapshot_id=from_snapshot),
+            self.read(name, snapshot_id=to_snapshot),
+            key_cols,
+            compare_cols,
+        )
+
     def compact_files(
         self,
         name: str,
@@ -483,3 +502,81 @@ def run_pipeline_checkpointed(
         "assembled_ways": assembled_ways,
         "relations": relations,
     }
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """CDC between two table versions: one row per changed key, classified
+    ``insert`` (key only in ``new``) / ``delete`` (only in ``old``) /
+    ``update`` (present in both, any compare column differs null-safely).
+    Unchanged keys are dropped. Output: key cols, ``change``, and
+    ``old_<c>``/``new_<c>`` for every compare column.
+
+    The read half of the Iceberg changelog story (:meth:`CheckpointStore.
+    merge_upsert` is the write half): feeding a diff between snapshot ids
+    to a downstream consumer is incremental processing without re-reading
+    the full table.
+
+    Scale shape (100 TB lens): ONE full-outer sort-merge join on the key —
+    both sides pruned to key+compare columns before the shuffle, the
+    unchanged-row drop happens in the joined projection (no second pass).
+    No UDF, no skew risk beyond the key's own distribution (a hot key is a
+    data-model bug for a primary-key diff).
+    """
+    keys = list(key_cols)
+    cmps = list(compare_cols)
+    o = old.select(*keys, *cmps).withColumn("_old", F.lit(1))
+    n = new.select(*keys, *cmps).withColumn("_new", F.lit(1))
+    for c in cmps:
+        o = o.withColumnRenamed(c, f"_o_{c}")
+        n = n.withColumnRenamed(c, f"_n_{c}")
+    j = o.join(n, keys, "full_outer")
+    differs = None
+    for c in cmps:
+        d = ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        differs = d if differs is None else (differs | d)
+    change = (
+        F.when(F.col("_old").isNull(), F.lit("insert"))
+        .when(F.col("_new").isNull(), F.lit("delete"))
+        .when(differs, F.lit("update"))
+    )
+    out_cols = (
+        [F.col(k) for k in keys]
+        + [change.alias("change")]
+        + [F.col(f"_o_{c}").alias(f"old_{c}") for c in cmps]
+        + [F.col(f"_n_{c}").alias(f"new_{c}") for c in cmps]
+    )
+    return j.select(*out_cols).where(F.col("change").isNotNull())
+
+
+def snapshot_diff_sql(
+    old_sql: str,
+    new_sql: str,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> str:
+    """DuckDB twin of :func:`snapshot_diff` — FULL OUTER JOIN with
+    IS DISTINCT FROM (null-safe, same semantics as Spark's ``<=>``
+    negated)."""
+    keys = list(key_cols)
+    cmps = list(compare_cols)
+    on = " AND ".join(f"o.{k} = n.{k}" for k in keys)
+    key_out = ", ".join(f"coalesce(o.{k}, n.{k}) AS {k}" for k in keys)
+    differs = " OR ".join(f"(o.{c} IS DISTINCT FROM n.{c})" for c in cmps)
+    olds = ", ".join(f"o.{c} AS old_{c}" for c in cmps)
+    news = ", ".join(f"n.{c} AS new_{c}" for c in cmps)
+    return f"""WITH sd_old AS (SELECT *, 1 AS _old FROM ({old_sql})),
+sd_new AS (SELECT *, 1 AS _new FROM ({new_sql})),
+sd_j AS (
+  SELECT {key_out},
+         CASE WHEN o._old IS NULL THEN 'insert'
+              WHEN n._new IS NULL THEN 'delete'
+              WHEN {differs} THEN 'update' END AS change,
+         {olds}, {news}
+  FROM sd_old o FULL OUTER JOIN sd_new n ON {on}
+)
+SELECT * FROM sd_j WHERE change IS NOT NULL"""

@@ -2601,6 +2601,48 @@ FROM (
         + "\nORDER BY key, grid_ms",
     )
 
+    # ---- snapshot diff / CDC (the changelog read of the Iceberg seam) --------
+    # two deterministic versions of orders: v_old drops %11 keys (-> inserts
+    # in the diff), v_new drops %13 keys (-> deletes) and bumps %7 prices
+    # by one dollar (-> updates); everything else must be SILENT (dropped).
+    def q_snapshot_diff(spark, sf):
+        from .plans.checkpoint import snapshot_diff
+
+        o = spark.read.parquet(f"{sf}/orders.parquet").select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        v_old = o.where(F.col("o_orderkey") % 11 != 0)
+        v_new = o.where(F.col("o_orderkey") % 13 != 0).withColumn(
+            "cents",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("cents") + F.lit(100)
+            ).otherwise(F.col("cents")),
+        )
+        return snapshot_diff(
+            v_old, v_new, ["o_orderkey"], ["o_custkey", "cents"]
+        ).orderBy("o_orderkey")
+
+    from .plans.checkpoint import snapshot_diff_sql
+
+    _SD_BASE = (
+        "SELECT o_orderkey, o_custkey, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders"
+    )
+    q["table_snapshot_diff"] = (
+        q_snapshot_diff,
+        snapshot_diff_sql(
+            f"SELECT * FROM ({_SD_BASE}) WHERE o_orderkey % 11 <> 0",
+            f"""SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 7 = 0 THEN cents + 100 ELSE cents END AS cents
+FROM ({_SD_BASE}) WHERE o_orderkey % 13 <> 0""",
+            ["o_orderkey"],
+            ["o_custkey", "cents"],
+        )
+        + "\nORDER BY o_orderkey",
+    )
+
     return q
 
 

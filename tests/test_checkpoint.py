@@ -262,3 +262,43 @@ def test_compact_files_rewrites_layout_not_content(spark, tmp_path):
     assert snaps[0]["id"] in expired
     left = glob.glob(str(tmp_path / "cmp" / "**" / "*.parquet"), recursive=True)
     assert all(new_snap in f for f in left)
+
+
+def test_snapshot_diff_changelog(spark, tmp_path):
+    """store.diff(v1, v2) recovers EXACTLY the merge that produced v2 —
+    the changelog read of the merge_upsert write path — and null-safe
+    update detection catches NULL<->value transitions both ways."""
+    from gosmonaut_spark.plans.checkpoint import snapshot_diff
+
+    ck = CheckpointStore(spark, str(tmp_path / "cdc"), retain=10)
+    ck.run_pass(
+        "t",
+        lambda: spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (5, None)], "k long, v string"
+        ),
+    )
+    ups = spark.createDataFrame(
+        [(2, "B", False), (4, "d", False), (3, None, True), (5, "now", False)],
+        "k long, v string, deleted boolean",
+    )
+    ck.merge_upsert("t", ups, ["k"], delete_col="deleted")
+
+    got = sorted(
+        (r.k, r.change, r.old_v, r.new_v)
+        for r in ck.diff("t", 1, 2, ["k"], ["v"]).collect()
+    )
+    assert got == [
+        (2, "update", "b", "B"),
+        (3, "delete", "c", None),
+        (4, "insert", None, "d"),
+        (5, "update", None, "now"),  # NULL -> value is an update, not noise
+    ]
+    # k=1 untouched => absent; diff of a version against itself is empty
+    assert ck.diff("t", 2, 2, ["k"], ["v"]).count() == 0
+    # value -> NULL direction and multi-compare-column OR
+    old = spark.createDataFrame([(1, "x", 10)], "k long, v string, s int")
+    new = spark.createDataFrame([(1, None, 10)], "k long, v string, s int")
+    row = snapshot_diff(old, new, ["k"], ["v", "s"]).collect()
+    assert [(r.k, r.change, r.old_v, r.new_v, r.old_s, r.new_s) for r in row] == [
+        (1, "update", "x", None, 10, 10)
+    ]

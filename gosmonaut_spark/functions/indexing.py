@@ -351,3 +351,95 @@ SELECT doc_id, score,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
 FROM bm_fold
 QUALIFY rank <= {int(k)}"""
+
+
+# ---------------------------------------------------------------------------
+# Co-occurrence top-k ("people who visited X also visited Y") — the
+# item-item collaborative-counting primitive over any (group, item)
+# bipartite table: users x places, sessions x hosts, docs x entities.
+#
+# Shape (100 TB lens): the naive self-join is quadratic in the hottest
+# group (one crawler user touching 10^5 cells => 10^10 pairs), so the
+# per-group fan-out is CAPPED FIRST — the standard co-visitation
+# discipline: cap^2 bounds every group's pair contribution, the pair
+# count aggregates with map-side combine, and the final top-k is a
+# window partitioned by item over the (much smaller) pair table. The
+# cap's selection law is deterministic (the ``cap`` smallest item ids
+# per group), so reruns and the SQL twin agree exactly.
+# ---------------------------------------------------------------------------
+
+
+def cooccurrence_topk(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    cap: int = 32,
+    top: int = 3,
+) -> DataFrame:
+    """Top-``top`` co-occurring items per item:
+    ``(item, rel, n_co long, rnk int)``, ties broken by rel ascending."""
+    d = (
+        df.select(F.col(group_col).alias("g"), F.col(item_col).alias("it"))
+        .distinct()
+    )
+    w_cap = Window.partitionBy("g").orderBy("it")
+    capped = (
+        d.withColumn("rn", F.row_number().over(w_cap))
+        .where(F.col("rn") <= cap)
+        .drop("rn")
+    )
+    a = capped.select("g", F.col("it").alias("a"))
+    b = capped.select("g", F.col("it").alias("b"))
+    pairs = (
+        a.join(b, "g")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+    sym = pairs.select(
+        F.col("a").alias("item"), F.col("b").alias("rel"), "n_co"
+    ).unionByName(
+        pairs.select(F.col("b").alias("item"), F.col("a").alias("rel"), "n_co")
+    )
+    w_top = Window.partitionBy("item").orderBy(
+        F.col("n_co").desc(), F.col("rel").asc()
+    )
+    return (
+        sym.withColumn("rnk", F.row_number().over(w_top))
+        .where(F.col("rnk") <= top)
+    )
+
+
+def cooccurrence_topk_sql(
+    rows_sql: str,
+    group_expr: str = "g",
+    item_expr: str = "it",
+    cap: int = 32,
+    top: int = 3,
+) -> str:
+    """DuckDB twin of :func:`cooccurrence_topk` — identical cap law,
+    pair direction, and tie-break."""
+    return f"""WITH co_rows AS ({rows_sql}),
+co_d AS (SELECT DISTINCT {group_expr} AS g, {item_expr} AS it FROM co_rows),
+co_cap AS (
+  SELECT g, it FROM (
+    SELECT g, it, row_number() OVER (PARTITION BY g ORDER BY it) AS rn
+    FROM co_d
+  ) WHERE rn <= {cap}
+),
+co_pairs AS (
+  SELECT a.it AS a, b.it AS b, count(*) AS n_co
+  FROM co_cap a JOIN co_cap b ON a.g = b.g AND a.it < b.it
+  GROUP BY a.it, b.it
+),
+co_sym AS (
+  SELECT a AS item, b AS rel, n_co FROM co_pairs
+  UNION ALL
+  SELECT b AS item, a AS rel, n_co FROM co_pairs
+)
+SELECT item, rel, n_co, CAST(rnk AS INT) AS rnk FROM (
+  SELECT item, rel, n_co,
+         row_number() OVER (PARTITION BY item
+                            ORDER BY n_co DESC, rel ASC) AS rnk
+  FROM co_sym
+) WHERE rnk <= {top}"""

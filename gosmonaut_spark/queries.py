@@ -2601,6 +2601,37 @@ FROM (
         + "\nORDER BY key, grid_ms",
     )
 
+    # ---- co-visitation top-k (item-item collaborative counts) ----------------
+    # "users who visited this cell also visited": per-user fan-out capped
+    # BEFORE the pair self-join (the quadratic-blowup discipline), then
+    # count + windowed top-3, ties by rel cell ascending.
+    def q_covisit(spark, sf):
+        from .functions.indexing import cooccurrence_topk
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            "user_id", "event_id"
+        )
+        pts = _pts(spark, sf)
+        uc = ev.join(pts, ev.event_id == pts.id).select(
+            "user_id", cell_expr("lat", "lon", 4).alias("cell")
+        )
+        return cooccurrence_topk(uc, "user_id", "cell", cap=32, top=3).orderBy(
+            "item", "rnk"
+        )
+
+    from .functions.indexing import cooccurrence_topk_sql
+
+    q["geo_covisitation_top3"] = (
+        q_covisit,
+        cooccurrence_topk_sql(
+            f"""SELECT e.user_id AS g, {cell_sql('p.lat', 'p.lon', 4)} AS it
+FROM events e JOIN ({_PTS_SQL.strip()}) p ON p.id = e.event_id""",
+            cap=32,
+            top=3,
+        )
+        + "\nORDER BY item, rnk",
+    )
+
     # ---- snapshot diff / CDC (the changelog read of the Iceberg seam) --------
     # two deterministic versions of orders: v_old drops %11 keys (-> inserts
     # in the diff), v_new drops %13 keys (-> deletes) and bumps %7 prices

@@ -186,3 +186,51 @@ def test_last_touch_lookback_window(spark):
     )
     got = {r.event_id: r.asof_channel for r in j.collect()}
     assert got == {100: "click", 101: None}
+
+
+def test_cooccurrence_topk_matches_bruteforce(spark):
+    """Pair counts, cap law (the cap smallest item ids per group), and
+    the deterministic top-k tie-break all match a python brute force."""
+    from collections import Counter
+
+    from gosmonaut_spark.functions.indexing import cooccurrence_topk
+
+    rows = []
+    # 6 groups over 8 items with skew: group 0 touches EVERYTHING (capped)
+    touch = {
+        0: list(range(8)),
+        1: [1, 2, 3],
+        2: [2, 3, 4],
+        3: [1, 3, 5],
+        4: [6, 7],
+        5: [2, 3],
+    }
+    for g, its in touch.items():
+        rows += [(g, it) for it in its] * 2  # duplicates must not count twice
+    df = spark.createDataFrame(rows, "g long, it long")
+    cap, top = 4, 2
+    got = sorted(
+        (r.item, r.rel, r.n_co, r.rnk)
+        for r in cooccurrence_topk(df, "g", "it", cap=cap, top=top).collect()
+    )
+
+    pairs = Counter()
+    for g, its in touch.items():
+        kept = sorted(set(its))[:cap]  # the cap law
+        for i, a in enumerate(kept):
+            for b in kept[i + 1 :]:
+                pairs[(a, b)] += 1
+    sym = {}
+    for (a, b), n in pairs.items():
+        sym.setdefault(a, []).append((b, n))
+        sym.setdefault(b, []).append((a, n))
+    want = []
+    for item, rels in sym.items():
+        rels.sort(key=lambda rn: (-rn[1], rn[0]))
+        want += [
+            (item, rel, n, rnk + 1) for rnk, (rel, n) in enumerate(rels[:top])
+        ]
+    assert got == sorted(want)
+    # group 0's capped-away items (4..7 beyond the 4 smallest) contributed
+    # no pairs from group 0: item 7 only co-occurs via group 4
+    assert [(r, n) for (i, r, n, _) in got if i == 7] == [(6, 1)]

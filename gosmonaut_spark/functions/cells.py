@@ -177,3 +177,68 @@ def cell_sql(lat_expr: str, lon_expr: str, res: int) -> str:
 def cell_parent_sql(lat_expr: str, lon_expr: str, parent_res: int) -> str:
     """Oracle-side parent = recompute at the coarser res (same floor math)."""
     return cell_sql(lat_expr, lon_expr, parent_res)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) codes — the LAYOUT twin of the x-major cell id above.
+# cell_from_xy keys are x-major (x*2^r + y): perfect for equi-joins and
+# parent arithmetic, but an x-major SORT scatters spatial neighbors. The
+# Morton code interleaves the x/y bits instead, so sorting by it clusters
+# 2D neighbors into contiguous key runs — which is exactly what
+# Delta/Iceberg Z-ORDER clustering exploits for file skipping: a bbox
+# becomes a handful of contiguous morton ranges, and a scan over a
+# morton-sorted table prunes everything outside them. Pure integer
+# magic-number spreads (shift/and/or), bit-identical in ANSI SQL.
+# ---------------------------------------------------------------------------
+
+_MORTON_SPREADS = (  # 16-bit -> 32-bit even-bit spread (res <= 15 fits)
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def _spread_bits(v: Column) -> Column:
+    for sh, mask in _MORTON_SPREADS:
+        v = F.shiftleft(v, sh).bitwiseOR(v).bitwiseAND(F.lit(mask))
+    return v
+
+
+def morton_from_xy(x: Column, y: Column) -> Column:
+    """Interleave two <=16-bit grid coordinates: x in even bits, y odd."""
+    return _spread_bits(x).bitwiseOR(F.shiftleft(_spread_bits(y), 1))
+
+
+def morton_expr(lat: Column | str, lon: Column | str, res: int) -> Column:
+    """Morton code of the point's res-``res`` grid cell (same floor/clamp
+    x/y law as :func:`cell_expr` — the two ids index the SAME cell)."""
+    if not MIN_RES <= res <= MAX_RES:
+        raise ValueError(f"res must be in [{MIN_RES},{MAX_RES}]")
+    return morton_from_xy(cell_x(lon, res), cell_y(lat, res))
+
+
+def _spread_bits_sql(e: str) -> str:
+    for sh, mask in _MORTON_SPREADS:
+        e = f"((({e}) << {sh} | ({e})) & {mask})"
+    return e
+
+
+def morton_from_xy_sql(x_expr: str, y_expr: str) -> str:
+    return (
+        f"({_spread_bits_sql(x_expr)} | ({_spread_bits_sql(y_expr)} << 1))"
+    )
+
+
+def morton_sql(lat_expr: str, lon_expr: str, res: int) -> str:
+    """DuckDB twin of :func:`morton_expr` — identical shifts and masks."""
+    n = _grid_n(res)
+    x = (
+        f"least(greatest(cast(floor((({lon_expr}) + 180.0) / 360.0 * {float(n)}) "
+        f"as bigint), 0), {n - 1})"
+    )
+    y = (
+        f"least(greatest(cast(floor((90.0 - ({lat_expr})) / 180.0 * {float(n)}) "
+        f"as bigint), 0), {n - 1})"
+    )
+    return morton_from_xy_sql(x, y)

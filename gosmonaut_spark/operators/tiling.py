@@ -1074,3 +1074,106 @@ pf_k AS (
 )
 SELECT polygon_id, CAST({1 << (2 * res)} + x * {n} + y AS BIGINT) AS cell
 FROM pf_k WHERE k % 2 = 1"""
+
+
+def zorder_bbox_ranges(
+    lat_min: float,
+    lat_max: float,
+    lon_min: float,
+    lon_max: float,
+    res: int,
+    max_cells: int = 4096,
+) -> list[tuple[int, int]]:
+    """Plan-time: the bbox's cell cover at ``res`` as MERGED contiguous
+    Morton-code ranges ``[(lo, hi), ...]``. This is the Z-ORDER file-skip
+    computation (Delta/Iceberg clustering): a morton-sorted table scans
+    only these key ranges. Pure arithmetic on the bbox LITERALS (like
+    partition-filter planning — no data touched), bounded by
+    ``max_cells``."""
+    import math
+
+    from ..functions.cells import MAX_RES, MIN_RES
+
+    if not MIN_RES <= res <= MAX_RES:
+        raise ValueError(f"res must be in [{MIN_RES},{MAX_RES}]")
+    n = 1 << res
+
+    def clamp(v: float) -> int:
+        return min(max(int(math.floor(v)), 0), n - 1)
+
+    x0 = clamp((lon_min + 180.0) / 360.0 * float(n))
+    x1 = clamp((lon_max + 180.0) / 360.0 * float(n))
+    y0 = clamp((90.0 - lat_max) / 180.0 * float(n))
+    y1 = clamp((90.0 - lat_min) / 180.0 * float(n))
+    n_cand = (x1 - x0 + 1) * (y1 - y0 + 1)
+    if n_cand > max_cells:
+        raise ValueError(
+            f"zorder_bbox_ranges: bbox covers {n_cand} cells at res {res} "
+            f"(> {max_cells}) — coarsen res or raise max_cells"
+        )
+
+    def spread(v: int) -> int:
+        for sh, m in (
+            (8, 0x00FF00FF),
+            (4, 0x0F0F0F0F),
+            (2, 0x33333333),
+            (1, 0x55555555),
+        ):
+            v = ((v << sh) | v) & m
+        return v
+
+    codes = sorted(
+        spread(x) | (spread(y) << 1)
+        for x in range(x0, x1 + 1)
+        for y in range(y0, y1 + 1)
+    )
+    ranges: list[tuple[int, int]] = []
+    lo = prev = codes[0]
+    for c in codes[1:]:
+        if c != prev + 1:
+            ranges.append((lo, prev))
+            lo = c
+        prev = c
+    ranges.append((lo, prev))
+    return ranges
+
+
+def zorder_range_scan(
+    points: DataFrame,
+    lat_min: float,
+    lat_max: float,
+    lon_min: float,
+    lon_max: float,
+    res: int,
+    max_cells: int = 4096,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Prune-then-refine bbox scan through the Morton index: join points
+    against the broadcast merged code ranges (the logical analog of
+    z-order file skipping — on a morton-sorted/partitioned table this
+    becomes a storage-level range prune), then apply the EXACT bbox
+    predicate (boundary cells are only partially inside).
+
+    Scale shape: ranges are plan-time literals (a few dozen after
+    merging), broadcast to a nested-loop membership test — map-only over
+    the points, no shuffle; the refine rides the same projection."""
+    from ..functions.cells import morton_expr
+
+    spark = points.sparkSession
+    ranges = zorder_bbox_ranges(
+        lat_min, lat_max, lon_min, lon_max, res, max_cells=max_cells
+    )
+    rdf = spark.createDataFrame(ranges, "zr_lo long, zr_hi long")
+    pm = morton_expr(lat, lon, res)
+    pruned = points.withColumn("_zm", pm).join(
+        F.broadcast(rdf),
+        (F.col("_zm") >= F.col("zr_lo")) & (F.col("_zm") <= F.col("zr_hi")),
+        "inner",
+    )
+    return pruned.where(
+        (F.col(lat) >= F.lit(lat_min))
+        & (F.col(lat) <= F.lit(lat_max))
+        & (F.col(lon) >= F.lit(lon_min))
+        & (F.col(lon) <= F.lit(lon_max))
+    ).drop("_zm", "zr_lo", "zr_hi")

@@ -2601,6 +2601,29 @@ FROM (
         + "\nORDER BY key, grid_ms",
     )
 
+    # ---- Z-order (Morton) range scan: prune-then-refine bbox ------------------
+    # the Delta/Iceberg Z-ORDER story made logical: the bbox compiles to 58
+    # merged morton ranges at res 8 (plan-time literals, no data touched),
+    # points join the broadcast ranges map-only, boundary cells refined by
+    # the exact predicate. The oracle is the PLAIN bbox filter — equality
+    # proves the prune is lossless.
+    def q_zorder(spark, sf):
+        from .operators.tiling import zorder_range_scan
+
+        out = zorder_range_scan(_pts(spark, sf), 10.0, 35.0, 40.0, 80.0, 8)
+        return out.agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("id").alias("sum_id"),
+        )
+
+    q["geo_zorder_scan"] = (
+        q_zorder,
+        f"""SELECT CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(id) AS BIGINT) AS sum_id
+FROM ({_PTS_SQL.strip()})
+WHERE lat >= 10.0 AND lat <= 35.0 AND lon >= 40.0 AND lon <= 80.0""",
+    )
+
     # ---- co-visitation top-k (item-item collaborative counts) ----------------
     # "users who visited this cell also visited": per-user fan-out capped
     # BEFORE the pair self-join (the quadratic-blowup discipline), then

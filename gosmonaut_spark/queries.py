@@ -2601,6 +2601,33 @@ FROM (
         + "\nORDER BY key, grid_ms",
     )
 
+    # ---- SCD2 dimension build (change stream -> effective-dated runs) --------
+    # per-user event_type history collapsed to [from, to) validity runs
+    # with a current flag — the dimension table the as-of join probes.
+    def q_scd2(spark, sf):
+        from .operators.scd import scd2_build
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            "user_id", "ts", "event_type", "event_id"
+        )
+        return scd2_build(
+            ev, "user_id", "ts", "event_type", "event_id"
+        ).orderBy("key", "from_ms", "val")
+
+    from .operators.scd import scd2_build_sql
+
+    q["events_scd2_types"] = (
+        q_scd2,
+        scd2_build_sql(
+            "SELECT user_id, ts, event_type, event_id FROM events",
+            key_expr="user_id",
+            ts_expr="ts",
+            val_expr="event_type",
+            tiebreak_expr="event_id",
+        )
+        + "\nORDER BY key, from_ms, val",
+    )
+
     # ---- Z-order (Morton) range scan: prune-then-refine bbox ------------------
     # the Delta/Iceberg Z-ORDER story made logical: the bbox compiles to 58
     # merged morton ranges at res 8 (plan-time literals, no data touched),

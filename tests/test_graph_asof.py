@@ -457,3 +457,52 @@ def test_weighted_pagerank_matches_numpy(spark):
     # weight=None path unchanged: equals count-based law on multi-edges
     un = {r.id: r.pr for r in pagerank(df.select("src", "dst"), iters=3).collect()}
     assert set(un) == {0, 1, 2, 3}
+
+
+def test_scd2_build_runs_and_null_law(spark):
+    """Consecutive equal values collapse; NULL<->value transitions are
+    change points; [from,to) chains per key with one open run."""
+    from gosmonaut_spark.operators.scd import scd2_build
+
+    rows = [
+        # key 1: a a b b a  -> runs a@0, b@2000, a@4000
+        (1, "2024-01-01 00:00:00", "a", 1),
+        (1, "2024-01-01 00:00:01", "a", 2),
+        (1, "2024-01-01 00:00:02", "b", 3),
+        (1, "2024-01-01 00:00:03", "b", 4),
+        (1, "2024-01-01 00:00:04", "a", 5),
+        # key 2: NULL NULL x NULL -> runs NULL@0, x@2000, NULL@3000
+        (2, "2024-01-01 00:00:00", None, 6),
+        (2, "2024-01-01 00:00:01", None, 7),
+        (2, "2024-01-01 00:00:02", "x", 8),
+        (2, "2024-01-01 00:00:03", None, 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, ts string, v string, eid long"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = sorted(
+        (
+            (r.key, r.val, r.from_ms, r.to_ms, r.is_current)
+            for r in scd2_build(df, "k", "ts", "v", "eid").collect()
+        ),
+        key=lambda t: (t[0], t[1] is not None, t[1] or "", t[2]),
+    )
+    t0 = out[0][2]  # epoch of 2024-01-01
+    s = lambda sec: t0 + sec * 1000
+    assert out == [
+        (1, "a", s(0), s(2), False),
+        (1, "a", s(4), None, True),
+        (1, "b", s(2), s(4), False),
+        (2, None, s(0), s(2), False),
+        (2, None, s(3), None, True),
+        (2, "x", s(2), s(3), False),
+    ]
+    # intervals chain: each key's runs tile the timeline with no overlap
+    by_key = {}
+    for k, v, f, t, cur in out:
+        by_key.setdefault(k, []).append((f, t, cur))
+    for k, runs in by_key.items():
+        runs.sort()
+        assert sum(1 for _, t, c in runs if c) == 1
+        for (f1, t1, _), (f2, _, _) in zip(runs, runs[1:]):
+            assert t1 == f2

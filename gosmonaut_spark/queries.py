@@ -2601,6 +2601,21 @@ FROM (
         + "\nORDER BY key, grid_ms",
     )
 
+    # ---- 2D Pareto skyline (southwest frontier of the point cloud) -----------
+    # distributed bucket-prefix plan vs the brute NOT-EXISTS dominance
+    # spec on the oracle side — equality proves the decomposition.
+    def q_skyline(spark, sf):
+        from .operators.skyline import skyline_2d
+
+        return skyline_2d(_pts(spark, sf), "lat", "lon", 5.0).orderBy("id")
+
+    from .operators.skyline import skyline_2d_sql
+
+    q["geo_skyline_sw"] = (
+        q_skyline,
+        skyline_2d_sql(_PTS_SQL.strip(), "lat", "lon") + "\nORDER BY id",
+    )
+
     # ---- SCD2 dimension build (change stream -> effective-dated runs) --------
     # per-user event_type history collapsed to [from, to) validity runs
     # with a current flag — the dimension table the as-of join probes.

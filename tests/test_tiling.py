@@ -1054,3 +1054,38 @@ def test_zorder_ranges_and_scan(spark):
     assert len(got) <= cand < len(rows) / 10
     with pytest.raises(ValueError, match="zorder_bbox_ranges"):
         zorder_bbox_ranges(-80.0, 80.0, -170.0, 170.0, 12)
+
+
+def test_skyline_2d_matches_bruteforce(spark):
+    """Bucket-prefix skyline == brute-force dominance, including the
+    duplicate-point law (equal points both survive) and same-x /
+    boundary-straddling cases designed to break a naive prefix."""
+    from gosmonaut_spark.operators.skyline import skyline_2d
+
+    rows = [
+        (0, 0.0, 10.0),
+        (1, 0.0, 10.0),     # duplicate of 0: both survive
+        (2, 0.5, 9.9),      # survives (x worse than 0, y better)
+        (3, 0.4, 9.9),      # dominates nothing w.r.t. 2? x<, y= -> dominates 2
+        (4, 0.4, 12.0),     # dominated by 3 (x=, y>)
+        (5, 4.9, 1.0),      # end of bucket 0
+        (6, 5.1, 0.9),      # just across the bucket boundary: survives
+        (7, 5.05, 1.0),     # same bucket as 6, dominated by 5? x>, y= -> yes
+        (8, 17.0, 0.9),     # dominated by 6 (x>, y=)
+        (9, 17.0, 0.5),     # survives
+        (10, -3.0, 50.0),   # negative x bucket, survives (best x overall)
+        (11, -3.0, 60.0),   # same x as 10, y worse: dominated
+    ]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    got = sorted(r.id for r in skyline_2d(df, "x", "y", 5.0).collect())
+
+    want = sorted(
+        p[0]
+        for p in rows
+        if not any(
+            q[1] <= p[1] and q[2] <= p[2] and (q[1] < p[1] or q[2] < p[2])
+            for q in rows
+        )
+    )
+    assert got == want
+    assert 0 in got and 1 in got and 4 not in got and 7 not in got

@@ -317,6 +317,126 @@ def pagerank_sql(
     return ",\n".join(parts) + f"\nSELECT id, pr FROM pr_r{int(iters)}"
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank: restart mass concentrates on ``seeds``
+    (one ``id`` column) instead of spreading uniformly → ``(id, pr)``.
+
+        pr'(v) = (1-d)·s(v) + d·(Σ_{u→v} pr(u)/outdeg(u) + dangling·s(v))
+
+    with s(v) = 1/|S| on seeds, 0 elsewhere, pr₀ = s. The related-
+    entity / topic-sensitive ranking primitive ("pages relevant to
+    THESE trusted hosts", "places reachable from this neighborhood"):
+    rank decays with graph distance from the seed set, so far-away mass
+    vanishes instead of being propped up by the uniform restart.
+
+    Plan shape: identical to :func:`pagerank` (per round one edge⋈rank
+    join + one dst agg + a 1-row dangling broadcast), plus a broadcast-
+    able seed indicator joined once up front. Fixed iterations keep it
+    a pure function; the DuckDB twin unrolls the rounds, consumers
+    compare at round(pr, 9) (float sums reassociate).
+    """
+    e = edges.select(F.col("src"), F.col("dst"))
+    sd = seeds.select(F.col("id")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .unionByName(sd)
+        .distinct()
+        .localCheckpoint()
+    )
+    s_cnt = float(sd.count())
+    if s_cnt == 0:
+        raise ValueError("personalized_pagerank: empty seed set")
+    sv = nodes.join(
+        sd.withColumn("_is_seed", F.lit(True)), "id", "left"
+    ).select(
+        "id",
+        F.when(F.col("_is_seed"), F.lit(1.0) / F.lit(s_cnt))
+        .otherwise(F.lit(0.0))
+        .alias("sv"),
+    ).localCheckpoint()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
+    ranks = sv.select("id", F.col("sv").alias("pr"))
+    for _ in range(int(iters)):
+        contrib = (
+            e.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(deg, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("pr") / F.col("outdeg").cast("double")).alias("contrib"))
+        )
+        dang = ranks.join(
+            deg.select(F.col("src").alias("id")), "id", "left_anti"
+        ).agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dmass"))
+        ranks = (
+            sv.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "id",
+                (
+                    (F.lit(1.0) - F.lit(float(damping))) * F.col("sv")
+                    + F.lit(float(damping))
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dmass") * F.col("sv")
+                    )
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def personalized_pagerank_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    iters: int = 5,
+    damping: float = 0.85,
+) -> str:
+    """DuckDB twin of :func:`personalized_pagerank` — same law, rounds
+    unrolled; ``seeds_sql`` yields one ``id`` column."""
+    d_lit = f"CAST({float(damping)!r} AS DOUBLE)"
+    s_lit = "(SELECT CAST(count(*) AS DOUBLE) FROM ppr_seeds)"
+    parts = [
+        f"WITH ppr_edges AS MATERIALIZED ({edges_sql})",
+        f"ppr_seeds AS MATERIALIZED (SELECT DISTINCT id FROM ({seeds_sql}))",
+        "ppr_nodes AS MATERIALIZED (SELECT src AS id FROM ppr_edges "
+        "UNION SELECT dst FROM ppr_edges UNION SELECT id FROM ppr_seeds)",
+        "ppr_deg AS MATERIALIZED (SELECT src AS id, count(*) AS outdeg "
+        "FROM ppr_edges GROUP BY src)",
+        f"ppr_sv AS MATERIALIZED (SELECT n.id, "
+        f"CASE WHEN s.id IS NOT NULL THEN CAST(1 AS DOUBLE) / {s_lit} "
+        "ELSE CAST(0 AS DOUBLE) END AS sv "
+        "FROM ppr_nodes n LEFT JOIN ppr_seeds s ON s.id = n.id)",
+        "ppr_r0 AS (SELECT id, sv AS pr FROM ppr_sv)",
+    ]
+    for t in range(1, int(iters) + 1):
+        p = t - 1
+        parts.append(
+            f"ppr_c{t} AS (SELECT e.dst AS id, "
+            "sum(r.pr / CAST(d.outdeg AS DOUBLE)) AS contrib "
+            f"FROM ppr_edges e JOIN ppr_r{p} r ON r.id = e.src "
+            "JOIN ppr_deg d ON d.id = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"ppr_g{t} AS (SELECT coalesce(sum(r.pr), CAST(0 AS DOUBLE)) AS dmass "
+            f"FROM ppr_r{p} r LEFT JOIN ppr_deg d ON d.id = r.id WHERE d.id IS NULL)"
+        )
+        parts.append(
+            f"ppr_r{t} AS (SELECT v.id, "
+            f"(CAST(1 AS DOUBLE) - {d_lit}) * v.sv "
+            f"+ {d_lit} * (coalesce(c.contrib, CAST(0 AS DOUBLE)) "
+            "+ g.dmass * v.sv) AS pr "
+            f"FROM ppr_sv v LEFT JOIN ppr_c{t} c ON c.id = v.id "
+            f"CROSS JOIN ppr_g{t} g)"
+        )
+    return ",\n".join(parts) + f"\nSELECT id, pr FROM ppr_r{int(iters)}"
+
+
 def triangle_count(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

@@ -3869,6 +3869,56 @@ FROM (SELECT doc_id,
         f") ORDER BY host",
     )
 
+    # ---- personalized PageRank (topic-sensitive trust from seed hosts) -------
+    # same host graph as hosts_pagerank, restart mass pinned to hosts
+    # {0..3}: rank decays with link distance from the trusted seeds.
+    def q_ppr(spark, sf):
+        from .operators.graph import personalized_pagerank
+
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        nh = d.select(F.countDistinct("source").alias("nh"))
+        e = (
+            d.select(
+                F.regexp_extract("source", "([0-9]+)$", 1)
+                .cast("long")
+                .alias("h"),
+                "doc_id",
+            )
+            .crossJoin(F.broadcast(nh))
+            .select(
+                "h",
+                F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+                "doc_id",
+                "nh",
+            )
+            .select(
+                F.col("h").alias("src"),
+                (
+                    (F.col("h") + F.col("j") * ((F.col("doc_id") % 13) + 1))
+                    % F.col("nh")
+                ).alias("dst"),
+            )
+        )
+        seeds = spark.createDataFrame([(i,) for i in range(4)], "id long")
+        pr = personalized_pagerank(e, seeds, iters=5, damping=0.85)
+        return pr.select(
+            F.col("id").alias("host"), F.round("pr", 9).alias("pr")
+        ).orderBy("host")
+
+    from .operators.graph import personalized_pagerank_sql
+
+    q["hosts_ppr_seeds"] = (
+        q_ppr,
+        "SELECT id AS host, round(pr, 9) AS pr FROM (\n"
+        + personalized_pagerank_sql(
+            _pr_edges_sql,
+            "SELECT unnest([0, 1, 2, 3]) AS id",
+            iters=5,
+            damping=0.85,
+        )
+        + "\n) ORDER BY host",
+    )
+
     # ---- OD-flow centrality: WEIGHTED PageRank over the trip graph -----------
     # composition: od_matrix (dwell world, res 4) emits tile->tile trip
     # counts; weighted PageRank splits rank along flow volume — which

@@ -209,3 +209,49 @@ def test_resample_track_single_fix_emits_nothing(spark):
         [("a", 50, 1.0, 2.0)], ["key", "ms", "lat", "lon"]
     )
     assert resample_track(pts, step_ms=10).count() == 0
+
+
+def test_personalized_pagerank_laws(spark):
+    """PPR against a python power-iteration twin on a small digraph:
+    exact law match at round-9, seed locality (non-seed component
+    unreachable from seeds gets ZERO rank), and mass conservation."""
+    from gosmonaut_spark.operators.graph import personalized_pagerank
+
+    # two components: {0,1,2} cycle (seeded) and {10,11} (unseeded);
+    # 2 also dangles into 3 (sink -> dangling mass back to seeds)
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (10, 11), (11, 10)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "id long")
+    got = {
+        r.id: round(r.pr, 9)
+        for r in personalized_pagerank(e, seeds, iters=6, damping=0.85).collect()
+    }
+
+    nodes = sorted({x for ed in edges for x in ed})
+    outd = {}
+    for s, _ in edges:
+        outd[s] = outd.get(s, 0) + 1
+    sv = {v: (1.0 if v == 0 else 0.0) for v in nodes}
+    pr = dict(sv)
+    for _ in range(6):
+        contrib = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            contrib[d] += pr[s] / outd[s]
+        dmass = sum(pr[v] for v in nodes if v not in outd)
+        pr = {
+            v: (1 - 0.85) * sv[v] + 0.85 * (contrib[v] + dmass * sv[v])
+            for v in nodes
+        }
+    want = {v: round(p, 9) for v, p in pr.items()}
+    assert got == want
+    # locality: the unseeded, unreachable component holds zero rank
+    assert got[10] == 0.0 and got[11] == 0.0
+    # mass conservation (dangling recycled to seeds): total == 1
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+    # empty seeds refuse loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="empty seed"):
+        personalized_pagerank(
+            e, spark.createDataFrame([], "id long"), iters=1
+        )

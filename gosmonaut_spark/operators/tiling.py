@@ -1177,3 +1177,124 @@ def zorder_range_scan(
         & (F.col(lon) >= F.lit(lon_min))
         & (F.col(lon) <= F.lit(lon_max))
     ).drop("_zm", "zr_lo", "zr_hi")
+
+
+def adaptive_tiles(
+    points: DataFrame,
+    res_min: int,
+    res_max: int,
+    cap: int,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Adaptive quadtree tiling: every cell holding more than ``cap``
+    points splits into its res+1 children, down to ``res_max`` ->
+    ``(cell, n_points)`` — a NON-OVERLAPPING mixed-resolution cover
+    where every tile holds <= cap points unless it is already at
+    ``res_max``. Tile ids are self-describing (res in the flag bit), so
+    the mixed cover joins like any one-res layer.
+
+    The equal-mass layout primitive: a fixed-res tiling of a skewed
+    planet gives 1e9-point metro cells next to empty ocean; the
+    adaptive cover is what you shuffle-partition by when each tile must
+    fit an executor (same motive as the salted aggregations, solved in
+    the data model instead of the key).
+
+    Scale shape (100 TB lens): the POINT table is scanned exactly once
+    (leaf-res aggregate); every further step — parent roll-ups and the
+    per-leaf split-depth decision ladder — runs on the DISTINCT-CELL
+    table, orders of magnitude smaller. Counts are weakly decreasing
+    down the ancestor chain (power-of-2 floor nesting), so "first res
+    whose count <= cap, coarse to fine" IS the split law; the ladder is
+    a literal-folded CASE, no iteration over points, no UDF.
+    """
+    if not 0 <= res_min < res_max <= 15:
+        raise ValueError("need 0 <= res_min < res_max <= 15")
+    from ..functions.cells import cell_expr, cell_parent
+
+    leaf = (
+        points.select(cell_expr(lat, lon, res_max).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    counts = {res_max: leaf}
+    cur = leaf
+    for r in range(res_max - 1, res_min - 1, -1):
+        cur = (
+            cur.select(cell_parent("cell", r + 1, r).alias("cell"), "n")
+            .groupBy("cell")
+            .agg(F.sum("n").alias("n"))
+        )
+        counts[r] = cur
+
+    dec = leaf.select(F.col("cell").alias("leaf"), F.col("n").alias(f"n_{res_max}"))
+    for r in range(res_min, res_max):
+        anc = cell_parent("leaf", res_max, r).alias("cell")
+        dec = dec.withColumn("cell", anc).join(
+            counts[r].select("cell", F.col("n").alias(f"n_{r}")), "cell"
+        ).drop("cell")
+    tile = None
+    npts = None
+    for r in range(res_min, res_max + 1):
+        cond = (
+            F.col(f"n_{r}") <= F.lit(int(cap))
+            if r < res_max
+            else F.lit(True)
+        )
+        anc = (
+            cell_parent("leaf", res_max, r)
+            if r < res_max
+            else F.col("leaf")
+        )
+        tile = F.when(cond, anc) if tile is None else tile.when(cond, anc)
+        npts = (
+            F.when(cond, F.col(f"n_{r}"))
+            if npts is None
+            else npts.when(cond, F.col(f"n_{r}"))
+        )
+    return (
+        dec.select(tile.alias("cell"), npts.alias("n_points"))
+        .distinct()
+    )
+
+
+def adaptive_tiles_sql(
+    pts_sql: str,
+    res_min: int,
+    res_max: int,
+    cap: int,
+    lat_expr: str = "lat",
+    lon_expr: str = "lon",
+) -> str:
+    """DuckDB twin of :func:`adaptive_tiles` — per-res counts straight
+    from the points (parent arithmetic == recompute-at-coarser-res, the
+    same nesting law the rollup oracle already certifies), identical
+    CASE ladder."""
+    from ..functions.cells import cell_sql
+
+    rs = list(range(res_min, res_max + 1))
+    cell_cols = ", ".join(
+        f"{cell_sql(lat_expr, lon_expr, r)} AS c{r}" for r in rs
+    )
+    cnts = ",\n".join(
+        f"at_cnt{r} AS (SELECT c{r} AS cell, count(*) AS n "
+        f"FROM at_pc GROUP BY 1)"
+        for r in rs
+    )
+    joins = "\n".join(
+        f"JOIN at_cnt{r} x{r} ON x{r}.cell = p.c{r}" for r in rs
+    )
+    tile_case = " ".join(
+        f"WHEN x{r}.n <= {int(cap)} THEN p.c{r}" for r in rs[:-1]
+    )
+    n_case = " ".join(
+        f"WHEN x{r}.n <= {int(cap)} THEN x{r}.n" for r in rs[:-1]
+    )
+    return f"""WITH at_src AS ({pts_sql}),
+at_pc AS (SELECT {cell_cols} FROM at_src),
+{cnts}
+SELECT DISTINCT
+  CASE {tile_case} ELSE p.c{res_max} END AS cell,
+  CASE {n_case} ELSE x{res_max}.n END AS n_points
+FROM at_pc p
+{joins}"""

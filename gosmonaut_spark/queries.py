@@ -2601,6 +2601,22 @@ FROM (
         + "\nORDER BY key, grid_ms",
     )
 
+    # ---- adaptive quadtree tiling (equal-mass mixed-res cover) ----------------
+    # hot cells split until <= 30 points or res 8: the skew-absorbing
+    # layout the fixed-res tilings can't give. Points scanned once;
+    # split decisions run on the distinct-cell table.
+    def q_adaptive(spark, sf):
+        from .operators.tiling import adaptive_tiles
+
+        return adaptive_tiles(_pts(spark, sf), 3, 8, 30).orderBy("cell")
+
+    from .operators.tiling import adaptive_tiles_sql
+
+    q["tiles_adaptive_quadtree"] = (
+        q_adaptive,
+        adaptive_tiles_sql(_PTS_SQL.strip(), 3, 8, 30) + "\nORDER BY cell",
+    )
+
     # ---- 2D Pareto skyline (southwest frontier of the point cloud) -----------
     # distributed bucket-prefix plan vs the brute NOT-EXISTS dominance
     # spec on the oracle side — equality proves the decomposition.

@@ -1089,3 +1089,56 @@ def test_skyline_2d_matches_bruteforce(spark):
     )
     assert got == want
     assert 0 in got and 1 in got and 4 not in got and 7 not in got
+
+
+def test_adaptive_tiles_invariants(spark):
+    """Adaptive quadtree: python twin equality + structural invariants —
+    the mixed-res cover partitions the point set (counts sum to N, no
+    tile is an ancestor of another), every tile <= cap unless at
+    res_max, and every split tile's PARENT was genuinely hot."""
+    from gosmonaut_spark.functions.cells import cell_np
+    from gosmonaut_spark.operators.tiling import adaptive_tiles
+
+    import numpy as np
+
+    rng_rows = [
+        # dense clump near (10, 10) + sparse global scatter
+        *[(i, 10.0 + (i % 40) * 0.01, 10.0 + (i // 40 % 40) * 0.01)
+          for i in range(900)],
+        *[(1000 + i, (i * 37 % 160) - 79.5, (i * 73 % 340) - 169.5)
+          for i in range(300)],
+    ]
+    df = spark.createDataFrame(rng_rows, "id long, lat double, lon double")
+    res_min, res_max, cap = 2, 9, 64
+    got = {
+        r.cell: r.n_points
+        for r in adaptive_tiles(df, res_min, res_max, cap).collect()
+    }
+
+    lats = np.array([r[1] for r in rng_rows])
+    lons = np.array([r[2] for r in rng_rows])
+    cells = {r: cell_np(lats, lons, r) for r in range(res_min, res_max + 1)}
+    counts = {
+        r: dict(zip(*[a.tolist() for a in np.unique(cells[r], return_counts=True)]))
+        for r in cells
+    }
+    want = {}
+    for i in range(len(rng_rows)):
+        for r in range(res_min, res_max + 1):
+            c = int(cells[r][i])
+            if r == res_max or counts[r][c] <= cap:
+                want[c] = counts[r][c]
+                break
+    assert got == want
+    assert sum(got.values()) == len(rng_rows)  # exact partition of N
+    # every tile obeys the cap unless at res_max (flag bit gives res)
+    for c, n in got.items():
+        res = (c.bit_length() - 1) // 2
+        assert res == res_max or n <= cap, (c, res, n)
+        # a finer-than-res_min tile implies its parent was hot
+        if res > res_min:
+            d = res - (res - 1)
+            x = (c >> res) - (1 << res)
+            y = c - ((c >> res) << res)
+            parent = (1 << (2 * (res - 1))) + (x >> d) * (1 << (res - 1)) + (y >> d)
+            assert counts[res - 1][parent] > cap, (c, parent)

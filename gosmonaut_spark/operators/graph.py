@@ -43,7 +43,11 @@ from pyspark.sql import functions as F
 __all__ = [
     "bfs_hops",
     "bfs_hops_sql",
+    "clustering_coefficients",
+    "clustering_coefficients_sql",
     "connected_components",
+    "link_prediction",
+    "link_prediction_sql",
     "pagerank",
     "pagerank_sql",
     "triangle_count",
@@ -859,3 +863,246 @@ sp_reach AS (
   WHERE r.hops < {int(max_rounds)}
 )
 SELECT id, MIN(dist) AS dist FROM sp_reach GROUP BY id"""
+
+
+# ---------------------------------------------------------------------------
+# Per-node local clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+def clustering_coefficients(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient per vertex → ``(v, d, tri, lcc)``,
+    one row per vertex with degree ≥ 2, ordered by ``v``.
+
+    The per-node refinement of :func:`triangle_count`: ``lcc(v) =
+    2·tri(v) / (d(v)·(d(v)−1))`` — the fraction of a vertex's neighbor
+    pairs that are themselves connected. On the graphs this engine
+    builds it separates tight communities (co-location cliques, mirror
+    near-dup clusters: lcc → 1) from hub-and-spoke structure (link hubs,
+    spam stars: lcc → 0) vertex by vertex, where the global triangle
+    count only gives one corpus-wide number.
+
+    Same degree-oriented wedge-close plan as :func:`triangle_count`
+    (Suri & Vassilvitskii, WWW'11) — each triangle is materialized
+    exactly once at its unique apex, then credited to all three of its
+    vertices (explode ×3, a constant fan-out), so hub vertices still
+    generate zero apex wedges and the wedge stage stays O(m^{3/2})
+    overall. All integer counts until the single terminal division, so
+    the DuckDB twin matches bit-for-bit.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    withdeg = e.join(
+        deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+    lower_is_a = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = withdeg.select(
+        F.when(lower_is_a, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_is_a, F.col("b")).otherwise(F.col("a")).alias("w"),
+    )
+    o1 = oriented.select(F.col("u"), F.col("w").alias("w1"))
+    o2 = oriented.select(F.col("u"), F.col("w").alias("w2"))
+    wedges = o1.join(o2, "u").where(F.col("w1") < F.col("w2"))
+    triangles = wedges.join(
+        e,
+        (F.col("a") == F.least("w1", "w2"))
+        & (F.col("b") == F.greatest("w1", "w2")),
+        "inner",
+    ).select("u", "w1", "w2")
+    tri = (
+        triangles.select(
+            F.explode(F.array(F.col("u"), F.col("w1"), F.col("w2"))).alias("v")
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    return (
+        deg.where(F.col("d") >= 2)
+        .join(tri, "v", "left")
+        .select(
+            "v",
+            "d",
+            F.coalesce(F.col("tri"), F.lit(0)).alias("tri"),
+            (
+                F.lit(2.0)
+                * F.coalesce(F.col("tri"), F.lit(0)).cast("double")
+                / (F.col("d") * (F.col("d") - F.lit(1))).cast("double")
+            ).alias("lcc"),
+        )
+        .orderBy("v")
+    )
+
+
+def clustering_coefficients_sql(edges_sql: str) -> str:
+    """DuckDB twin — identical orient / close / credit-×3 / divide law
+    (``edges_sql`` must yield ``(src, dst)``)."""
+    return f"""WITH cc_raw AS ({edges_sql}),
+cc_e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM cc_raw WHERE least(src, dst) < greatest(src, dst)
+),
+cc_deg AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM cc_e UNION ALL SELECT b FROM cc_e
+  ) GROUP BY v
+),
+cc_or AS (
+  SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS u,
+         CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS w
+  FROM cc_e e JOIN cc_deg da ON da.v = e.a JOIN cc_deg db ON db.v = e.b
+),
+cc_tris AS (
+  SELECT o1.u AS u, o1.w AS w1, o2.w AS w2
+  FROM cc_or o1 JOIN cc_or o2 ON o1.u = o2.u AND o1.w < o2.w
+  WHERE EXISTS (SELECT 1 FROM cc_e e
+                WHERE e.a = least(o1.w, o2.w) AND e.b = greatest(o1.w, o2.w))
+),
+cc_tri AS (
+  SELECT v, count(*) AS tri FROM (
+    SELECT u AS v FROM cc_tris
+    UNION ALL SELECT w1 FROM cc_tris
+    UNION ALL SELECT w2 FROM cc_tris
+  ) GROUP BY v
+)
+SELECT d.v AS v, d.d AS d, coalesce(t.tri, 0) AS tri,
+       2.0 * CAST(coalesce(t.tri, 0) AS DOUBLE)
+           / CAST(d.d * (d.d - 1) AS DOUBLE) AS lcc
+FROM cc_deg d LEFT JOIN cc_tri t ON t.v = d.v
+WHERE d.d >= 2
+ORDER BY v"""
+
+
+# ---------------------------------------------------------------------------
+# Common-neighbor / Jaccard link prediction
+# ---------------------------------------------------------------------------
+
+
+def link_prediction(
+    edges: DataFrame,
+    k: int = 15,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Common-neighbor link prediction → the ``k`` highest-scoring
+    NON-adjacent vertex pairs ``(w1, w2, cn, jaccard)``, ranked by
+    common-neighbor count (ties → pair id).
+
+    The classic "who should be connected" primitive (Liben-Nowell &
+    Kleinberg, CIKM'03) over the pair graphs this engine builds:
+    near-dup clusters missing an edge the LSH bands happened to drop,
+    co-location contacts one hop apart, host pairs sharing many
+    out-links. ``jaccard = cn / (d1 + d2 − cn)`` normalizes away
+    degree.
+
+    Plan: undirected adjacency (both orientations of the canonical
+    edge set) self-joined on the shared neighbor → per-pair count is
+    EXACTLY |N(w1) ∩ N(w2)|; existing edges removed with one LEFT ANTI
+    join; degrees re-joined for the Jaccard denominator. Integer-only
+    until the terminal division.
+
+    Scale: the wedge stage is Σ d(u)² over shared-neighbor apexes — a
+    50M-degree hub makes this explode, so unlike the triangle plan
+    (which orients away from hubs) this op takes a loud guard:
+    ``max_degree`` rides the adjacency scan as an ``assert_true`` and
+    fails the job rather than silently fanning out. Callers feed
+    degree-bounded graphs (the co-location builder caps groups at
+    ``max_group``) or pre-filter hubs explicitly.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("w")).unionByName(
+        e.select(F.col("b").alias("u"), F.col("a").alias("w"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    if max_degree is not None:
+        guard = F.assert_true(
+            F.col("d") <= F.lit(int(max_degree)),
+            F.concat(
+                F.lit("link_prediction: vertex degree exceeds max_degree="),
+                F.lit(str(int(max_degree))),
+            ),
+        ).isNull()
+        # nondeterministic disjunct keeps the optimizer from folding the
+        # always-true filter away (same rider idiom as segments.py)
+        deg = deg.where(guard | (F.rand() < F.lit(-1.0)))
+    o1 = adj.select(F.col("u"), F.col("w").alias("w1"))
+    o2 = adj.select(F.col("u"), F.col("w").alias("w2"))
+    cn = (
+        o1.join(o2, "u")
+        .where(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    open_pairs = cn.join(
+        e,
+        (F.col("a") == F.col("w1")) & (F.col("b") == F.col("w2")),
+        "left_anti",
+    )
+    scored = (
+        open_pairs.join(
+            deg.select(F.col("u").alias("w1"), F.col("d").alias("d1")), "w1"
+        )
+        .join(deg.select(F.col("u").alias("w2"), F.col("d").alias("d2")), "w2")
+        .select(
+            "w1",
+            "w2",
+            "cn",
+            (
+                F.col("cn").cast("double")
+                / (F.col("d1") + F.col("d2") - F.col("cn")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(F.desc("cn"), "w1", "w2").limit(int(k))
+
+
+def link_prediction_sql(edges_sql: str, k: int = 15) -> str:
+    """DuckDB twin — identical adjacency / count / anti / divide law."""
+    return f"""WITH lp_raw AS ({edges_sql}),
+lp_e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM lp_raw WHERE least(src, dst) < greatest(src, dst)
+),
+lp_adj AS (
+  SELECT a AS u, b AS w FROM lp_e UNION ALL SELECT b, a FROM lp_e
+),
+lp_deg AS (SELECT u, count(*) AS d FROM lp_adj GROUP BY u),
+lp_cn AS (
+  SELECT o1.w AS w1, o2.w AS w2, count(*) AS cn
+  FROM lp_adj o1 JOIN lp_adj o2 ON o1.u = o2.u AND o1.w < o2.w
+  GROUP BY o1.w, o2.w
+),
+lp_open AS (
+  SELECT * FROM lp_cn c
+  WHERE NOT EXISTS (SELECT 1 FROM lp_e e WHERE e.a = c.w1 AND e.b = c.w2)
+)
+SELECT o.w1 AS w1, o.w2 AS w2, o.cn AS cn,
+       CAST(o.cn AS DOUBLE) / CAST(d1.d + d2.d - o.cn AS DOUBLE) AS jaccard
+FROM lp_open o
+JOIN lp_deg d1 ON d1.u = o.w1
+JOIN lp_deg d2 ON d2.u = o.w2
+ORDER BY cn DESC, w1, w2
+LIMIT {int(k)}"""

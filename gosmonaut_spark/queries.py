@@ -4594,6 +4594,43 @@ ORDER BY rank""",
         ),
     )
 
+    _CONTACT_EDGES_SQL = (
+        "SELECT k1 AS src, k2 AS dst FROM ("
+        + colocation_pairs_sql(_DWELL_PTS_SQL, 4, _BLK, "user_id", "ms", max_group=64)
+        + ")"
+    )
+
+    def _contact_edges(spark, sf):
+        from .operators.colocation import colocation_pairs
+
+        return colocation_pairs(
+            _dwell_pts(spark, sf), 4, _BLK, "user_id", "ms", max_group=64
+        ).select(F.col("k1").alias("src"), F.col("k2").alias("dst"))
+
+    def q_lcc(spark, sf):
+        from .operators.graph import clustering_coefficients
+
+        return clustering_coefficients(_contact_edges(spark, sf))
+
+    from .operators.graph import clustering_coefficients_sql
+
+    q["graph_clustering_coeff"] = (
+        q_lcc,
+        clustering_coefficients_sql(_CONTACT_EDGES_SQL),
+    )
+
+    def q_linkpred(spark, sf):
+        from .operators.graph import link_prediction
+
+        return link_prediction(_contact_edges(spark, sf), k=15, max_degree=64)
+
+    from .operators.graph import link_prediction_sql
+
+    q["graph_link_prediction"] = (
+        q_linkpred,
+        link_prediction_sql(_CONTACT_EDGES_SQL, k=15),
+    )
+
     def q_retention(spark, sf):
         from .functions.timeops import ntz_epoch_ms
         from .operators.colocation import retention_cohorts

@@ -506,3 +506,43 @@ def test_scd2_build_runs_and_null_law(spark):
         assert sum(1 for _, t, c in runs if c) == 1
         for (f1, t1, _), (f2, _, _) in zip(runs, runs[1:]):
             assert t1 == f2
+
+
+# ---------------------------------------------------------------------------
+# clustering coefficients + link prediction
+# ---------------------------------------------------------------------------
+
+
+def test_clustering_coeff_known_graph(spark):
+    """Triangle 1-2-3 plus pendant 4 hanging off 3: lcc(1)=lcc(2)=1,
+    lcc(3)=1/3 (one closed of three neighbor pairs), 4 has degree 1 →
+    excluded."""
+    from gosmonaut_spark.operators.graph import clustering_coefficients
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    rows = {r["v"]: r for r in clustering_coefficients(edges).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["lcc"] == 1.0 and rows[2]["lcc"] == 1.0
+    assert rows[3]["tri"] == 1 and rows[3]["d"] == 3
+    assert abs(rows[3]["lcc"] - 1.0 / 3.0) < 1e-15
+
+
+def test_link_prediction_scores_and_guard(spark):
+    """Path 1-2-3 plus 2-4: open pairs sharing neighbor 2 are (1,3),
+    (1,4), (3,4) with cn=1 each; jaccard = 1/(d1+d2-1). max_degree
+    below the hub degree must fail the job loudly."""
+    from gosmonaut_spark.operators.graph import link_prediction
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 4)], "src long, dst long"
+    )
+    got = {(r["w1"], r["w2"]): r for r in link_prediction(edges, k=10).collect()}
+    assert set(got) == {(1, 3), (1, 4), (3, 4)}
+    for r in got.values():
+        assert r["cn"] == 1
+        assert abs(r["jaccard"] - 1.0 / (1 + 1 - 1 + 1 - 1)) < 1e-15  # 1/1
+
+    with pytest.raises(Exception, match="max_degree"):
+        link_prediction(edges, k=10, max_degree=2).collect()

@@ -261,3 +261,121 @@ tr_seg AS (
 SELECT k AS {key_expr}, count(*) AS n_points,
        coalesce(sum(seg_mm), 0) AS length_mm
 FROM tr_seg GROUP BY k"""
+
+
+def trajectory_sinuosity(
+    pts,
+    key_col: str,
+    order_col: str,
+    id_col: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+):
+    """Per-key track sinuosity — traveled path length over straight-line
+    displacement between the first and last ping. The movement-ecology /
+    fleet-telemetry shape metric: ~1 for direct transit, large for
+    wandering or circling tracks, and a cheap GPS-noise flag (jittery
+    stationary devices show huge path / near-zero displacement).
+
+    Composes :func:`trajectory_length`'s exact law: segment AND
+    displacement distances round to integer millimeters, so both sides
+    of the ratio are order-free integer aggregates and the single
+    terminal division is the only float op — exact cross-engine.
+    Endpoints are taken under the same total order (``order_col`` asc,
+    ``id_col`` asc) via min/max of a row_number, so ties cannot flip
+    endpoints between engines.
+
+    Returns (key, n_points, path_mm, direct_mm, sinuosity), one row per
+    key with ≥ 2 points; ``sinuosity`` is NULL when the track closes on
+    itself exactly (direct_mm = 0).
+
+    Scale shape: one hash partition + per-key sort feeding BOTH the lag
+    window and the row_number (same window spec → one shuffle, one
+    sort), then a single hash agg. No arrays, no driver state.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(order_col).asc(), F.col(id_col).asc()
+    )
+    seg = haversine_m(
+        F.lag(lat_col).over(w),
+        F.lag(lon_col).over(w),
+        F.col(lat_col),
+        F.col(lon_col),
+    )
+    staged = pts.select(
+        F.col(key_col),
+        F.row_number().over(w).alias("__rn"),
+        F.col(lat_col).alias("__lat"),
+        F.col(lon_col).alias("__lon"),
+        F.round(seg * F.lit(1000.0)).cast("long").alias("__seg_mm"),
+    )
+    agg = staged.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.coalesce(F.sum("__seg_mm"), F.lit(0).cast("long")).alias("path_mm"),
+        F.min_by(F.col("__lat"), F.col("__rn")).alias("__lat0"),
+        F.min_by(F.col("__lon"), F.col("__rn")).alias("__lon0"),
+        F.max_by(F.col("__lat"), F.col("__rn")).alias("__lat1"),
+        F.max_by(F.col("__lon"), F.col("__rn")).alias("__lon1"),
+    )
+    direct = F.round(
+        haversine_m(
+            F.col("__lat0"), F.col("__lon0"), F.col("__lat1"), F.col("__lon1")
+        )
+        * F.lit(1000.0)
+    ).cast("long")
+    return (
+        agg.where(F.col("n_points") >= 2)
+        .select(
+            key_col,
+            "n_points",
+            "path_mm",
+            direct.alias("direct_mm"),
+            F.when(
+                direct > 0,
+                F.col("path_mm").cast("double") / direct.cast("double"),
+            ).alias("sinuosity"),
+        )
+    )
+
+
+def trajectory_sinuosity_sql(
+    pts_sql: str, key_expr: str, order_expr: str, id_expr: str,
+    lat_expr: str = "lat", lon_expr: str = "lon",
+) -> str:
+    """DuckDB twin — identical mm-integer law, row_number endpoints via
+    arg_min/arg_max, single terminal division."""
+    over = (
+        f"OVER (PARTITION BY {key_expr} "
+        f"ORDER BY {order_expr} ASC, {id_expr} ASC)"
+    )
+    hav = haversine_sql(
+        f"lag({lat_expr}) {over}",
+        f"lag({lon_expr}) {over}",
+        lat_expr,
+        lon_expr,
+    )
+    endpoint_hav = haversine_sql("lat0", "lon0", "lat1", "lon1")
+    return f"""WITH sin_src AS ({pts_sql}),
+sin_seg AS (
+  SELECT {key_expr} AS k,
+         row_number() {over} AS rn,
+         {lat_expr} AS lat, {lon_expr} AS lon,
+         CAST(round(({hav}) * 1000.0) AS BIGINT) AS seg_mm
+  FROM sin_src
+),
+sin_agg AS (
+  SELECT k, count(*) AS n_points,
+         coalesce(sum(seg_mm), 0) AS path_mm,
+         arg_min(lat, rn) AS lat0, arg_min(lon, rn) AS lon0,
+         arg_max(lat, rn) AS lat1, arg_max(lon, rn) AS lon1
+  FROM sin_seg GROUP BY k
+)
+SELECT k AS {key_expr}, n_points, path_mm,
+       CAST(round(({endpoint_hav}) * 1000.0) AS BIGINT) AS direct_mm,
+       CASE WHEN CAST(round(({endpoint_hav}) * 1000.0) AS BIGINT) > 0
+            THEN CAST(path_mm AS DOUBLE)
+                 / CAST(CAST(round(({endpoint_hav}) * 1000.0) AS BIGINT) AS DOUBLE)
+       END AS sinuosity
+FROM sin_agg WHERE n_points >= 2"""

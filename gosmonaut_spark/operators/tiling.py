@@ -1298,3 +1298,125 @@ SELECT DISTINCT
   CASE {n_case} ELSE x{res_max}.n END AS n_points
 FROM at_pc p
 {joins}"""
+
+
+# ---------------------------------------------------------------------------
+# Global spatial autocorrelation (Moran's I) over a tile layer
+# ---------------------------------------------------------------------------
+
+
+def morans_i(tiles: DataFrame, res: int) -> DataFrame:
+    """Global Moran's I over a ``(cell, n_points)`` tile layer at
+    resolution ``res`` → one row ``(n_cells, w, morans_i)``.
+
+    The corpus-level companion of :func:`hotspots_gi`: Gi* flags WHICH
+    cells are hot; Moran's I answers whether the layer is spatially
+    structured AT ALL (+1 clustered, ≈ −1/(n−1) random, −1 dispersed) —
+    the standard first gate before paying for per-cell hotspot scans,
+    and a drift monitor for tile layers rebuilt per crawl snapshot.
+
+    Weights: rook adjacency (shared edge) BETWEEN OCCUPIED CELLS —
+    absent tiles are not lattice members (the point-pattern convention;
+    a dense-lattice variant is a different statistic, documented here so
+    nobody mistakes the two). Binary weights, W = 2 × adjacent pairs.
+
+    Exact-integer law (the burst-days z-score trick, scaled to two
+    moments): with S = Σx and n cells, n·(x_i − x̄) = n·x_i − S is an
+    integer, and the n² factors cancel in the ratio, so
+
+        I = n · Σ_adj 2·z'_i·z'_j  /  ( W · Σ z'_i² ),   z' = n·x − S
+
+    Numerator/denominator accumulate as DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB) — exact, order-free — and ONE terminal division
+    runs in doubles with the identical expression tree both engines.
+
+    Scale shape: per-cell agg is upstream (the caller's groupBy); here
+    one tiny broadcastable global agg (S, n) joined back scalar-style,
+    then TWO equi-joins on shifted cell ids (+1 within column, +n
+    within row — the composite id makes rook adjacency integer
+    arithmetic, no geometry). No cross join, no window over the world.
+    """
+    n_side = 1 << res
+    base = 1 << (2 * res)
+    cell = F.col("cell")
+    guard = F.assert_true(
+        (cell >= F.lit(base)) & (cell < F.lit(2 * base)),
+        F.lit(f"morans_i: cell id outside resolution {res}"),
+    ).isNull()
+    t = tiles.select(
+        cell.alias("cell"), F.col("n_points").cast("long").alias("x")
+    ).where(guard | (F.rand() < F.lit(-1.0)))
+    tot = t.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    z = t.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n",
+        (F.col("n") * F.col("x") - F.col("s")).alias("z"),
+    )
+    # rook neighbors via composite-id arithmetic; +1 crosses a column
+    # boundary iff y = n_side-1 (id ≡ base-relative mod n_side), +n_side
+    # crosses the east edge iff x = n_side-1 — both guarded
+    right = z.where((F.col("cell") - F.lit(base)) % F.lit(n_side) != F.lit(n_side - 1))
+    pairs_d = right.select(
+        (F.col("cell") + F.lit(1)).alias("cell"), F.col("z").alias("z_a")
+    ).join(z.select("cell", F.col("z").alias("z_b")), "cell")
+    east = z.where(F.col("cell") + F.lit(n_side) < F.lit(2 * base))
+    pairs_e = east.select(
+        (F.col("cell") + F.lit(n_side)).alias("cell"), F.col("z").alias("z_a")
+    ).join(z.select("cell", F.col("z").alias("z_b")), "cell")
+    adj = pairs_d.unionByName(pairs_e)
+    num = adj.agg(
+        F.coalesce(
+            F.sum(F.col("z_a").cast("decimal(19,0)") * F.col("z_b").cast("decimal(19,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("num_half"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    den = z.agg(
+        F.sum(F.col("z").cast("decimal(19,0)") * F.col("z").cast("decimal(19,0)")).alias("den"),
+        F.max("n").alias("n"),
+    )
+    return den.crossJoin(F.broadcast(num)).select(
+        F.col("n").alias("n_cells"),
+        (F.lit(2) * F.col("n_pairs")).alias("w"),
+        F.when(
+            (F.col("n_pairs") > 0) & (F.col("den") > 0),
+            (F.col("num_half").cast("double") * F.lit(2.0) * F.col("n"))
+            / (F.col("den").cast("double") * F.lit(2.0) * F.col("n_pairs")),
+        ).alias("morans_i"),
+    )
+
+
+def morans_i_sql(tiles_sql: str, res: int) -> str:
+    """DuckDB twin — identical z' integers, composite-id rook joins and
+    terminal double division (``tiles_sql`` → ``(cell, n_points)``)."""
+    n_side = 1 << res
+    base = 1 << (2 * res)
+    return f"""WITH mi_t AS (
+  SELECT cell, CAST(n_points AS BIGINT) AS x FROM ({tiles_sql})
+),
+mi_tot AS (SELECT count(*) AS n, sum(x) AS s FROM mi_t),
+mi_z AS (
+  SELECT cell, n, n * x - s AS z FROM mi_t, mi_tot
+),
+mi_adj AS (
+  SELECT a.z AS z_a, b.z AS z_b
+  FROM mi_z a JOIN mi_z b ON b.cell = a.cell + 1
+  WHERE (a.cell - {base}) % {n_side} != {n_side - 1}
+  UNION ALL
+  SELECT a.z, b.z
+  FROM mi_z a JOIN mi_z b ON b.cell = a.cell + {n_side}
+  WHERE a.cell + {n_side} < {2 * base}
+),
+mi_num AS (
+  SELECT coalesce(sum(CAST(z_a AS HUGEINT) * z_b), 0) AS num_half, count(*) AS n_pairs
+  FROM mi_adj
+),
+mi_den AS (SELECT sum(CAST(z AS HUGEINT) * z) AS den, max(n) AS n FROM mi_z)
+SELECT d.n AS n_cells, 2 * m.n_pairs AS w,
+       CASE WHEN m.n_pairs > 0 AND d.den > 0 THEN
+         (CAST(m.num_half AS DOUBLE) * 2.0 * d.n)
+         / (CAST(d.den AS DOUBLE) * 2.0 * m.n_pairs)
+       END AS morans_i
+FROM mi_den d, mi_num m"""

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.cells import cell_expr, cell_sql
+from ..functions.geo import haversine_m, haversine_sql
 
 __all__ = [
     "od_matrix",
@@ -661,3 +662,164 @@ SELECT key, i * {s} AS grid_ms,
                                / CAST(t2 - t1 AS DOUBLE)) AS lon
 FROM rs_grid, LATERAL (SELECT unnest(range(gs, ge + 1)) AS i) g
 WHERE ge >= gs"""
+
+
+# ---------------------------------------------------------------------------
+# Discrete Hausdorff distance between track pairs
+# ---------------------------------------------------------------------------
+
+
+def hausdorff_pairs(
+    pts: DataFrame,
+    pairs: DataFrame,
+    key_col: str = "user_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_points: int | None = None,
+) -> DataFrame:
+    """Discrete (point-set) Hausdorff distance for CANDIDATE track pairs
+    → ``(k1, k2, h_ab_mm, h_ba_mm, hausdorff_mm)``.
+
+    The track-similarity metric that :func:`traj_jaccard_pairs` (cell
+    overlap) approximates: how far, at worst, does one mover's track
+    stray from the other's — directed h(A→B) = max_{a} min_{b} d(a,b),
+    symmetric Hausdorff = max of both directions. Used for map-matching
+    QA (GPS trace vs snapped route), mirror-route detection, and
+    convoy/stalking analytics on the co-location candidate pairs this
+    engine already emits.
+
+    Deliberately takes a ``pairs`` table instead of pairing internally:
+    at fleet scale all-pairs is quadratic, so candidates come from the
+    cheap pruners (shared-cell co-location, bbox overlap, traj-jaccard
+    top matches) and THIS op only pays |A|·|B| point products per
+    SURVIVING pair. Distinct (lat, lon) per key first — duplicate pings
+    cannot change a min/max — and an optional loud ``max_points`` guard
+    fails the job if a track exceeds the per-pair product budget.
+
+    Exact law: per-point distances round to integer millimeters (the
+    :func:`~gosmonaut_spark.functions.geo.trajectory_length` grain), so
+    every min/max is an order-free integer aggregate — bit-exact
+    cross-engine, no float comparisons anywhere.
+
+    Scale shape: two equi-joins fan the pair list out to point products
+    partitioned by pair key; two hash aggs (inner min per source point,
+    outer max per pair) with map-side partial combine; no window over
+    the product, no driver state.
+    """
+    p = (
+        pts.select(
+            F.col(key_col).alias("k"),
+            F.col(lat_col).alias("plat"),
+            F.col(lon_col).alias("plon"),
+        )
+        .distinct()
+    )
+    if max_points is not None:
+        cnt = p.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+        guard = F.assert_true(
+            F.col("c") <= F.lit(int(max_points)),
+            F.concat(
+                F.lit("hausdorff_pairs: track exceeds max_points="),
+                F.lit(str(int(max_points))),
+            ),
+        ).isNull()
+        ok = cnt.where(guard | (F.rand() < F.lit(-1.0))).select("k")
+        p = p.join(ok, "k", "left_semi")
+    pr = pairs.select(F.col("k1"), F.col("k2"))
+    prod = (
+        pr.join(
+            p.select(
+                F.col("k").alias("k1"),
+                F.col("plat").alias("alat"),
+                F.col("plon").alias("alon"),
+            ),
+            "k1",
+        )
+        .join(
+            p.select(
+                F.col("k").alias("k2"),
+                F.col("plat").alias("blat"),
+                F.col("plon").alias("blon"),
+            ),
+            "k2",
+        )
+        .select(
+            "k1",
+            "k2",
+            "alat",
+            "alon",
+            "blat",
+            "blon",
+            F.round(
+                haversine_m(
+                    F.col("alat"), F.col("alon"), F.col("blat"), F.col("blon")
+                )
+                * F.lit(1000.0)
+            )
+            .cast("long")
+            .alias("d_mm"),
+        )
+        .localCheckpoint()
+    )
+    h_ab = (
+        prod.groupBy("k1", "k2", "alat", "alon")
+        .agg(F.min("d_mm").alias("dmin"))
+        .groupBy("k1", "k2")
+        .agg(F.max("dmin").alias("h_ab_mm"))
+    )
+    h_ba = (
+        prod.groupBy("k1", "k2", "blat", "blon")
+        .agg(F.min("d_mm").alias("dmin"))
+        .groupBy("k1", "k2")
+        .agg(F.max("dmin").alias("h_ba_mm"))
+    )
+    return (
+        h_ab.join(h_ba, ["k1", "k2"])
+        .select(
+            "k1",
+            "k2",
+            "h_ab_mm",
+            "h_ba_mm",
+            F.greatest("h_ab_mm", "h_ba_mm").alias("hausdorff_mm"),
+        )
+    )
+
+
+def hausdorff_pairs_sql(
+    pts_sql: str,
+    pairs_sql: str,
+    key_expr: str = "user_id",
+    lat_expr: str = "lat",
+    lon_expr: str = "lon",
+) -> str:
+    """DuckDB twin — identical distinct / product / mm-integer
+    min-max law. ``pairs_sql`` must yield ``(k1, k2)``."""
+    hav = haversine_sql("alat", "alon", "blat", "blon")
+    return f"""WITH hd_p AS (
+  SELECT DISTINCT {key_expr} AS k, {lat_expr} AS plat, {lon_expr} AS plon
+  FROM ({pts_sql})
+),
+hd_pairs AS ({pairs_sql}),
+hd_prod AS (
+  SELECT pr.k1, pr.k2, a.plat AS alat, a.plon AS alon,
+         b.plat AS blat, b.plon AS blon,
+         CAST(round(({hav}) * 1000.0) AS BIGINT) AS d_mm
+  FROM hd_pairs pr
+  JOIN hd_p a ON a.k = pr.k1
+  JOIN hd_p b ON b.k = pr.k2
+),
+hd_ab AS (
+  SELECT k1, k2, max(dmin) AS h_ab_mm FROM (
+    SELECT k1, k2, alat, alon, min(d_mm) AS dmin
+    FROM hd_prod GROUP BY k1, k2, alat, alon
+  ) GROUP BY k1, k2
+),
+hd_ba AS (
+  SELECT k1, k2, max(dmin) AS h_ba_mm FROM (
+    SELECT k1, k2, blat, blon, min(d_mm) AS dmin
+    FROM hd_prod GROUP BY k1, k2, blat, blon
+  ) GROUP BY k1, k2
+)
+SELECT a.k1 AS k1, a.k2 AS k2, a.h_ab_mm, b.h_ba_mm,
+       greatest(a.h_ab_mm, b.h_ba_mm) AS hausdorff_mm
+FROM hd_ab a JOIN hd_ba b ON a.k1 = b.k1 AND a.k2 = b.k2"""

@@ -3647,6 +3647,49 @@ FROM events""",
     # grid-bucketed index-then-refine on the Spark side (operators/overlap);
     # the DuckDB twin is the brute self-join with the SAME closed-interval
     # predicate on identically-derived double bounds — semantics, not plan.
+    def q_sinuosity(spark, sf):
+        from .functions.geo import trajectory_sinuosity
+
+        return trajectory_sinuosity(
+            _dwell_pts(spark, sf), "user_id", "ms", "event_id"
+        ).orderBy("user_id")
+
+    from .functions.geo import trajectory_sinuosity_sql
+
+    q["geo_sinuosity"] = (
+        q_sinuosity,
+        trajectory_sinuosity_sql(_DWELL_PTS_SQL, "user_id", "ms", "event_id")
+        + "\nORDER BY user_id",
+    )
+
+    def q_hausdorff(spark, sf):
+        from .operators.trajectory import hausdorff_pairs
+
+        pts = _dwell_pts(spark, sf).where(F.col("user_id") % 7 == 3)
+        keys = pts.select(F.col("user_id").alias("k")).distinct()
+        pairs = (
+            keys.select(F.col("k").alias("k1"))
+            .join(keys.select(F.col("k").alias("k2")))
+            .where(F.col("k1") < F.col("k2"))
+        )
+        return hausdorff_pairs(pts, pairs, "user_id").orderBy("k1", "k2")
+
+    from .operators.trajectory import hausdorff_pairs_sql
+
+    _HD_PTS_SQL = f"SELECT * FROM ({_DWELL_PTS_SQL}) WHERE user_id % 7 = 3"
+    q["geo_hausdorff_pairs"] = (
+        q_hausdorff,
+        hausdorff_pairs_sql(
+            _HD_PTS_SQL,
+            f"""SELECT a.k AS k1, b.k AS k2
+  FROM (SELECT DISTINCT user_id AS k FROM ({_HD_PTS_SQL})) a,
+       (SELECT DISTINCT user_id AS k FROM ({_HD_PTS_SQL})) b
+  WHERE a.k < b.k""",
+            "user_id",
+        )
+        + "\nORDER BY k1, k2",
+    )
+
     def q_bbox_overlap(spark, sf):
         from .operators.overlap import bbox_overlap_join
 
@@ -4186,6 +4229,29 @@ FROM (
         q_hotspots,
         hotspots_gi_sql(_HS_TILES, 5, k=1, z=2) + "\nORDER BY cell",
     )
+
+    # ---- global spatial autocorrelation over the same weighted layer ------------
+    # the metro 10x box makes neighboring cells co-vary → I decisively > 0
+    def q_morans(spark, sf):
+        from .operators.tiling import morans_i
+
+        wgt = F.when(
+            (F.col("lat") >= 0)
+            & (F.col("lat") < 30)
+            & (F.col("lon") >= 0)
+            & (F.col("lon") < 30),
+            F.lit(10),
+        ).otherwise(F.lit(1))
+        tiles = (
+            _pts(spark, sf)
+            .groupBy(cell_expr("lat", "lon", 5).alias("cell"))
+            .agg(F.sum(wgt).alias("n_points"))
+        )
+        return morans_i(tiles, 5)
+
+    from .operators.tiling import morans_i_sql
+
+    q["tiles_morans_i"] = (q_morans, morans_i_sql(_HS_TILES, 5))
 
     # ---- space-time Gi* (emerging hotspot over (cell, day) voxels) ---------------
     # a metro block that is only hot during one mid-January week: the

@@ -264,3 +264,112 @@ def test_traj_jaccard_matches_brute(spark):
         for r in traj_jaccard_pairs(df, res, 0.5, "user_id").collect()
     }
     assert (1, 2) in got_t and (3, 4) not in got_t
+
+
+# ---------------------------------------------------------------------------
+# sinuosity + hausdorff + Moran's I (round-4 additions)
+# ---------------------------------------------------------------------------
+
+
+def test_sinuosity_straight_vs_detour(spark):
+    """Straight 3-point equatorial track → sinuosity 1.0 (mm grain);
+    an out-and-back track → direct ≈ segment, path ≈ 2×, ratio ≈ 2."""
+    from gosmonaut_spark.functions.geo import trajectory_sinuosity
+
+    pts = spark.createDataFrame(
+        [
+            (1, 0, 100, 0.0, 0.0),
+            (1, 1, 101, 0.0, 0.1),
+            (1, 2, 102, 0.0, 0.2),
+            (2, 0, 200, 0.0, 0.0),
+            (2, 1, 201, 0.0, 0.2),
+            (2, 2, 202, 0.0, 0.1),
+        ],
+        "user_id long, ms long, event_id long, lat double, lon double",
+    )
+    rows = {
+        r["user_id"]: r
+        for r in trajectory_sinuosity(
+            pts, "user_id", "ms", "event_id"
+        ).collect()
+    }
+    assert abs(rows[1]["sinuosity"] - 1.0) < 1e-9
+    assert abs(rows[2]["sinuosity"] - 3.0) < 1e-6  # 0.2 out + 0.1 back over 0.1 net
+    assert rows[1]["n_points"] == 3
+
+
+def test_hausdorff_hand_computed(spark):
+    """Two 2-point tracks offset along the equator: directed distances
+    are max-min over the 2x2 product — checked against the operator's
+    own haversine at the same mm grain, symmetric = max."""
+    from gosmonaut_spark.functions.geo import haversine_m
+    from gosmonaut_spark.operators.trajectory import hausdorff_pairs
+    from pyspark.sql import functions as F
+
+    pts = spark.createDataFrame(
+        [
+            (1, 0.0, 0.0),
+            (1, 0.0, 1.0),
+            (2, 0.0, 0.25),
+            (2, 0.0, 0.5),
+        ],
+        "user_id long, lat double, lon double",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "k1 long, k2 long")
+    got = hausdorff_pairs(pts, pairs, "user_id").collect()[0]
+
+    def mm(lon_a, lon_b):
+        return (
+            spark.range(1)
+            .select(
+                F.round(
+                    haversine_m(
+                        F.lit(0.0), F.lit(lon_a), F.lit(0.0), F.lit(lon_b)
+                    )
+                    * 1000.0
+                ).cast("long")
+            )
+            .collect()[0][0]
+        )
+
+    # A→B: a=0.0 → nearest b at 0.25; a=1.0 → nearest b at 0.5
+    h_ab = max(mm(0.0, 0.25), mm(1.0, 0.5))
+    # B→A: b=0.25 → nearest a at 0.0; b=0.5 → nearest a at 1.0? no: 0.0 is 0.5 away, 1.0 is 0.5 away → tie, same distance
+    h_ba = max(mm(0.25, 0.0), min(mm(0.5, 0.0), mm(0.5, 1.0)))
+    assert got["h_ab_mm"] == h_ab
+    assert got["h_ba_mm"] == h_ba
+    assert got["hausdorff_mm"] == max(h_ab, h_ba)
+
+
+def test_hausdorff_max_points_guard(spark):
+    from gosmonaut_spark.operators.trajectory import hausdorff_pairs
+    import pytest as _pt
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, float(i)) for i in range(5)] + [(2, 0.0, 0.5)],
+        "user_id long, lat double, lon double",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "k1 long, k2 long")
+    with _pt.raises(Exception, match="max_points"):
+        hausdorff_pairs(pts, pairs, "user_id", max_points=3).collect()
+
+
+def test_morans_i_sign(spark):
+    """Checkerboard on a 2x2 occupied block → strong negative I;
+    a smooth half-high/half-low split → positive I."""
+    from gosmonaut_spark.operators.tiling import morans_i
+    from gosmonaut_spark.functions.cells import cell_from_xy
+    from pyspark.sql import functions as F
+
+    res = 3
+    rows_cb = [(x, y, 100 if (x + y) % 2 == 0 else 1)
+               for x in range(4) for y in range(4)]
+    rows_sm = [(x, y, 100 if x < 2 else 1)
+               for x in range(4) for y in range(4)]
+    for rows, sign in [(rows_cb, -1), (rows_sm, +1)]:
+        df = spark.createDataFrame(rows, "x long, y long, n_points long").select(
+            cell_from_xy(F.col("x"), F.col("y"), res).alias("cell"), "n_points"
+        )
+        out = morans_i(df, res).collect()[0]
+        assert out["n_cells"] == 16
+        assert out["morans_i"] * sign > 0.3

@@ -376,3 +376,101 @@ rk_ranked AS (
 )
 SELECT did AS {id_expr}, phrase, score, rank
 FROM rk_ranked WHERE rank <= {int(top_k)}"""
+
+
+# ---------------------------------------------------------------------------
+# corpus length histogram (power-of-two buckets)
+# ---------------------------------------------------------------------------
+
+
+def length_histogram(
+    docs: DataFrame, len_col: str = "n_chars", max_pow: int = 40
+) -> DataFrame:
+    """Power-of-two length histogram over a corpus →
+    ``(bucket, lo_chars, hi_chars, n_docs, total_chars, cum_docs,
+    doc_share)`` ordered by bucket.
+
+    The first chart every corpus audit draws (truncation cliffs, crawler
+    boilerplate spikes, empty-doc mass) — bucket ``b`` holds lengths in
+    ``[2^{b-1}, 2^b)`` (bucket 0 = empty docs). The bucket index is
+    computed WITHOUT ``log2``: a sum of 41 integer threshold tests
+    (``len ≥ 2^k``), because float ``log2`` sits exactly ON the bucket
+    boundaries at powers of two where a one-ulp engine difference flips
+    the bucket — the threshold-sum is boundary-exact on both engines by
+    construction and still one codegen projection.
+
+    Integer everywhere except the terminal ``doc_share`` division;
+    cumulative docs via one ordered window over ≤ ``max_pow`` + 1 rows.
+
+    Scale: one map-side-combined groupBy over the corpus; the window
+    runs over the 41-row bucket table — free.
+    """
+    from pyspark.sql import Window
+
+    ln = F.col(len_col).cast("long")
+    bucket = sum(
+        (ln >= F.lit(1 << k)).cast("long") for k in range(int(max_pow) + 1)
+    )
+    agg = (
+        docs.select(bucket.alias("bucket"), ln.alias("__len"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__len").alias("total_chars"),
+        )
+    )
+    tot = agg.agg(F.sum("n_docs").alias("all_docs"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.when(
+                F.col("bucket") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket - 1 AS INT))"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("lo_chars"),
+            (
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))") - 1
+            ).alias("hi_chars"),
+            "n_docs",
+            "total_chars",
+            F.sum("n_docs").over(w).alias("cum_docs"),
+            (F.col("n_docs").cast("double") / F.col("all_docs").cast("double")).alias(
+                "doc_share"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+def length_histogram_sql(
+    docs_sql: str, len_expr: str = "n_chars", max_pow: int = 40
+) -> str:
+    """DuckDB twin — identical threshold-sum bucket law."""
+    tests = " + ".join(
+        f"CAST(CAST({len_expr} AS BIGINT) >= {1 << k} AS BIGINT)"
+        for k in range(int(max_pow) + 1)
+    )
+    return f"""WITH lh_src AS ({docs_sql}),
+lh_b AS (
+  SELECT ({tests}) AS bucket, CAST({len_expr} AS BIGINT) AS len
+  FROM lh_src
+),
+lh_agg AS (
+  SELECT bucket, count(*) AS n_docs, sum(len) AS total_chars
+  FROM lh_b GROUP BY bucket
+)
+SELECT bucket,
+       CASE WHEN bucket > 0 THEN CAST(1 AS BIGINT) << (bucket - 1)
+            ELSE 0 END AS lo_chars,
+       (CAST(1 AS BIGINT) << bucket) - 1 AS hi_chars,
+       n_docs, CAST(total_chars AS BIGINT) AS total_chars,
+       CAST(sum(n_docs) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_docs,
+       CAST(n_docs AS DOUBLE)
+         / CAST((SELECT sum(n_docs) FROM lh_agg) AS DOUBLE) AS doc_share
+FROM lh_agg
+ORDER BY bucket"""

@@ -750,3 +750,85 @@ SELECT did AS {id_expr}, count(*) AS n_bigrams,
        sum(oov) AS n_oov,
        CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
 FROM ov_f GROUP BY did"""
+
+
+# ---------------------------------------------------------------------------
+# readability (Flesch reading-ease proxy, model-free)
+# ---------------------------------------------------------------------------
+
+
+def readability(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading-ease proxy per document →
+    ``(id, n_words, n_sentences, n_syllables, flesch)``.
+
+    The quality-gate sibling of :func:`quality_features`: corpus
+    curation pipelines bucket documents by reading level (children's
+    text vs legalese) before sampling training mixes. No dictionary, no
+    model: sentences are maximal ``[.!?]+`` runs (min 1 — headlines
+    count as one sentence), words are the whitespace tokens every other
+    text op here uses, and syllables are the standard vowel-group proxy
+    — maximal ``[aeiouy]+`` runs over the lowercase text (a word
+    without vowels contributes 0; documented proxy, not hyphenation).
+
+    ``flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/
+    words)`` — counts are exact integers; the two divisions and the
+    affine fold run in doubles through the IDENTICAL expression tree on
+    both engines (same literals, same order), so results match bitwise.
+    Docs with zero words are dropped (no defined score).
+
+    Scale: three ``regexp``/split counts per row, zero shuffles beyond
+    the caller's — pure codegen projection.
+    """
+    norm = norm_text(text_col)
+    n_words = token_count(text_col)
+    n_sent = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]+"), 0)).cast(
+            "long"
+        ),
+    )
+    n_syll = F.size(
+        F.regexp_extract_all(norm, F.lit(r"[aeiouy]+"), 0)
+    ).cast("long")
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+        (
+            F.lit(206.835)
+            - F.lit(1.015)
+              * (n_words.cast("double") / n_sent.cast("double"))
+            - F.lit(84.6)
+              * (n_syll.cast("double") / n_words.cast("double"))
+        ).alias("flesch"),
+    ).where(F.col("n_words") > 0)
+
+
+def readability_sql(
+    docs_sql: str, id_expr: str = "doc_id", text_expr: str = "text"
+) -> str:
+    """DuckDB twin — identical counts and the identical double fold."""
+    words = token_count_sql(text_expr)
+    sent = (
+        f"greatest(CAST(1 AS BIGINT), CAST(length(regexp_extract_all("
+        f"{text_expr}, '[.!?]+')) AS BIGINT))"
+    )
+    syll = (
+        f"CAST(length(regexp_extract_all({norm_text_sql(text_expr)}, "
+        f"'[aeiouy]+')) AS BIGINT)"
+    )
+    return f"""WITH rd_src AS ({docs_sql}),
+rd_c AS (
+  SELECT {id_expr} AS id, {words} AS n_words, {sent} AS n_sentences,
+         {syll} AS n_syllables
+  FROM rd_src
+)
+SELECT id AS {id_expr}, n_words, n_sentences, n_syllables,
+       206.835
+       - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+       - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+         AS flesch
+FROM rd_c WHERE n_words > 0"""

@@ -333,3 +333,111 @@ af_win AS (
 SELECT k AS {key_expr}, pid AS {id_expr}, v AS {value_expr}
 FROM af_win
 WHERE (n * v - s) * (n * v - s) > {zz} * (n * q - s * s)"""
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary quartile scores)
+# ---------------------------------------------------------------------------
+
+
+def rfm_segments(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ms_col: str = "ms",
+    value_col: str = "value",
+    n_tiles: int = 4,
+) -> DataFrame:
+    """Classic RFM user segmentation → one row per user
+    ``(user, recency_days, frequency, monetary_cents, r, f, m,
+    segment)`` with quartile (``n_tiles``) scores.
+
+    The marketing-analytics staple recast on this engine's exact laws:
+    recency is integer days between the user's last event and the
+    corpus-wide max timestamp (both integer ms); frequency is a count;
+    monetary sums integer CENTS (``round(value·100)`` per event before
+    the sum — order-free, the money discipline every revenue query in
+    this repo uses). Scores are ``ntile(n_tiles)`` over a TOTAL order
+    (metric, then user id): ntile's fill-earlier-groups-bigger split is
+    identical in Spark and DuckDB, and the unique tie-break pins every
+    boundary row, so scores are bit-stable cross-engine. r=1 means most
+    recent, f=n_tiles most frequent, m=n_tiles biggest spender;
+    ``segment = r·100 + f·10 + m``.
+
+    Scale shape: one groupBy(user) agg (map-side combine), then three
+    global ntile windows over the USER table (not the event stream) —
+    n_users rows through 3 single-partition sorts. At true 100 TB the
+    single-partition ntile is the bottleneck; swap to percentile-bucket
+    scores (2-pass: approx boundaries + broadcast) if the user table
+    itself stops fitting a partition — documented, not silently done,
+    because ntile ties at boundaries are the defined semantics here.
+    """
+    from pyspark.sql import Window
+
+    per_user = events.groupBy(F.col(user_col).alias("user")).agg(
+        F.max(F.col(ms_col)).alias("last_ms"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.coalesce(
+            F.sum(F.round(F.col(value_col) * F.lit(100.0)).cast("long")),
+            F.lit(0).cast("long"),
+        ).alias("monetary_cents"),
+    )
+    gmax = per_user.agg(F.max("last_ms").alias("gmax"))
+    scored = per_user.crossJoin(F.broadcast(gmax)).select(
+        "user",
+        ((F.col("gmax") - F.col("last_ms")) / F.lit(86_400_000))
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("user").asc())
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("user").asc())
+    w_m = Window.orderBy(F.col("monetary_cents").desc(), F.col("user").asc())
+    n = int(n_tiles)
+    return scored.select(
+        "user",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(n).over(w_r).alias("r"),
+        F.ntile(n).over(w_f).alias("f"),
+        F.ntile(n).over(w_m).alias("m"),
+    ).withColumn(
+        "segment", F.col("r") * 100 + F.col("f") * 10 + F.col("m")
+    )
+
+
+def rfm_segments_sql(
+    events_sql: str,
+    user_expr: str = "user_id",
+    ms_expr: str = "ms",
+    value_expr: str = "value",
+    n_tiles: int = 4,
+) -> str:
+    """DuckDB twin — identical cents law, global-max recency, and
+    uniquely tie-broken ntile windows."""
+    n = int(n_tiles)
+    return f"""WITH rfm_src AS ({events_sql}),
+rfm_u AS (
+  SELECT {user_expr} AS u, max({ms_expr}) AS last_ms,
+         count(*) AS frequency,
+         coalesce(sum(CAST(round(({value_expr}) * 100.0) AS BIGINT)), 0)
+           AS monetary_cents
+  FROM rfm_src GROUP BY 1
+),
+rfm_s AS (
+  SELECT u, CAST((SELECT max(last_ms) FROM rfm_u) - last_ms AS BIGINT)
+           // 86400000 AS recency_days,
+         frequency, monetary_cents
+  FROM rfm_u
+),
+rfm_t AS (
+  SELECT u, recency_days, frequency, monetary_cents,
+         ntile({n}) OVER (ORDER BY recency_days ASC, u ASC) AS r,
+         ntile({n}) OVER (ORDER BY frequency DESC, u ASC) AS f,
+         ntile({n}) OVER (ORDER BY monetary_cents DESC, u ASC) AS m
+  FROM rfm_s
+)
+SELECT u AS user, recency_days, frequency, monetary_cents, r, f, m,
+       r * 100 + f * 10 + m AS segment
+FROM rfm_t"""

@@ -4697,6 +4697,57 @@ ORDER BY rank""",
         link_prediction_sql(_CONTACT_EDGES_SQL, k=15),
     )
 
+    def q_rfm(spark, sf):
+        from .functions.timeops import ntz_epoch_ms
+        from .operators.rolling import rfm_segments
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            "user_id", ntz_epoch_ms(F.col("ts")).alias("ms"), "value"
+        )
+        return rfm_segments(ev, "user_id", "ms", "value").orderBy("user")
+
+    from .operators.rolling import rfm_segments_sql
+
+    q["events_rfm_segments"] = (
+        q_rfm,
+        rfm_segments_sql(
+            "SELECT user_id, epoch_ms(ts) AS ms, value FROM events",
+            "user_id",
+            "ms",
+            "value",
+        )
+        + "\nORDER BY \"user\"",
+    )
+
+    def q_readability(spark, sf):
+        from .functions.text import readability
+
+        return readability(
+            spark.read.parquet(f"{sf}/documents.parquet")
+        ).orderBy("doc_id")
+
+    from .functions.text import readability_sql
+
+    q["text_readability"] = (
+        q_readability,
+        readability_sql("SELECT doc_id, text FROM documents")
+        + "\nORDER BY doc_id",
+    )
+
+    def q_lenhist(spark, sf):
+        from .functions.corpus import length_histogram
+
+        return length_histogram(
+            spark.read.parquet(f"{sf}/documents.parquet")
+        )
+
+    from .functions.corpus import length_histogram_sql
+
+    q["corpus_length_histogram"] = (
+        q_lenhist,
+        length_histogram_sql("SELECT n_chars FROM documents"),
+    )
+
     def q_retention(spark, sf):
         from .functions.timeops import ntz_epoch_ms
         from .operators.colocation import retention_cohorts

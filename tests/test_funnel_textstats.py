@@ -101,3 +101,68 @@ def test_strip_high_df_tokens_order_and_empty(spark):
     assert out[2] == "lazy dog"
     assert out[3] == ""          # fully stripped doc still present, empty
     assert out[4] == "no stop words here"
+
+
+# ---------------------------------------------------------------------------
+# RFM / readability / length histogram (round-4 additions)
+# ---------------------------------------------------------------------------
+
+
+def test_rfm_scores_hand_graph(spark):
+    """4 users, n_tiles=2: known recency/frequency/monetary ordering →
+    known tile assignments (earlier groups get the extra row)."""
+    from gosmonaut_spark.operators.rolling import rfm_segments
+
+    day = 86_400_000
+    rows = []
+    # u1: 3 events, last at day 10, cents 300; u2: 1 @ day 9, 1000;
+    # u3: 2 @ day 8, 50; u4: 1 @ day 1, 500
+    rows += [(1, 8 * day, 1.0), (1, 9 * day, 1.0), (1, 10 * day, 1.0)]
+    rows += [(2, 9 * day, 10.0)]
+    rows += [(3, 7 * day, 0.25), (3, 8 * day, 0.25)]
+    rows += [(4, 1 * day, 5.0)]
+    ev = spark.createDataFrame(rows, "user_id long, ms long, value double")
+    got = {
+        r["user"]: r for r in rfm_segments(ev, n_tiles=2).collect()
+    }
+    assert got[1]["recency_days"] == 0 and got[4]["recency_days"] == 9
+    # recency order: u1(0), u2(1), u3(2), u4(9) → r tiles [1,1,2,2]
+    assert (got[1]["r"], got[2]["r"], got[3]["r"], got[4]["r"]) == (1, 1, 2, 2)
+    # frequency: u1=3, u3=2, u2=1, u4=1 (tie→user asc) → f [1,1,2,2]
+    assert (got[1]["f"], got[3]["f"], got[2]["f"], got[4]["f"]) == (1, 1, 2, 2)
+    # monetary cents: u2=1000, u4=500, u1=300, u3=50 → m [1,1,2,2]
+    assert (got[2]["m"], got[4]["m"], got[1]["m"], got[3]["m"]) == (1, 1, 2, 2)
+    assert got[1]["segment"] == 100 + 10 + got[1]["m"]
+
+
+def test_readability_hand_counts(spark):
+    from gosmonaut_spark.functions.text import readability
+
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, "no punctuation here")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in readability(docs).collect()}
+    assert got[1]["n_words"] == 6 and got[1]["n_sentences"] == 2
+    # vowel groups: e,a,a,e,o,a = 6
+    assert got[1]["n_syllables"] == 6
+    f = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert abs(got[1]["flesch"] - f) < 1e-12
+    assert got[2]["n_sentences"] == 1  # min-1 law
+
+
+def test_length_histogram_boundaries(spark):
+    """Lengths 0,1,2,3,4 land in buckets 0,1,2,2,3 — power-of-two
+    boundaries exact by the threshold-sum construction."""
+    from gosmonaut_spark.functions.corpus import length_histogram
+
+    docs = spark.createDataFrame(
+        [(0,), (1,), (2,), (3,), (4,)], "n_chars long"
+    )
+    rows = {r["bucket"]: r for r in length_histogram(docs).collect()}
+    assert rows[0]["n_docs"] == 1 and rows[0]["lo_chars"] == 0
+    assert rows[1]["n_docs"] == 1
+    assert rows[2]["n_docs"] == 2 and rows[2]["lo_chars"] == 2 and rows[2]["hi_chars"] == 3
+    assert rows[3]["n_docs"] == 1
+    assert rows[3]["cum_docs"] == 5
+    assert abs(rows[2]["doc_share"] - 0.4) < 1e-15

@@ -3647,6 +3647,21 @@ FROM events""",
     # grid-bucketed index-then-refine on the Spark side (operators/overlap);
     # the DuckDB twin is the brute self-join with the SAME closed-interval
     # predicate on identically-derived double bounds — semantics, not plan.
+    def q_dbscan(spark, sf):
+        from .operators.cluster import grid_dbscan
+
+        return grid_dbscan(
+            _dwell_pts(spark, sf), res=6, min_pts=3, id_col="event_id"
+        ).orderBy("id")
+
+    from .operators.cluster import grid_dbscan_sql
+
+    q["geo_grid_dbscan"] = (
+        q_dbscan,
+        grid_dbscan_sql(_DWELL_PTS_SQL, res=6, min_pts=3, id_expr="event_id")
+        + "\nORDER BY id",
+    )
+
     def q_sinuosity(spark, sf):
         from .functions.geo import trajectory_sinuosity
 

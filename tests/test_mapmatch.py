@@ -137,3 +137,51 @@ def test_reverse_geocode_matches_brute(spark):
     assert got[900] == (0, 0.0)   # inside: distance 0
     assert got[901] == (0, 0.0)   # closed boundary: corner counts inside
     assert len(got) == len(pts)   # total assignment — nobody unmatched
+
+
+# ---------------------------------------------------------------------------
+# grid DBSCAN (round-4 addition)
+# ---------------------------------------------------------------------------
+
+
+def test_grid_dbscan_roles_hand_grid(spark):
+    """res=2 (4x4 world grid): two adjacent core cells merge into one
+    cluster labeled by the min core-cell id; a single point in the next
+    cell over is border; a far corner point is noise."""
+    from gosmonaut_spark.functions.cells import cell_from_xy
+    from gosmonaut_spark.operators.cluster import grid_dbscan
+    from pyspark.sql import functions as F
+
+    def pt(i, x, y):
+        # center of res-2 cell (x, y): lon = -180 + (x+.5)*90, lat = 90 - (y+.5)*45
+        return (i, 90.0 - (y + 0.5) * 45.0, -180.0 + (x + 0.5) * 90.0)
+
+    rows = [pt(1, 0, 0), pt(2, 0, 0), pt(3, 0, 0),
+            pt(4, 1, 0), pt(5, 1, 0), pt(6, 1, 0),
+            pt(7, 2, 0),
+            pt(8, 3, 3)]
+    pts = spark.createDataFrame(rows, "id long, lat double, lon double")
+    got = {r["id"]: r for r in grid_dbscan(pts, res=2, min_pts=3).collect()}
+    cell00 = spark.range(1).select(
+        cell_from_xy(F.lit(0), F.lit(0), 2).alias("c")
+    ).collect()[0]["c"]
+    for i in (1, 2, 3, 4, 5, 6):
+        assert got[i]["role"] == "core" and got[i]["cluster"] == cell00
+    assert got[7]["role"] == "border" and got[7]["cluster"] == cell00
+    assert got[8]["role"] == "noise" and got[8]["cluster"] is None
+
+
+def test_grid_dbscan_diag_toggle(spark):
+    """Two diagonal-only core cells: one cluster with diag=True, two
+    with diag=False."""
+    from gosmonaut_spark.operators.cluster import grid_dbscan
+
+    def pt(i, x, y):
+        return (i, 90.0 - (y + 0.5) * 45.0, -180.0 + (x + 0.5) * 90.0)
+
+    rows = [pt(1, 0, 0), pt(2, 0, 0), pt(3, 1, 1), pt(4, 1, 1)]
+    pts = spark.createDataFrame(rows, "id long, lat double, lon double")
+    with_diag = grid_dbscan(pts, res=2, min_pts=2, diag=True).collect()
+    no_diag = grid_dbscan(pts, res=2, min_pts=2, diag=False).collect()
+    assert len({r["cluster"] for r in with_diag}) == 1
+    assert len({r["cluster"] for r in no_diag}) == 2

@@ -1106,3 +1106,128 @@ JOIN lp_deg d1 ON d1.u = o.w1
 JOIN lp_deg d2 ON d2.u = o.w2
 ORDER BY cn DESC, w1, w2
 LIMIT {int(k)}"""
+
+
+# ---------------------------------------------------------------------------
+# Seed-pinned label propagation (semi-supervised, frozen-once-assigned)
+# ---------------------------------------------------------------------------
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Semi-supervised label spread from a seed set → ``(id, label,
+    round)`` for every vertex reached within ``rounds`` synchronous
+    hops (``round`` = the hop at which the label froze; seeds are 0).
+
+    The classify-the-rest primitive for the engine's pair graphs: a few
+    hand-labeled hosts (spam / ham), co-location contacts of known
+    devices, near-dup clusters with one audited member — propagate to
+    the neighborhood without training a model.
+
+    Law (everything a tie could touch is pinned): labels FREEZE once
+    assigned (seeds never change); each round, every unlabeled vertex
+    with ≥ 1 labeled neighbor takes the label with the highest neighbor
+    count, ties broken by SMALLEST label id. Frozen propagation is
+    monotone — after R rounds the output is exactly the R-hop BFS
+    closure under that vote law, which the DuckDB twin unrolls
+    round-by-round as plain CTEs: bit-identical, no convergence
+    heuristics.
+
+    Scale shape: per round one equi-join (frontier adjacency ⨝ labeled)
+    + one (vertex, label) count agg + one per-vertex argmin/argmax —
+    all key-partitioned; per-round ``localCheckpoint`` truncates
+    lineage. Votes come only from vertices labeled in EARLIER rounds,
+    so each round's join probes the cumulative label table — the
+    frontier optimization (join only last round's additions) changes
+    votes, so it is deliberately NOT taken: vote-from-all-labeled is
+    the defined semantics.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("a"),
+            F.col(dst).cast("long").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("w")).unionByName(
+        e.select(F.col("b").alias("u"), F.col("a").alias("w"))
+    ).localCheckpoint()
+    lab = seeds.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("label").cast("long").alias("label"),
+        F.lit(0).alias("round"),
+    ).localCheckpoint()
+    for r in range(1, int(rounds) + 1):
+        votes = (
+            adj.join(lab.select(F.col("id").alias("w"), "label"), "w")
+            .join(lab.select(F.col("id").alias("u")), "u", "left_anti")
+            .groupBy("u", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        picked = (
+            votes.groupBy("u")
+            .agg(
+                F.max_by(
+                    F.col("label"), F.struct(F.col("n"), -F.col("label"))
+                ).alias("label")
+            )
+            .select(
+                F.col("u").alias("id"), "label", F.lit(r).alias("round")
+            )
+        )
+        lab = lab.unionByName(picked).localCheckpoint()
+    return lab
+
+
+def label_propagation_sql(
+    edges_sql: str, seeds_sql: str, rounds: int = 4
+) -> str:
+    """DuckDB twin — the identical vote law unrolled round by round
+    (``edges_sql`` → ``(src, dst)``, ``seeds_sql`` → ``(id, label)``)."""
+    parts = [
+        f"""lp_e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({edges_sql}) WHERE src != dst
+),
+lp_adj AS (
+  SELECT a AS u, b AS w FROM lp_e UNION ALL SELECT b, a FROM lp_e
+),
+lp_lab0 AS (
+  SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label,
+         0 AS round
+  FROM ({seeds_sql})
+)"""
+    ]
+    prev = "lp_lab0"
+    for r in range(1, int(rounds) + 1):
+        parts.append(
+            f"""lp_new{r} AS (
+  SELECT u AS id, label, {r} AS round FROM (
+    SELECT v.u, v.label,
+           row_number() OVER (PARTITION BY v.u
+                              ORDER BY v.n DESC, v.label ASC) AS rk
+    FROM (
+      SELECT a.u, l.label, count(*) AS n
+      FROM lp_adj a JOIN {prev} l ON l.id = a.w
+      WHERE a.u NOT IN (SELECT id FROM {prev})
+      GROUP BY a.u, l.label
+    ) v
+  ) WHERE rk = 1
+),
+lp_lab{r} AS (
+  SELECT * FROM {prev} UNION ALL SELECT * FROM lp_new{r}
+)"""
+        )
+        prev = f"lp_lab{r}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id, label, round FROM {prev}"
+    )

@@ -4712,6 +4712,34 @@ ORDER BY rank""",
         link_prediction_sql(_CONTACT_EDGES_SQL, k=15),
     )
 
+    def q_lpa(spark, sf):
+        from .operators.graph import label_propagation
+
+        edges = _contact_edges(spark, sf)
+        seeds = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
+            .where(F.col("id") % 10 == 0)
+            .select("id", (F.col("id") % 3).alias("label"))
+        )
+        return label_propagation(edges, seeds, rounds=4).orderBy("id")
+
+    from .operators.graph import label_propagation_sql
+
+    q["graph_label_propagation"] = (
+        q_lpa,
+        label_propagation_sql(
+            _CONTACT_EDGES_SQL,
+            f"""SELECT id, id % 3 AS label FROM (
+  SELECT DISTINCT src AS id FROM ({_CONTACT_EDGES_SQL})
+  UNION SELECT DISTINCT dst FROM ({_CONTACT_EDGES_SQL})
+) WHERE id % 10 = 0""",
+            rounds=4,
+        )
+        + "\nORDER BY id",
+    )
+
     def q_rfm(spark, sf):
         from .functions.timeops import ntz_epoch_ms
         from .operators.rolling import rfm_segments

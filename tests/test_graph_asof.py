@@ -546,3 +546,24 @@ def test_link_prediction_scores_and_guard(spark):
 
     with pytest.raises(Exception, match="max_degree"):
         link_prediction(edges, k=10, max_degree=2).collect()
+
+
+def test_label_propagation_vote_and_freeze_law(spark):
+    """Star: center 10 has seed neighbors 1 (label 5) and 2,3 (label 7)
+    → majority 7 in round 1. Vertex 20 hangs off 10 → inherits 7 in
+    round 2. Tie case: vertex 30 with one neighbor of each label →
+    smallest label wins. Seeds never change."""
+    from gosmonaut_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (10, 20), (1, 30), (2, 30)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame(
+        [(1, 5), (2, 7), (3, 7)], "id long, label long"
+    )
+    got = {r["id"]: r for r in label_propagation(edges, seeds, rounds=3).collect()}
+    assert got[10]["label"] == 7 and got[10]["round"] == 1
+    assert got[20]["label"] == 7 and got[20]["round"] == 2
+    assert got[30]["label"] == 5 and got[30]["round"] == 1  # tie → min label
+    assert got[1]["label"] == 5 and got[1]["round"] == 0

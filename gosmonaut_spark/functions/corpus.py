@@ -474,3 +474,129 @@ SELECT bucket,
          / CAST((SELECT sum(n_docs) FROM lh_agg) AS DOUBLE) AS doc_share
 FROM lh_agg
 ORDER BY bucket"""
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (PageRank over the word co-occurrence graph)
+# ---------------------------------------------------------------------------
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    k: int = 20,
+    min_len: int = 4,
+    iters: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """TextRank (Mihalcea & Tarau, EMNLP'04) keyword extraction →
+    ``(word, score, rank)``, the top ``k`` vocabulary words by PageRank
+    over the token co-occurrence graph.
+
+    The graph-centrality upgrade of :func:`rake_keywords` / tf-idf:
+    a word matters if it co-occurs with words that matter — corpus-level
+    keywords robust to raw frequency (stop-like fillers rank low
+    because their neighbors are everywhere, hubs dilute).
+
+    Law: vertices are words of length ≥ ``min_len``; edges join
+    ADJACENT tokens of the original sequence where both endpoints
+    qualify (window = 2, the TextRank default), undirected with
+    co-occurrence-count weights; ranking is the engine's weighted
+    :func:`~gosmonaut_spark.operators.graph.pagerank` (fixed ``iters``
+    power rounds, dangling redistribution) over the symmetrized edge
+    table. Scores compare at ``round(pr, 9)`` (float sums reassociate);
+    the top-k window orders by (score DESC, word ASC) — fully pinned.
+
+    Scale shape: one explode over token positions (linear in corpus
+    tokens), one canonical-pair count agg, then PageRank over the
+    VOCABULARY graph — vertex count is |vocab|, not |corpus|, so the
+    iterative part runs on a table orders of magnitude smaller than the
+    input. No driver state, no cross join.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.graph import pagerank
+    from .text import tokens
+
+    toks = docs.select(tokens(text_col).alias("t")).where(F.size("t") >= 2)
+    pairs = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(element_at(t, CAST(i AS INT)) AS w1, "
+                    "element_at(t, CAST(i AS INT) + 1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .where(
+            (F.length("w1") >= int(min_len))
+            & (F.length("w2") >= int(min_len))
+            & (F.col("w1") != F.col("w2"))
+        )
+    )
+    und = (
+        pairs.select(
+            F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    sym = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+    pr = pagerank(sym, weight="w", iters=int(iters))
+    ranked = pr.select(
+        F.col("id").alias("word"), F.round("pr", 9).alias("score")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("score"), F.asc("word"))
+        ),
+    )
+    return ranked.where(F.col("rank") <= int(k)).orderBy("rank")
+
+
+def textrank_keywords_sql(
+    docs_sql: str,
+    k: int = 20,
+    min_len: int = 4,
+    iters: int = 5,
+    text_expr: str = "text",
+) -> str:
+    """DuckDB twin — identical adjacency/filter/weight law feeding the
+    unrolled weighted-PageRank CTEs."""
+    from ..operators.graph import pagerank_sql
+    from .text import tokens_sql
+
+    edges = f"""SELECT a AS src, b AS dst, w FROM (
+  SELECT least(w1, w2) AS a, greatest(w1, w2) AS b, count(*) AS w FROM (
+    SELECT t[i] AS w1, t[i + 1] AS w2
+    FROM (SELECT {tokens_sql(text_expr)} AS t FROM ({docs_sql})) tr_t,
+         LATERAL (SELECT unnest(range(1, len(t))) AS i) tr_i
+  ) WHERE length(w1) >= {int(min_len)} AND length(w2) >= {int(min_len)}
+        AND w1 != w2
+  GROUP BY a, b
+)
+UNION ALL
+SELECT b, a, w FROM (
+  SELECT least(w1, w2) AS a, greatest(w1, w2) AS b, count(*) AS w FROM (
+    SELECT t[i] AS w1, t[i + 1] AS w2
+    FROM (SELECT {tokens_sql(text_expr)} AS t FROM ({docs_sql})) tr_t2,
+         LATERAL (SELECT unnest(range(1, len(t))) AS i) tr_i2
+  ) WHERE length(w1) >= {int(min_len)} AND length(w2) >= {int(min_len)}
+        AND w1 != w2
+  GROUP BY a, b
+)"""
+    inner = pagerank_sql(edges, iters=int(iters), damping=0.85, weighted=True)
+    return f"""SELECT word, score, rank FROM (
+  SELECT id AS word, round(pr, 9) AS score,
+         CAST(row_number() OVER (ORDER BY round(pr, 9) DESC, id ASC) AS INT)
+           AS rank
+  FROM (
+{inner}
+  )
+) WHERE rank <= {int(k)}
+ORDER BY rank"""

@@ -4777,6 +4777,22 @@ ORDER BY rank""",
         + "\nORDER BY doc_id",
     )
 
+    def q_textrank(spark, sf):
+        from .functions.corpus import textrank_keywords
+
+        return textrank_keywords(
+            spark.read.parquet(f"{sf}/documents.parquet").where(
+                F.col("lang") == "en"
+            )
+        )
+
+    from .functions.corpus import textrank_keywords_sql
+
+    q["text_textrank_keywords"] = (
+        q_textrank,
+        textrank_keywords_sql("SELECT text FROM documents WHERE lang = 'en'"),
+    )
+
     def q_lenhist(spark, sf):
         from .functions.corpus import length_histogram
 

@@ -1658,3 +1658,26 @@ def test_kmv_sketch_and_jaccard_laws(spark):
         for r in kmv_sketch(df.repartition(23), "key", "g", k=K).collect()
     }
     assert re_sk == got_sk
+
+
+def test_textrank_prefers_connected_words(spark):
+    """A word co-occurring with many distinct frequent words outranks an
+    equally frequent word locked in one repeated pair."""
+    from gosmonaut_spark.functions.corpus import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [
+            ("alpha beta gamma delta alpha gamma beta delta",),
+            ("alpha delta beta gamma",),
+            ("solo solo solo solo pair pair pair pair",),
+        ],
+        "text string",
+    )
+    rows = textrank_keywords(docs, k=10, min_len=4, iters=5).collect()
+    scores = {r["word"]: r["score"] for r in rows}
+    assert rows[0]["rank"] == 1 and rows[0]["word"] == "beta"
+    # the densely connected clique word beats the single-partner words
+    assert scores["beta"] > scores["solo"] and scores["beta"] > scores["pair"]
+    # self-pairs (solo solo) were dropped: solo's only edge is solo-pair,
+    # so its rank mass stays at the uniform level
+    assert abs(scores["solo"] - scores["pair"]) < 1e-9

@@ -187,3 +187,109 @@ def hash_split_sql(expr: str, fracs: dict[str, float], salt: str = "split") -> s
     for lab, cut in reversed(cuts):
         out = f"CASE WHEN ({u}) < {cut!r} THEN '{lab}' ELSE {out} END"
     return out
+
+
+# ---------------------------------------------------------------------------
+# training-mix apportionment (largest-remainder / Hamilton)
+# ---------------------------------------------------------------------------
+
+
+def mix_apportion(
+    groups: DataFrame,
+    budget: int,
+    key_col: str = "source",
+    count_col: str = "n_tokens",
+) -> DataFrame:
+    """Apportion an integer ``budget`` across groups proportionally to
+    ``count_col`` → ``(key, n, quota)`` with ``Σ quota == budget``
+    EXACTLY.
+
+    The training-mix builder's missing primitive: "sample 10M tokens
+    from this corpus, proportional to source size" — naive
+    ``round(budget·nᵢ/total)`` quotas don't sum to the budget, and
+    at 10^12-token scale the drift is millions of tokens. This is the
+    largest-remainder (Hamilton) method, all-integer: floor quotas
+    ``budget·nᵢ // total``, then the ``budget − Σ floors`` leftover
+    units go to the largest remainders ``budget·nᵢ mod total`` (ties →
+    key ASC — fully pinned, and remainder comparison needs NO division:
+    the remainders are already on the common denominator ``total``).
+
+    Pure integer arithmetic end to end — bit-exact cross-engine, no
+    float quota anywhere. ``budget·nᵢ`` is computed in DECIMAL(38,0)
+    (Spark) / HUGEINT (DuckDB): a 10^12-token corpus times a 10^7
+    budget overflows int64, silently on some engines — not here.
+
+    Scale shape: one agg per group (caller usually did it), one global
+    sum broadcast back, one row_number over the GROUP table (small by
+    definition). Zero shuffles over the corpus itself.
+    """
+    from pyspark.sql import Window
+
+    b = F.lit(int(budget)).cast("decimal(38,0)")
+    g = groups.select(
+        F.col(key_col).alias("k"),
+        F.col(count_col).cast("long").alias("n"),
+    )
+    tot = g.agg(F.sum(F.col("n").cast("decimal(38,0)")).alias("t"))
+    staged = g.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "n",
+        (b * F.col("n").cast("decimal(38,0)")).alias("bn"),
+        F.col("t"),
+    )
+    # exact floor division without trusting decimal-division rounding:
+    # rem = bn mod t is exact, so (bn - rem) / t is an exact integer
+    # quotient (representable well inside the result scale)
+    floors = staged.select(
+        "k",
+        "n",
+        ((F.col("bn") - F.col("bn") % F.col("t")) / F.col("t"))
+        .cast("decimal(38,0)")
+        .alias("fl"),
+        (F.col("bn") % F.col("t")).alias("rem"),
+        "t",
+    )
+    leftover = floors.agg(
+        (b - F.sum("fl")).cast("long").alias("left")
+    )
+    w = Window.orderBy(F.desc("rem"), F.asc("k"))
+    return (
+        floors.crossJoin(F.broadcast(leftover))
+        .select(
+            F.col("k").alias(key_col),
+            "n",
+            (
+                F.col("fl").cast("long")
+                + (F.row_number().over(w) <= F.col("left")).cast("long")
+            ).alias("quota"),
+        )
+        .orderBy(key_col)
+    )
+
+
+def mix_apportion_sql(
+    groups_sql: str,
+    budget: int,
+    key_expr: str = "source",
+    count_expr: str = "n_tokens",
+) -> str:
+    """DuckDB twin — identical floor/remainder law on HUGEINT, same
+    pinned remainder ranking."""
+    b = int(budget)
+    return f"""WITH ma_g AS (
+  SELECT {key_expr} AS k, CAST({count_expr} AS BIGINT) AS n
+  FROM ({groups_sql})
+),
+ma_t AS (SELECT sum(CAST(n AS HUGEINT)) AS t FROM ma_g),
+ma_f AS (
+  SELECT k, n,
+         (CAST({b} AS HUGEINT) * n) // t AS fl,
+         (CAST({b} AS HUGEINT) * n) % t AS rem
+  FROM ma_g, ma_t
+),
+ma_l AS (SELECT CAST({b} AS HUGEINT) - sum(fl) AS leftover FROM ma_f)
+SELECT k AS {key_expr}, n,
+       CAST(fl + CAST(row_number() OVER (ORDER BY rem DESC, k ASC)
+                      <= leftover AS INT) AS BIGINT) AS quota
+FROM ma_f, ma_l
+ORDER BY {key_expr}"""

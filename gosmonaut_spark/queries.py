@@ -4777,6 +4777,29 @@ ORDER BY rank""",
         + "\nORDER BY doc_id",
     )
 
+    def q_apportion(spark, sf):
+        from .functions.sampling import mix_apportion
+        from .functions.text import token_count
+
+        per_source = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .groupBy("source")
+            .agg(F.sum(token_count("text")).alias("n_tokens"))
+        )
+        return mix_apportion(per_source, budget=100_003)
+
+    from .functions.sampling import mix_apportion_sql
+    from .functions.text import token_count_sql as _tc_sql
+
+    q["corpus_mix_apportion"] = (
+        q_apportion,
+        mix_apportion_sql(
+            f"SELECT source, sum({_tc_sql('text')}) AS n_tokens "
+            "FROM documents GROUP BY source",
+            budget=100_003,
+        ),
+    )
+
     def q_textrank(spark, sf):
         from .functions.corpus import textrank_keywords
 

@@ -274,3 +274,27 @@ def test_quota_sample_per_group_cap_and_stability(spark):
     kept_old = sorted((r.source, r.doc_id) for r in g2.collect()
                       if r.source != "newhost")
     assert kept_old == got
+
+
+def test_mix_apportion_exact_budget_and_hamilton_law(spark):
+    """Random group sizes: Σ quota == budget exactly and every quota
+    matches the independent python largest-remainder computation."""
+    import random
+
+    from gosmonaut_spark.functions.sampling import mix_apportion
+
+    random.seed(11)
+    rows = [(f"s{i:02d}", random.randint(1, 10**12)) for i in range(23)]
+    budget = 5_000_007
+    df = spark.createDataFrame(rows, "source string, n_tokens long")
+    got = {r["source"]: r["quota"] for r in mix_apportion(df, budget).collect()}
+    assert sum(got.values()) == budget
+    tot = sum(n for _, n in rows)
+    fl = {k: budget * n // tot for k, n in rows}
+    rems = sorted(
+        (((budget * n) % tot), k) for k, n in rows
+    )
+    left = budget - sum(fl.values())
+    for _r, k in sorted(rems, key=lambda x: (-x[0], x[1]))[:left]:
+        fl[k] += 1
+    assert got == fl

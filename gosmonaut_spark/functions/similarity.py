@@ -1262,3 +1262,137 @@ def sq8_adc_dot_sql(qvec: str, codes: str, scale: str) -> str:
         "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), "
         f"(acc, v) -> acc + v) * {scale} / 127.0"
     )
+
+
+# ---------------------------------------------------------------------------
+# cluster quality: simplified (centroid-based) silhouette
+# ---------------------------------------------------------------------------
+
+
+def silhouette_simplified(
+    points: DataFrame,
+    centroids: DataFrame,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Simplified silhouette per cluster → ``(centroid_id, n_points,
+    mean_silhouette)`` ordered by centroid id.
+
+    The standard "did k-means produce real structure" gate before
+    trusting IVF lists or cluster-balanced sampling: per point,
+    ``a`` = cosine distance to its OWN centroid, ``b`` = distance to
+    the nearest OTHER centroid, ``s = (b − a) / max(a, b)`` ∈ [−1, 1];
+    report the per-cluster mean. The centroid-based simplification
+    (Hruschka et al.) replaces the O(n²) pairwise silhouette with
+    O(n·k) — the only version that exists at corpus scale.
+
+    Exactness contract: callers pass centroids ROUNDED to 9 decimals
+    (one ``transform(round(x, 9))`` after training) so both engines
+    score against identical arrays; every per-point op — the unrolled
+    left-to-right dot fold, norms, the (score DESC, id ASC) ranking —
+    is then bit-identical cross-engine, and only the final per-cluster
+    mean reassociates (compared at ``round(x, 9)``, the repo's float
+    convention).
+
+    Plan shape: one broadcast of the k-row centroid table, one
+    per-point window (rank 1 = own, rank 2 = nearest other), one hash
+    agg. O(n·k) scored rows, no point-point pairs, no driver state.
+    """
+    from pyspark.sql import Window
+
+    p = points.select(
+        F.col(id_col).cast("long").alias("pid"), F.col(vec).alias("pv")
+    )
+    c = F.broadcast(
+        centroids.select(
+            F.col("centroid_id"),
+            F.col("centroid").alias("cv"),
+            F.sqrt(dot_codegen(F.col("centroid"), F.col("centroid"), dim)).alias(
+                "cn"
+            ),
+        )
+    )
+    scored = p.crossJoin(c).select(
+        "pid",
+        "centroid_id",
+        (
+            F.lit(1.0)
+            - dot_codegen(F.col("pv"), F.col("cv"), dim)
+            / (F.sqrt(dot_codegen(F.col("pv"), F.col("pv"), dim)) * F.col("cn"))
+        ).alias("dist"),
+    )
+    w = Window.partitionBy("pid").orderBy(
+        F.asc("dist"), F.asc("centroid_id")
+    )
+    ranked = scored.select(
+        "pid", "centroid_id", "dist", F.row_number().over(w).alias("rk")
+    ).where(F.col("rk") <= 2)
+    per_point = ranked.groupBy("pid").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("centroid_id"))).alias("own"),
+        F.max(F.when(F.col("rk") == 1, F.col("dist"))).alias("a"),
+        F.max(F.when(F.col("rk") == 2, F.col("dist"))).alias("b"),
+    )
+    sil = per_point.select(
+        "own",
+        (
+            (F.col("b") - F.col("a"))
+            / F.greatest(F.col("a"), F.col("b"))
+        ).alias("s"),
+    )
+    return (
+        sil.groupBy(F.col("own").alias("centroid_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.sum("s") / F.count(F.lit(1)), 9).alias(
+                "mean_silhouette"
+            ),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+def silhouette_simplified_sql(
+    points_sql: str, centroids_sql: str
+) -> str:
+    """DuckDB twin — identical distance fold, rank law and round-9 mean
+    (``points_sql`` → ``(pid, pv)``; ``centroids_sql`` →
+    ``(centroid_id, centroid)`` with ROUNDED arrays)."""
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(list_zip({a}, {b}), "
+            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), "
+            f"(acc, v) -> acc + v)"
+        )
+
+    return f"""WITH sl_p AS MATERIALIZED ({points_sql}),
+sl_c AS MATERIALIZED (
+  SELECT centroid_id, centroid AS cv,
+         sqrt({dot('centroid', 'centroid')}) AS cn
+  FROM ({centroids_sql})
+),
+sl_s AS (
+  SELECT p.pid, c.centroid_id,
+         1.0 - ({dot('p.pv', 'c.cv')})
+             / (sqrt({dot('p.pv', 'p.pv')}) * c.cn) AS dist
+  FROM sl_p p, sl_c c
+),
+sl_r AS (
+  SELECT pid, centroid_id, dist,
+         row_number() OVER (PARTITION BY pid
+                            ORDER BY dist ASC, centroid_id ASC) AS rk
+  FROM sl_s
+),
+sl_pp AS (
+  SELECT pid,
+         max(CASE WHEN rk = 1 THEN centroid_id END) AS own,
+         max(CASE WHEN rk = 1 THEN dist END) AS a,
+         max(CASE WHEN rk = 2 THEN dist END) AS b
+  FROM sl_r WHERE rk <= 2 GROUP BY pid
+)
+SELECT own AS centroid_id, count(*) AS n_points,
+       round(sum((b - a) / greatest(a, b)) / count(*), 9)
+         AS mean_silhouette
+FROM sl_pp GROUP BY own
+ORDER BY centroid_id"""

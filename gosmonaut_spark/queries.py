@@ -3114,6 +3114,35 @@ FROM (
 ORDER BY centroid_id, d""",
     )
 
+    # ---- cluster quality: simplified silhouette over the trained centroids ----
+    def q_silhouette(spark, sf):
+        from .functions.similarity import kmeans_train, silhouette_simplified
+
+        e = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        cents = kmeans_train(e, iters=2, stride=16, dim=64).select(
+            "centroid_id",
+            F.transform(F.col("centroid"), lambda x: F.round(x, 9)).alias(
+                "centroid"
+            ),
+        )
+        return silhouette_simplified(e, cents, dim=64)
+
+    from .functions.similarity import silhouette_simplified_sql
+
+    q["embeddings_silhouette"] = (
+        q_silhouette,
+        silhouette_simplified_sql(
+            "SELECT vec_id AS pid, embedding AS pv FROM embeddings",
+            f"""SELECT centroid_id,
+       list_transform(centroid, x -> round(x, 9)) AS centroid
+FROM (
+{kmeans_train_sql("SELECT vec_id AS pid, embedding AS pv FROM embeddings", iters=2, stride=16)}
+)""",
+        ),
+    )
+
     # ---- raster focal (neighborhood) sum at res 6 -----------------------------
     def q_focal(spark, sf):
         from .operators.tiling import focal_sum, points_to_tiles

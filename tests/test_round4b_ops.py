@@ -255,3 +255,29 @@ def test_personalized_pagerank_laws(spark):
         personalized_pagerank(
             e, spark.createDataFrame([], "id long"), iters=1
         )
+
+
+def test_silhouette_separated_vs_overlapping(spark):
+    """Two orthogonal tight clusters → mean silhouette near 1; points
+    equidistant from both centroids → near 0."""
+    from gosmonaut_spark.functions.similarity import silhouette_simplified
+    from pyspark.sql import functions as F
+
+    dim = 4
+    tight = [
+        (i, [1.0, 0.0, 0.0, 0.0]) for i in range(5)
+    ] + [(10 + i, [0.0, 1.0, 0.0, 0.0]) for i in range(5)]
+    pts = spark.createDataFrame(tight, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "centroid_id long, centroid array<double>",
+    )
+    rows = silhouette_simplified(pts, cents, dim=dim).collect()
+    assert all(r["mean_silhouette"] > 0.99 for r in rows)
+
+    mixed = spark.createDataFrame(
+        [(i, [1.0, 1.0, 0.0, 0.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    rows2 = silhouette_simplified(mixed, cents, dim=dim).collect()
+    assert all(abs(r["mean_silhouette"]) < 1e-9 for r in rows2)

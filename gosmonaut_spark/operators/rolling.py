@@ -441,3 +441,207 @@ rfm_t AS (
 SELECT u AS user, recency_days, frequency, monetary_cents, r, f, m,
        r * 100 + f * 10 + m AS segment
 FROM rfm_t"""
+
+
+# ---------------------------------------------------------------------------
+# survival curve (activity lifetime, weekly grain)
+# ---------------------------------------------------------------------------
+
+
+def survival_curve(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ms_col: str = "ms",
+    max_weeks: int = 26,
+) -> DataFrame:
+    """Kaplan-Meier-style (uncensored) activity survival →
+    ``(week_offset, n_surviving, survival)`` for offsets 0..``max_weeks``.
+
+    The retention-cohort summary collapsed to one curve: what fraction
+    of all users are still active ≥ k weeks after their FIRST activity
+    (lifetime = last active week − first active week; a user survives
+    offset k iff lifetime ≥ k). Censoring is deliberately out of scope
+    (the events table is a closed window) — documented, not fudged.
+
+    All-integer law: epoch-week floors, per-user min/max, then ONE
+    groupBy(lifetime) + a reverse cumulative window over ≤ max_weeks+1
+    rows; ``survival`` is the single terminal division. Offsets with no
+    surviving users still appear (zero row) via a literal week spine —
+    the curve is always dense, so downstream diffing never misreads a
+    missing row as 100% churn.
+
+    Scale: one agg over events, one agg over users, window over a
+    constant-size spine — nothing grows with the corpus but the two
+    hash aggs.
+    """
+    from pyspark.sql import Window
+
+    wk = (F.col(ms_col) / F.lit(604_800_000)).cast("long")
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        (F.max(wk) - F.min(wk)).alias("lifetime")
+    )
+    lif = (
+        per_user.groupBy("lifetime")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("lifetime") <= F.lit(int(max_weeks)))
+    )
+    spine = (
+        per_user.sparkSession.range(0, int(max_weeks) + 1)
+        .select(F.col("id").alias("week_offset"))
+    )
+    tot = per_user.agg(F.count(F.lit(1)).alias("n_users"))
+    w = Window.orderBy(F.desc("week_offset")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        spine.join(
+            lif.select(F.col("lifetime").alias("week_offset"), "n"),
+            "week_offset",
+            "left",
+        )
+        .select(
+            "week_offset", F.coalesce(F.col("n"), F.lit(0)).alias("n_at")
+        )
+        .select(
+            "week_offset", F.sum("n_at").over(w).alias("n_surviving")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "week_offset",
+            "n_surviving",
+            (
+                F.col("n_surviving").cast("double")
+                / F.col("n_users").cast("double")
+            ).alias("survival"),
+        )
+        .orderBy("week_offset")
+    )
+
+
+def survival_curve_sql(
+    events_sql: str,
+    user_expr: str = "user_id",
+    ms_expr: str = "ms",
+    max_weeks: int = 26,
+) -> str:
+    """DuckDB twin — identical week floors, dense spine, reverse
+    cumulative count and terminal division.
+
+    Lifetimes beyond ``max_weeks`` are excluded from the per-lifetime
+    table on BOTH sides before the reverse cumulative sum, so
+    ``n_surviving`` counts only users whose lifetime fits the reported
+    curve (documented truncation, engine and twin identical)."""
+    return f"""WITH sv_src AS ({events_sql}),
+sv_u AS (
+  SELECT {user_expr} AS u,
+         max({ms_expr} // 604800000) - min({ms_expr} // 604800000)
+           AS lifetime
+  FROM sv_src GROUP BY 1
+),
+sv_l AS (
+  SELECT lifetime, count(*) AS n FROM sv_u
+  WHERE lifetime <= {int(max_weeks)} GROUP BY lifetime
+),
+sv_spine AS (
+  SELECT unnest(range(0, {int(max_weeks) + 1})) AS week_offset
+),
+sv_c AS (
+  SELECT s.week_offset,
+         CAST(sum(coalesce(l.n, 0)) OVER (
+           ORDER BY s.week_offset DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS n_surviving
+  FROM sv_spine s LEFT JOIN sv_l l ON l.lifetime = s.week_offset
+)
+SELECT week_offset, n_surviving,
+       CAST(n_surviving AS DOUBLE)
+         / CAST((SELECT count(*) FROM sv_u) AS DOUBLE) AS survival
+FROM sv_c
+ORDER BY week_offset"""
+
+
+# ---------------------------------------------------------------------------
+# merged busy time (union-of-intervals length per key)
+# ---------------------------------------------------------------------------
+
+
+def busy_time(
+    intervals: DataFrame,
+    key_col: str = "user_id",
+    start_col: str = "start_ms",
+    end_col: str = "end_ms",
+) -> DataFrame:
+    """Union-of-intervals length per key → ``(key, n_intervals,
+    busy_ms)`` — overlapping intervals counted ONCE.
+
+    The utilization primitive (device uptime, session coverage, worker
+    busy share) that a plain ``sum(end − start)`` gets wrong the moment
+    intervals overlap. Classic sweep recast as one window pass: order a
+    key's intervals by start, track the running max end seen BEFORE
+    each interval, and add only the uncovered part
+    ``max(0, end − max(start, covered))``. No boundary explode, no
+    self-join, integers end to end.
+
+    Degenerate inputs count as written: zero-length intervals add 0,
+    ``end < start`` intervals add 0 (clamped) — loud data-quality
+    checks belong upstream, the law here is total.
+
+    Scale shape: one hash partition + per-key sort (the sessionize
+    budget), one agg. The running max is an O(1)-state window — no
+    RANGE scan, no per-key arrays.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(start_col).asc(), F.col(end_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    covered = F.max(F.col(end_col)).over(w)
+    # first interval of a key: covered is NULL — coalesce to -2^62 so
+    # greatest() resolves to the interval's own start
+    add = F.greatest(
+        F.lit(0).cast("long"),
+        F.col(end_col).cast("long")
+        - F.greatest(
+            F.col(start_col).cast("long"),
+            F.coalesce(covered, F.lit(-(1 << 62))).cast("long"),
+        ),
+    )
+    return (
+        intervals.select(
+            F.col(key_col), F.col(start_col), F.col(end_col), add.alias("__add")
+        )
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("__add").alias("busy_ms"),
+        )
+    )
+
+
+def busy_time_sql(
+    intervals_sql: str,
+    key_expr: str = "user_id",
+    start_expr: str = "start_ms",
+    end_expr: str = "end_ms",
+) -> str:
+    """DuckDB twin — identical running-max sweep."""
+    return f"""WITH bt_src AS ({intervals_sql}),
+bt_w AS (
+  SELECT {key_expr} AS k,
+         greatest(CAST(0 AS BIGINT),
+           CAST({end_expr} AS BIGINT) - greatest(
+             CAST({start_expr} AS BIGINT),
+             coalesce(max(CAST({end_expr} AS BIGINT)) OVER (
+               PARTITION BY {key_expr}
+               ORDER BY {start_expr} ASC, {end_expr} ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), {-(1 << 62)})
+           )
+         ) AS addn
+  FROM bt_src
+)
+SELECT k AS {key_expr}, count(*) AS n_intervals,
+       CAST(sum(addn) AS BIGINT) AS busy_ms
+FROM bt_w GROUP BY k"""

@@ -4769,6 +4769,50 @@ ORDER BY rank""",
         + "\nORDER BY id",
     )
 
+    def q_survival(spark, sf):
+        from .functions.timeops import ntz_epoch_ms
+        from .operators.rolling import survival_curve
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            "user_id", ntz_epoch_ms(F.col("ts")).alias("ms")
+        )
+        return survival_curve(ev, max_weeks=30)
+
+    from .operators.rolling import survival_curve_sql
+
+    q["events_survival_curve"] = (
+        q_survival,
+        survival_curve_sql(
+            "SELECT user_id, epoch_ms(ts) AS ms FROM events", max_weeks=30
+        ),
+    )
+
+    def q_busy(spark, sf):
+        from .functions.timeops import ntz_epoch_ms
+        from .operators.rolling import busy_time
+
+        ms = ntz_epoch_ms(F.col("ts"))
+        iv = spark.read.parquet(f"{sf}/events.parquet").select(
+            "user_id",
+            ms.alias("start_ms"),
+            (ms + ((F.col("event_id") % 7) + 1) * F.lit(600_000)).alias(
+                "end_ms"
+            ),
+        )
+        return busy_time(iv).orderBy("user_id")
+
+    from .operators.rolling import busy_time_sql
+
+    q["events_busy_time"] = (
+        q_busy,
+        busy_time_sql(
+            "SELECT user_id, epoch_ms(ts) AS start_ms, "
+            "epoch_ms(ts) + ((event_id % 7) + 1) * 600000 AS end_ms "
+            "FROM events"
+        )
+        + "\nORDER BY user_id",
+    )
+
     def q_rfm(spark, sf):
         from .functions.timeops import ntz_epoch_ms
         from .operators.rolling import rfm_segments

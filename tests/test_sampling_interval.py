@@ -298,3 +298,37 @@ def test_mix_apportion_exact_budget_and_hamilton_law(spark):
     for _r, k in sorted(rems, key=lambda x: (-x[0], x[1]))[:left]:
         fl[k] += 1
     assert got == fl
+
+
+def test_busy_time_overlap_merge_law(spark):
+    """Overlapping [0,10]+[5,15] count once (15), nested [20,30]+[22,25]
+    add nothing, zero-length and inverted intervals add 0."""
+    from gosmonaut_spark.operators.rolling import busy_time
+
+    iv = spark.createDataFrame(
+        [
+            (1, 0, 10), (1, 5, 15), (1, 20, 30), (1, 22, 25),
+            (2, 0, 0), (2, 10, 5),
+        ],
+        "user_id long, start_ms long, end_ms long",
+    )
+    got = {r["user_id"]: r for r in busy_time(iv).collect()}
+    assert got[1]["busy_ms"] == 25 and got[1]["n_intervals"] == 4
+    assert got[2]["busy_ms"] == 0 and got[2]["n_intervals"] == 2
+
+
+def test_survival_curve_dense_and_monotone(spark):
+    """3 users with lifetimes 0,0,2 weeks → survival 1.0, 1/3, 1/3 at
+    offsets 0..2, dense zeros beyond."""
+    from gosmonaut_spark.operators.rolling import survival_curve
+
+    wk = 604_800_000
+    ev = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (3, 2 * wk)],
+        "user_id long, ms long",
+    )
+    rows = {r["week_offset"]: r for r in survival_curve(ev, max_weeks=4).collect()}
+    assert len(rows) == 5
+    assert rows[0]["n_surviving"] == 3 and abs(rows[0]["survival"] - 1.0) < 1e-15
+    assert rows[1]["n_surviving"] == 1 and rows[2]["n_surviving"] == 1
+    assert rows[3]["n_surviving"] == 0 and rows[4]["survival"] == 0.0

@@ -645,3 +645,136 @@ bt_w AS (
 SELECT k AS {key_expr}, count(*) AS n_intervals,
        CAST(sum(addn) AS BIGINT) AS busy_ms
 FROM bt_w GROUP BY k"""
+
+
+# ---------------------------------------------------------------------------
+# temporal autocorrelation (lag-k ACF over the daily count series)
+# ---------------------------------------------------------------------------
+
+
+def daily_autocorr(
+    events: DataFrame,
+    max_lag: int = 7,
+    ms_col: str = "ms",
+) -> DataFrame:
+    """Lag-k autocorrelation of the corpus-wide daily event-count series
+    → ``(lag, n_pairs, acf)`` for lags 1..``max_lag``.
+
+    The temporal twin of the engine's Moran's I: does activity today
+    predict activity k days out (weekly seasonality shows as an ACF
+    spike at lag 7; crawler bursts decay geometrically). Same
+    exact-moment trick: with ``S = Σx`` over the n OBSERVED days and
+    ``z' = n·x − S`` (integer), the n² factors cancel in
+
+        acf(k) = Σ_t z'_t · z'_{t+k}  /  Σ_t z'_t²
+
+    so both sums accumulate exactly (DECIMAL(38,0) / HUGEINT) and ONE
+    terminal double division runs per lag. Days with zero events inside
+    the observed [min_day, max_day] span enter as x = 0 via a dense day
+    spine — skipping them would silently shift lags.
+
+    Scale shape: one groupBy(day) over events, a spine join, then a
+    ``max_lag``-way self-join on ``day + k`` over the DAY table (≤
+    thousands of rows regardless of corpus size) — the heavy lifting is
+    the single daily count agg.
+    """
+    day = (F.col(ms_col) / F.lit(86_400_000)).cast("long")
+    counts = events.select(day.alias("day")).groupBy("day").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    bounds = counts.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = (
+        bounds.select(
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+        )
+    )
+    dense = (
+        spine.join(counts, "day", "left")
+        .select("day", F.coalesce(F.col("x"), F.lit(0)).alias("x"))
+    )
+    tot = dense.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    z = dense.crossJoin(F.broadcast(tot)).select(
+        "day", (F.col("n") * F.col("x") - F.col("s")).alias("z")
+    ).localCheckpoint()
+    den = z.agg(
+        F.sum(
+            F.col("z").cast("decimal(19,0)") * F.col("z").cast("decimal(19,0)")
+        ).alias("den")
+    )
+    lags = None
+    for k in range(1, int(max_lag) + 1):
+        pair = (
+            z.alias("a")
+            .join(
+                z.select(
+                    (F.col("day") - F.lit(k)).alias("day"),
+                    F.col("z").alias("z2"),
+                ),
+                "day",
+            )
+            .agg(
+                F.lit(k).alias("lag"),
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.coalesce(
+                    F.sum(
+                        F.col("z").cast("decimal(19,0)")
+                        * F.col("z2").cast("decimal(19,0)")
+                    ),
+                    F.lit(0).cast("decimal(38,0)"),
+                ).alias("num"),
+            )
+        )
+        lags = pair if lags is None else lags.unionByName(pair)
+    return (
+        lags.crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_pairs",
+            F.when(
+                F.col("den") > 0,
+                F.col("num").cast("double") / F.col("den").cast("double"),
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+def daily_autocorr_sql(
+    events_sql: str, max_lag: int = 7, ms_expr: str = "ms"
+) -> str:
+    """DuckDB twin — identical dense spine, z' integers and per-lag
+    exact sums."""
+    lag_rows = "\nUNION ALL\n".join(
+        f"""SELECT {k} AS lag, count(*) AS n_pairs,
+       coalesce(sum(CAST(a.z AS HUGEINT) * b.z), 0) AS num
+FROM ac_z a JOIN ac_z b ON b.day = a.day + {k}"""
+        for k in range(1, int(max_lag) + 1)
+    )
+    return f"""WITH ac_src AS ({events_sql}),
+ac_c AS (
+  SELECT ({ms_expr}) // 86400000 AS day, count(*) AS x
+  FROM ac_src GROUP BY 1
+),
+ac_spine AS (
+  SELECT unnest(range((SELECT min(day) FROM ac_c),
+                      (SELECT max(day) FROM ac_c) + 1)) AS day
+),
+ac_d AS (
+  SELECT s.day, coalesce(c.x, 0) AS x
+  FROM ac_spine s LEFT JOIN ac_c c ON c.day = s.day
+),
+ac_t AS (SELECT count(*) AS n, sum(x) AS s FROM ac_d),
+ac_z AS (SELECT day, n * x - s AS z FROM ac_d, ac_t),
+ac_den AS (SELECT sum(CAST(z AS HUGEINT) * z) AS den FROM ac_z),
+ac_l AS (
+{lag_rows}
+)
+SELECT lag, n_pairs,
+       CASE WHEN den > 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END
+         AS acf
+FROM ac_l, ac_den
+ORDER BY lag"""

@@ -4769,6 +4769,22 @@ ORDER BY rank""",
         + "\nORDER BY id",
     )
 
+    def q_autocorr(spark, sf):
+        from .functions.timeops import ntz_epoch_ms
+        from .operators.rolling import daily_autocorr
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            ntz_epoch_ms(F.col("ts")).alias("ms")
+        )
+        return daily_autocorr(ev, max_lag=7)
+
+    from .operators.rolling import daily_autocorr_sql
+
+    q["events_daily_autocorr"] = (
+        q_autocorr,
+        daily_autocorr_sql("SELECT epoch_ms(ts) AS ms FROM events", max_lag=7),
+    )
+
     def q_survival(spark, sf):
         from .functions.timeops import ntz_epoch_ms
         from .operators.rolling import survival_curve

@@ -332,3 +332,22 @@ def test_survival_curve_dense_and_monotone(spark):
     assert rows[0]["n_surviving"] == 3 and abs(rows[0]["survival"] - 1.0) < 1e-15
     assert rows[1]["n_surviving"] == 1 and rows[2]["n_surviving"] == 1
     assert rows[3]["n_surviving"] == 0 and rows[4]["survival"] == 0.0
+
+
+def test_daily_autocorr_planted_period(spark):
+    """Alternating heavy/light days (period 2): ACF strongly negative at
+    lag 1, strongly positive at lag 2; dense spine fills silent days."""
+    from gosmonaut_spark.operators.rolling import daily_autocorr
+
+    day = 86_400_000
+    rows = []
+    eid = 0
+    for d in range(20):
+        n = 10 if d % 2 == 0 else 1
+        for _ in range(n):
+            rows.append((d * day + eid % 1000,))
+            eid += 1
+    ev = spark.createDataFrame(rows, "ms long")
+    got = {r["lag"]: r for r in daily_autocorr(ev, max_lag=3).collect()}
+    assert got[1]["acf"] < -0.8 and got[2]["acf"] > 0.8
+    assert got[1]["n_pairs"] == 19 and got[3]["n_pairs"] == 17

@@ -4090,6 +4090,51 @@ FROM (
 ORDER BY user_id, ts_ms, n_window""",
     )
 
+    # ---- Markov stationary distribution of the event-type chain ---------------
+    # = weighted PageRank at damping 1.0 over the transition-count edges:
+    # x' = Σ_u x_u·w/Σw + dangling/N is exactly the chain's power step with
+    # uniform dangling redistribution; 8 fixed rounds, compared at round 9
+    def q_stationary(spark, sf):
+        from .operators.graph import pagerank
+        from .operators.rolling import transition_counts
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            "user_id", "ts", "event_type", "event_id"
+        )
+        tc = transition_counts(ev, "user_id", "ts", "event_type", "event_id")
+        e = tc.select(
+            F.col("from_type").alias("src"),
+            F.col("to_type").alias("dst"),
+            F.col("n").alias("w"),
+        )
+        pr = pagerank(e, weight="w", damping=1.0, iters=8)
+        return pr.select(
+            F.col("id").alias("event_type"), F.round("pr", 9).alias("p")
+        ).orderBy("event_type")
+
+    from .operators.rolling import transition_counts_sql
+
+    q["events_markov_stationary"] = (
+        q_stationary,
+        "SELECT id AS event_type, round(pr, 9) AS p FROM (\n"
+        + pagerank_sql(
+            "SELECT from_type AS src, to_type AS dst, n AS w FROM (\n"
+            + transition_counts_sql(
+                "SELECT user_id, epoch_ms(ts) AS ms, event_type, event_id "
+                "FROM events",
+                "user_id",
+                "ms",
+                "event_type",
+                "event_id",
+            )
+            + "\n)",
+            iters=8,
+            damping=1.0,
+            weighted=True,
+        )
+        + "\n) ORDER BY event_type",
+    )
+
     # ---- first-order event-transition matrix (Markov counts) -----------------
     def q_transitions(spark, sf):
         from .operators.rolling import transition_counts

@@ -1420,3 +1420,98 @@ SELECT d.n AS n_cells, 2 * m.n_pairs AS w,
          / (CAST(d.den AS DOUBLE) * 2.0 * m.n_pairs)
        END AS morans_i
 FROM mi_den d, mi_num m"""
+
+
+# ---------------------------------------------------------------------------
+# bivariate join-count statistics over a classed tile layer
+# ---------------------------------------------------------------------------
+
+
+def join_counts(tiles: DataFrame, res: int) -> DataFrame:
+    """Join-count statistics over a classed tile layer → one row per
+    unordered class pair ``(class_a, class_b, n_joins, share)``.
+
+    The categorical companion of :func:`morans_i` (which needs a
+    numeric field): given each occupied cell's dominant CLASS, count
+    rook-adjacent cell pairs by class combination — the classic
+    join-count test field (BB/BW/WW joins) for "do land-use classes /
+    event types / language regions clump or interleave?". Same-class
+    counts on the diagonal (``class_a == class_b``) measure clumping;
+    cross-class counts measure interfaces.
+
+    Input: ``(cell, cls)`` — one row per OCCUPIED cell with its class
+    (callers derive the dominant class with their own pinned tie law).
+    Adjacency is the composite-id rook arithmetic shared with
+    :func:`morans_i` (+1 within a column, +n within a row, boundary
+    guards) between occupied cells. Pure integer counts; ``share`` is
+    the single terminal division by the total join count.
+
+    Scale: two equi-joins on shifted ids over the CELL table + one
+    pair-key agg — nothing touches the point table after the caller's
+    per-cell class agg.
+    """
+    n_side = 1 << res
+    base = 1 << (2 * res)
+    t = tiles.select("cell", F.col("cls").cast("string").alias("cls"))
+    rel = F.col("cell") - F.lit(base)
+    down_ok = rel % F.lit(n_side) != F.lit(n_side - 1)
+    east_ok = F.col("cell") + F.lit(n_side) < F.lit(2 * base)
+    pairs = None
+    for off, guard in ((1, down_ok), (n_side, east_ok)):
+        p = (
+            t.where(guard)
+            .select(
+                (F.col("cell") + F.lit(off)).alias("cell"),
+                F.col("cls").alias("cls_a"),
+            )
+            .join(t.select("cell", F.col("cls").alias("cls_b")), "cell")
+            .select(
+                F.least("cls_a", "cls_b").alias("class_a"),
+                F.greatest("cls_a", "cls_b").alias("class_b"),
+            )
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    counts = pairs.groupBy("class_a", "class_b").agg(
+        F.count(F.lit(1)).alias("n_joins")
+    )
+    tot = counts.agg(F.sum("n_joins").alias("t"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "class_a",
+            "class_b",
+            "n_joins",
+            (F.col("n_joins").cast("double") / F.col("t").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy("class_a", "class_b")
+    )
+
+
+def join_counts_sql(tiles_sql: str, res: int) -> str:
+    """DuckDB twin — identical composite-id rook joins and class-pair
+    canonicalization (``tiles_sql`` → ``(cell, cls)``)."""
+    n_side = 1 << res
+    base = 1 << (2 * res)
+    return f"""WITH jc_t AS (
+  SELECT cell, CAST(cls AS VARCHAR) AS cls FROM ({tiles_sql})
+),
+jc_p AS (
+  SELECT least(a.cls, b.cls) AS class_a, greatest(a.cls, b.cls) AS class_b
+  FROM jc_t a JOIN jc_t b ON b.cell = a.cell + 1
+  WHERE (a.cell - {base}) % {n_side} != {n_side - 1}
+  UNION ALL
+  SELECT least(a.cls, b.cls), greatest(a.cls, b.cls)
+  FROM jc_t a JOIN jc_t b ON b.cell = a.cell + {n_side}
+  WHERE a.cell + {n_side} < {2 * base}
+),
+jc_c AS (
+  SELECT class_a, class_b, count(*) AS n_joins
+  FROM jc_p GROUP BY class_a, class_b
+)
+SELECT class_a, class_b, n_joins,
+       CAST(n_joins AS DOUBLE)
+         / CAST((SELECT sum(n_joins) FROM jc_c) AS DOUBLE) AS share
+FROM jc_c
+ORDER BY class_a, class_b"""

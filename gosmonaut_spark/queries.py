@@ -4319,6 +4319,60 @@ FROM (
         hotspots_gi_sql(_HS_TILES, 5, k=1, z=2) + "\nORDER BY cell",
     )
 
+    # ---- join-count statistics over the dominant-event-type tile layer ---------
+    def q_join_counts(spark, sf):
+        from pyspark.sql import Window as _W
+
+        from .operators.tiling import join_counts
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        hlat = (F.col("event_id") * F.lit(_P1)) % F.lit(_M)
+        hlon = (F.col("event_id") * F.lit(_P2) + F.lit(_O2)) % F.lit(_M)
+        lat = (hlat % F.lit(1_700_000)) / F.lit(10_000.0) - F.lit(85.0)
+        lon = (hlon % F.lit(3_600_000)) / F.lit(10_000.0) - F.lit(180.0)
+        per = (
+            ev.select(
+                cell_expr(lat, lon, 4).alias("cell"),
+                F.col("event_type").alias("cls"),
+            )
+            .groupBy("cell", "cls")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        dom = (
+            per.withColumn(
+                "rn",
+                F.row_number().over(
+                    _W.partitionBy("cell").orderBy(
+                        F.desc("n"), F.asc("cls")
+                    )
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .select("cell", "cls")
+        )
+        return join_counts(dom, res=4)
+
+    from .operators.tiling import join_counts_sql
+
+    _DOM_TILES_SQL = f"""SELECT cell, cls FROM (
+  SELECT cell, cls, row_number() OVER (
+           PARTITION BY cell ORDER BY n DESC, cls ASC) AS rn
+  FROM (
+    SELECT {cell_sql('lat', 'lon', 4)} AS cell, event_type AS cls,
+           count(*) AS n
+    FROM (
+      SELECT event_type,
+             ((((event_id * {_P1}) % {_M}) % 1700000) / 10000.0) - 85.0 AS lat,
+             ((((event_id * {_P2} + {_O2}) % {_M}) % 3600000) / 10000.0) - 180.0 AS lon
+      FROM events
+    ) GROUP BY 1, 2
+  )
+) WHERE rn = 1"""
+    q["tiles_join_counts"] = (
+        q_join_counts,
+        join_counts_sql(_DOM_TILES_SQL, res=4),
+    )
+
     # ---- global spatial autocorrelation over the same weighted layer ------------
     # the metro 10x box makes neighboring cells co-vary → I decisively > 0
     def q_morans(spark, sf):

@@ -1142,3 +1142,30 @@ def test_adaptive_tiles_invariants(spark):
             y = c - ((c >> res) << res)
             parent = (1 << (2 * (res - 1))) + (x >> d) * (1 << (res - 1)) + (y >> d)
             assert counts[res - 1][parent] > cap, (c, parent)
+
+
+def test_join_counts_checkerboard_vs_split(spark):
+    """2x2 occupied block: checkerboard AB → all 4 joins are A-B;
+    left/right split → A-A and B-B joins on the vertical edges plus two
+    A-B interfaces."""
+    from gosmonaut_spark.functions.cells import cell_from_xy
+    from gosmonaut_spark.operators.tiling import join_counts
+    from pyspark.sql import functions as F
+
+    res = 3
+
+    def tiles(assign):
+        rows = [(x, y, c) for (x, y), c in assign.items()]
+        return spark.createDataFrame(rows, "x long, y long, cls string").select(
+            cell_from_xy(F.col("x"), F.col("y"), res).alias("cell"), "cls"
+        )
+
+    cb = {(0, 0): "A", (1, 0): "B", (0, 1): "B", (1, 1): "A"}
+    got = {(r["class_a"], r["class_b"]): r["n_joins"]
+           for r in join_counts(tiles(cb), res).collect()}
+    assert got == {("A", "B"): 4}
+
+    split = {(0, 0): "A", (0, 1): "A", (1, 0): "B", (1, 1): "B"}
+    got2 = {(r["class_a"], r["class_b"]): r["n_joins"]
+            for r in join_counts(tiles(split), res).collect()}
+    assert got2 == {("A", "A"): 1, ("B", "B"): 1, ("A", "B"): 2}

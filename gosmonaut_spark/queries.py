@@ -2844,6 +2844,61 @@ ORDER BY id""",
             "id", F.size("members").alias("n_members")
         ).orderBy("id")
 
+    # ---- tag-key histogram over the fully decoded entity world ----------------
+    # exercises the decode path end to end through a different lens: every
+    # entity's tag KEYS, split by entity type — the OSM-style schema census
+    # ("how often is addr:street tagged, and on what") — against the truth
+    # snapshots' key=value;... strings, fully independent of the decoder.
+    def q_tag_hist(spark, sf):
+        from .operators.assembly import SKIP_MISSING
+        from .plans.pipeline import run_pipeline
+
+        res = run_pipeline(
+            _pages_for(spark, sf),
+            {"node", "way", "relation"},
+            None,
+            mode=SKIP_MISSING,
+        )
+        parts = []
+        for etype, df in (
+            ("node", res.nodes),
+            ("relation", res.relations),
+            ("way", res.ways),
+        ):
+            parts.append(
+                df.select(
+                    F.lit(etype).alias("etype"),
+                    F.explode(F.map_keys("tags")).alias("tag_key"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return (
+            out.groupBy("etype", "tag_key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("etype", "tag_key")
+        )
+
+    q["pages_tag_histogram"] = (
+        q_tag_hist,
+        f"""WITH kv AS (
+  SELECT 'node' AS etype, tags_sorted FROM read_parquet('{tp["nodes"]}')
+  UNION ALL
+  SELECT 'way', tags_sorted FROM read_parquet('{tp["ways"]}')
+  UNION ALL
+  SELECT 'relation', tags_sorted FROM read_parquet('{tp["rels"]}')
+),
+keys AS (
+  SELECT etype, split_part(unnest(string_split(tags_sorted, ';')), '=', 1)
+           AS tag_key
+  FROM kv WHERE tags_sorted != ''
+)
+SELECT etype, tag_key, count(*) AS n
+FROM keys GROUP BY etype, tag_key
+ORDER BY etype, tag_key""",
+    )
+
     q["pages_relation_assembly"] = (
         q_rel,
         f"""SELECT r.rel_id AS id, CAST(coalesce(c.n, 0) AS INT) AS n_members

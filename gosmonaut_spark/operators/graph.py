@@ -1231,3 +1231,159 @@ lp_lab{r} AS (
         + ",\n".join(parts)
         + f"\nSELECT id, label, round FROM {prev}"
     )
+
+
+# ---------------------------------------------------------------------------
+# modularity of a vertex partition
+# ---------------------------------------------------------------------------
+
+
+def modularity(
+    edges: DataFrame,
+    assign: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Newman modularity Q of a vertex partition → one row
+    ``(n_edges, n_communities, modularity)``.
+
+    The partition-quality gate for every community assignment this
+    engine produces (connected components, label propagation, DBSCAN
+    clusters as graph communities): Q compares within-community edge
+    mass against the degree-preserving random expectation,
+
+        Q = Σ_c [ m_c/m − (d_c / 2m)² ]
+          = (4m·Σ_c m_c − Σ_c d_c²) / (4m²)
+
+    where m = edge count, m_c = edges inside community c, d_c = total
+    degree of c's vertices. The second form is the computed one: ALL
+    integer until the single terminal division (the Moran's/ACF exact-
+    moment discipline), accumulated as DECIMAL(38,0)/HUGEINT so a
+    10^10-edge host graph cannot overflow. Unassigned vertices form
+    implicit singleton communities (their d_c² still counts — dropping
+    them would inflate Q).
+
+    Input ``assign``: ``(id, community)``. Edges canonicalize to
+    distinct undirected pairs, self-loops dropped (the law most
+    community pipelines here emit; documented).
+
+    Scale shape: two joins edge→assignment (key-partitioned), one
+    degree agg, two small per-community aggs — no iteration, no
+    broadcast of the vertex set.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    asg = assign.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("community").cast("long").alias("community"),
+    )
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # implicit singleton for unassigned vertices: community = -id - 1
+    # (disjoint from real labels, unique per vertex)
+    vc = deg.join(asg, "id", "left").select(
+        "id",
+        "d",
+        F.coalesce(F.col("community"), -F.col("id") - 1).alias("c"),
+    )
+    within = (
+        e.join(vc.select(F.col("id").alias("a"), F.col("c").alias("ca")), "a")
+        .join(vc.select(F.col("id").alias("b"), F.col("c").alias("cb")), "b")
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count(F.lit(1)).alias("mc"))
+    )
+    per_c = (
+        vc.groupBy("c")
+        .agg(F.sum("d").alias("dc"))
+        .join(within, "c", "left")
+        .select(
+            "c",
+            F.coalesce(F.col("mc"), F.lit(0)).alias("mc"),
+            "dc",
+        )
+    )
+    m = e.agg(F.count(F.lit(1)).alias("m"))
+    sums = per_c.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.sum(F.col("mc").cast("decimal(38,0)")).alias("sum_mc"),
+        F.sum(
+            F.col("dc").cast("decimal(19,0)") * F.col("dc").cast("decimal(19,0)")
+        ).alias("sum_dc2"),
+    )
+    return sums.crossJoin(F.broadcast(m)).select(
+        F.col("m").alias("n_edges"),
+        "n_communities",
+        F.when(
+            F.col("m") > 0,
+            (
+                F.lit(4.0) * F.col("m").cast("double")
+                * F.col("sum_mc").cast("double")
+                - F.col("sum_dc2").cast("double")
+            )
+            / (
+                F.lit(4.0)
+                * F.col("m").cast("double")
+                * F.col("m").cast("double")
+            ),
+        ).alias("modularity"),
+    )
+
+
+def modularity_sql(edges_sql: str, assign_sql: str) -> str:
+    """DuckDB twin — identical canonical edges, singleton fill and
+    integer moments (``assign_sql`` → ``(id, community)``)."""
+    return f"""WITH md_e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({edges_sql}) WHERE least(src, dst) < greatest(src, dst)
+),
+md_asg AS (
+  SELECT CAST(id AS BIGINT) AS id, CAST(community AS BIGINT) AS community
+  FROM ({assign_sql})
+),
+md_deg AS (
+  SELECT id, count(*) AS d FROM (
+    SELECT a AS id FROM md_e UNION ALL SELECT b FROM md_e
+  ) GROUP BY id
+),
+md_vc AS (
+  SELECT g.id, g.d, coalesce(s.community, -g.id - 1) AS c
+  FROM md_deg g LEFT JOIN md_asg s ON s.id = g.id
+),
+md_w AS (
+  SELECT va.c, count(*) AS mc
+  FROM md_e e
+  JOIN md_vc va ON va.id = e.a
+  JOIN md_vc vb ON vb.id = e.b
+  WHERE va.c = vb.c
+  GROUP BY va.c
+),
+md_pc AS (
+  SELECT g.c, coalesce(w.mc, 0) AS mc, g.dc
+  FROM (SELECT c, sum(d) AS dc FROM md_vc GROUP BY c) g
+  LEFT JOIN md_w w ON w.c = g.c
+),
+md_m AS (SELECT count(*) AS m FROM md_e),
+md_s AS (
+  SELECT count(*) AS n_communities,
+         sum(CAST(mc AS HUGEINT)) AS sum_mc,
+         sum(CAST(dc AS HUGEINT) * dc) AS sum_dc2
+  FROM md_pc
+)
+SELECT m AS n_edges, n_communities,
+       CASE WHEN m > 0 THEN
+         (4.0 * CAST(m AS DOUBLE) * CAST(sum_mc AS DOUBLE)
+          - CAST(sum_dc2 AS DOUBLE))
+         / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE))
+       END AS modularity
+FROM md_s, md_m"""

@@ -4895,6 +4895,33 @@ ORDER BY rank""",
         link_prediction_sql(_CONTACT_EDGES_SQL, k=15),
     )
 
+    def q_modularity(spark, sf):
+        from .operators.graph import connected_components, modularity
+
+        edges = _contact_edges(spark, sf)
+        cc = connected_components(edges, "src", "dst").select(
+            "id", F.col("component").alias("community")
+        )
+        return modularity(edges, cc)
+
+    from .operators.graph import modularity_sql
+
+    _CC_ASSIGN_SQL = f"""WITH RECURSIVE mc_e AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({_CONTACT_EDGES_SQL}) WHERE src != dst
+),
+mc_sym AS (SELECT a AS u, b AS v FROM mc_e UNION SELECT b, a FROM mc_e),
+mc_reach(id, lbl) AS (
+  SELECT u, u FROM mc_sym
+  UNION
+  SELECT e.v, r.lbl FROM mc_reach r JOIN mc_sym e ON e.u = r.id
+)
+SELECT id, min(lbl) AS community FROM mc_reach GROUP BY id"""
+    q["graph_modularity"] = (
+        q_modularity,
+        modularity_sql(_CONTACT_EDGES_SQL, _CC_ASSIGN_SQL),
+    )
+
     def q_lpa(spark, sf):
         from .operators.graph import label_propagation
 

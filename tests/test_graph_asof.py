@@ -567,3 +567,28 @@ def test_label_propagation_vote_and_freeze_law(spark):
     assert got[20]["label"] == 7 and got[20]["round"] == 2
     assert got[30]["label"] == 5 and got[30]["round"] == 1  # tie → min label
     assert got[1]["label"] == 5 and got[1]["round"] == 0
+
+
+def test_modularity_known_partitions(spark):
+    """Two disjoint triangles: CC partition gives Q = 1/2 (m=6? no —
+    m=6 edges... compute: m=6, each community mc=3, dc=6 →
+    Q = (4·6·6 − 2·36)/(4·36) = (144−72)/144 = 0.5). Merging both into
+    one community keeps mc=6 but dc=12 → Q = (144−144)/144 = 0."""
+    from gosmonaut_spark.operators.graph import modularity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)],
+        "src long, dst long",
+    )
+    two = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)],
+        "id long, community long",
+    )
+    one = spark.createDataFrame(
+        [(i, 1) for i in range(1, 7)], "id long, community long"
+    )
+    q2 = modularity(edges, two).collect()[0]
+    q1 = modularity(edges, one).collect()[0]
+    assert q2["n_edges"] == 6 and q2["n_communities"] == 2
+    assert abs(q2["modularity"] - 0.5) < 1e-15
+    assert abs(q1["modularity"] - 0.0) < 1e-15

@@ -313,3 +313,138 @@ rc_cohort AS (
 )
 SELECT c AS cohort_week, w - c AS week_offset, count(*) AS n_users
 FROM rc_cohort GROUP BY c, w - c"""
+
+
+def cohort_ltv(
+    events: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    max_offset: int = 8,
+    week_ms: int = 7 * 86_400_000,
+) -> DataFrame:
+    """Cohort lifetime-value triangle → ``(cohort_week, week_offset,
+    cohort_size, cum_cents, ltv_cents_per_user)`` for offsets
+    0..``max_offset``, dense.
+
+    The revenue companion of :func:`retention_cohorts`: how much has an
+    average member of cohort c spent by week k after joining —
+    THE curve growth/payback decisions read. Laws shared with the rest
+    of the engine: weeks are integer epoch-``week_ms`` floors, cohorts
+    are each key's FIRST active week (same window as retention), money
+    is integer CENTS (``round(value·100)`` per event, order-free sums),
+    the offset spine is dense 0..``max_offset`` so flat weeks show as
+    flat rather than missing, and the single terminal division produces
+    the per-user curve. Spend beyond ``max_offset`` weeks is excluded
+    from the curve on both engines (truncation documented).
+
+    Scale shape: one window over the DISTINCT (key, week) pairs for the
+    cohort min (retention's budget), one cents agg per (key-week), one
+    (cohort, offset) agg, then a cumulative window over the tiny
+    triangle table. No driver state.
+    """
+    wk = (F.col(order_col) / F.lit(int(week_ms))).cast("long")
+    staged = events.select(
+        F.col(key_col).alias("k"),
+        wk.alias("w"),
+        F.round(F.col(value_col) * F.lit(100.0)).cast("long").alias("cents"),
+    )
+    cohort_w = Window.partitionBy("k")
+    with_c = staged.select(
+        "k", "w", "cents", F.min("w").over(cohort_w).alias("c")
+    ).where(F.col("w") - F.col("c") <= F.lit(int(max_offset)))
+    per = with_c.groupBy(
+        F.col("c").alias("cohort_week"),
+        (F.col("w") - F.col("c")).alias("week_offset"),
+    ).agg(F.sum("cents").alias("wk_cents"))
+    sizes = (
+        with_c.select("k", "c")
+        .distinct()
+        .groupBy(F.col("c").alias("cohort_week"))
+        .agg(F.count(F.lit(1)).alias("cohort_size"))
+    )
+    spine = sizes.select(
+        "cohort_week",
+        "cohort_size",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(max_offset)))
+        ).alias("week_offset"),
+    )
+    cum_w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(per, ["cohort_week", "week_offset"], "left")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "cohort_size",
+            F.coalesce(F.col("wk_cents"), F.lit(0).cast("long")).alias(
+                "__wc"
+            ),
+        )
+        .select(
+            "cohort_week",
+            "week_offset",
+            "cohort_size",
+            F.sum("__wc").over(cum_w).alias("cum_cents"),
+        )
+        .withColumn(
+            "ltv_cents_per_user",
+            F.col("cum_cents").cast("double")
+            / F.col("cohort_size").cast("double"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def cohort_ltv_sql(
+    events_sql: str,
+    key_expr: str,
+    order_expr: str,
+    value_expr: str,
+    max_offset: int = 8,
+    week_ms: int = 7 * 86_400_000,
+) -> str:
+    """DuckDB twin — identical week floors, cents law, dense spine and
+    cumulative window."""
+    wm = int(week_ms)
+    return f"""WITH cl_src AS ({events_sql}),
+cl_s AS (
+  SELECT {key_expr} AS k, ({order_expr}) // {wm} AS w,
+         CAST(round(({value_expr}) * 100.0) AS BIGINT) AS cents
+  FROM cl_src
+),
+cl_c AS (
+  SELECT k, w, cents, min(w) OVER (PARTITION BY k) AS c FROM cl_s
+),
+cl_f AS (SELECT * FROM cl_c WHERE w - c <= {int(max_offset)}),
+cl_p AS (
+  SELECT c AS cohort_week, w - c AS week_offset, sum(cents) AS wk_cents
+  FROM cl_f GROUP BY 1, 2
+),
+cl_z AS (
+  SELECT c AS cohort_week, count(DISTINCT k) AS cohort_size
+  FROM cl_f GROUP BY 1
+),
+cl_sp AS (
+  SELECT z.cohort_week, z.cohort_size, o.week_offset
+  FROM cl_z z, (SELECT unnest(range(0, {int(max_offset) + 1}))
+                AS week_offset) o
+),
+cl_cum AS (
+  SELECT s.cohort_week, s.week_offset, s.cohort_size,
+         CAST(sum(coalesce(p.wk_cents, 0)) OVER (
+           PARTITION BY s.cohort_week ORDER BY s.week_offset
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_cents
+  FROM cl_sp s LEFT JOIN cl_p p
+    ON p.cohort_week = s.cohort_week AND p.week_offset = s.week_offset
+)
+SELECT cohort_week, week_offset, cohort_size, cum_cents,
+       CAST(cum_cents AS DOUBLE) / CAST(cohort_size AS DOUBLE)
+         AS ltv_cents_per_user
+FROM cl_cum
+ORDER BY cohort_week, week_offset"""

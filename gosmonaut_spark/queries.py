@@ -5100,6 +5100,28 @@ SELECT id, min(lbl) AS community FROM mc_reach GROUP BY id"""
         length_histogram_sql("SELECT n_chars FROM documents"),
     )
 
+    def q_cohort_ltv(spark, sf):
+        from .functions.timeops import ntz_epoch_ms
+        from .operators.colocation import cohort_ltv
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            "user_id", ntz_epoch_ms(F.col("ts")).alias("ms"), "value"
+        )
+        return cohort_ltv(ev, "user_id", "ms", "value", max_offset=6)
+
+    from .operators.colocation import cohort_ltv_sql
+
+    q["events_cohort_ltv"] = (
+        q_cohort_ltv,
+        cohort_ltv_sql(
+            "SELECT user_id, epoch_ms(ts) AS ms, value FROM events",
+            "user_id",
+            "ms",
+            "value",
+            max_offset=6,
+        ),
+    )
+
     def q_retention(spark, sf):
         from .functions.timeops import ntz_epoch_ms
         from .operators.colocation import retention_cohorts

@@ -24,6 +24,8 @@ of a few hundred meters — matching H3 res ~9 granularity.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -242,3 +244,74 @@ def morton_sql(lat_expr: str, lon_expr: str, res: int) -> str:
         f"as bigint), 0), {n - 1})"
     )
     return morton_from_xy_sql(x, y)
+
+
+# ---------------------------------------------------------------------------
+# Web-Mercator (slippy z/x/y) tiles — the interop standard
+# ---------------------------------------------------------------------------
+
+WEB_MERCATOR_MAX_LAT = 85.05112878
+
+
+def slippy_xy(
+    lat: Column | str, lon: Column | str, zoom: int
+) -> tuple[Column, Column]:
+    """Slippy-map tile coordinates (OSM/Google z/x/y convention) at
+    ``zoom`` → ``(x, y)`` integer columns.
+
+    The engine's native grid (equirectangular, this module) optimizes
+    joins; real map stacks (tile servers, MVT pipelines, basemap
+    caches) speak Web-Mercator z/x/y, so exports need THIS encoding:
+
+        x = floor((lon + 180)/360 · 2^z)
+        y = floor((1 − asinh(tan φ)/π)/2 · 2^z),  φ clamped to
+            (asinh spelled ln(t + √(t²+1)) — DuckDB has no asinh, and
+            the spelled form is the identical tree on both engines)
+            ±85.05112878° (the Mercator square's edge)
+
+    Transcendental-floor discipline (the bearing_sectors rule): the y
+    fraction is rounded to 1e-12 BEFORE the floor so a cross-engine
+    libm ulp in tan/asinh cannot flip a tile at the boundary; 1e-12 of
+    the unit interval is ~4·10⁻⁶ of a zoom-18 tile — far below any
+    geographic meaning. x is pure arithmetic (no rounding needed).
+    Both columns clamp to [0, 2^z − 1].
+    """
+    la = F.col(lat) if isinstance(lat, str) else lat
+    lo = F.col(lon) if isinstance(lon, str) else lon
+    n = 1 << int(zoom)
+    la = F.least(
+        F.greatest(la, F.lit(-WEB_MERCATOR_MAX_LAT)),
+        F.lit(WEB_MERCATOR_MAX_LAT),
+    )
+    x_raw = F.floor((lo + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    x = F.least(F.greatest(x_raw, F.lit(0)), F.lit(n - 1)).cast("long")
+    t = F.tan(F.radians(la))
+    # asinh spelled out (DuckDB has no asinh): identical tree both engines
+    mer = F.log(t + F.sqrt(t * t + F.lit(1.0)))
+    yfrac = (F.lit(1.0) - mer / F.lit(math.pi)) / F.lit(2.0)
+    y_raw = F.floor(
+        F.round(yfrac * F.lit(float(n)), 12)
+    )
+    y = F.least(F.greatest(y_raw, F.lit(0)), F.lit(n - 1)).cast("long")
+    return x, y
+
+
+def slippy_xy_sql(lat_expr: str, lon_expr: str, zoom: int) -> tuple[str, str]:
+    """DuckDB twin — textually the same clamp/round/floor law."""
+    n = 1 << int(zoom)
+    la = (
+        f"least(greatest({lat_expr}, {-WEB_MERCATOR_MAX_LAT!r}), "
+        f"{WEB_MERCATOR_MAX_LAT!r})"
+    )
+    x = (
+        f"least(greatest(CAST(floor((({lon_expr}) + 180.0) / 360.0 "
+        f"* {float(n)!r}) AS BIGINT), 0), {n - 1})"
+    )
+    t = f"tan(radians({la}))"
+    mer = f"ln(({t}) + sqrt(({t}) * ({t}) + 1.0))"
+    yfrac = f"(1.0 - ({mer}) / {math.pi!r}) / 2.0"
+    y = (
+        f"least(greatest(CAST(floor(round(({yfrac}) * {float(n)!r}, 12)) "
+        f"AS BIGINT), 0), {n - 1})"
+    )
+    return x, y

@@ -4374,6 +4374,30 @@ FROM (
         hotspots_gi_sql(_HS_TILES, 5, k=1, z=2) + "\nORDER BY cell",
     )
 
+    # ---- Web-Mercator slippy z/x/y export tiling (interop standard) -----------
+    def q_slippy(spark, sf):
+        from .functions.cells import slippy_xy
+
+        x, y = slippy_xy("lat", "lon", 8)
+        return (
+            _pts(spark, sf)
+            .select(x.alias("x"), y.alias("y"))
+            .groupBy("x", "y")
+            .agg(F.count(F.lit(1)).alias("n_points"))
+            .orderBy("x", "y")
+        )
+
+    from .functions.cells import slippy_xy_sql
+
+    _sx, _sy = slippy_xy_sql("lat", "lon", 8)
+    q["tiles_slippy_z8"] = (
+        q_slippy,
+        f"""SELECT {_sx} AS x, {_sy} AS y, count(*) AS n_points
+FROM ({_PTS_SQL})
+GROUP BY 1, 2
+ORDER BY x, y""",
+    )
+
     # ---- join-count statistics over the dominant-event-type tile layer ---------
     def q_join_counts(spark, sf):
         from pyspark.sql import Window as _W

@@ -1169,3 +1169,27 @@ def test_join_counts_checkerboard_vs_split(spark):
     got2 = {(r["class_a"], r["class_b"]): r["n_joins"]
             for r in join_counts(tiles(split), res).collect()}
     assert got2 == {("A", "A"): 1, ("B", "B"): 1, ("A", "B"): 2}
+
+
+def test_slippy_known_tiles_and_clamps(spark):
+    """Hand-checked slippy tiles at z=1/z=2 (quadrant centers) and the
+    polar/antimeridian clamps."""
+    from gosmonaut_spark.functions.cells import slippy_xy
+    from pyspark.sql import functions as F
+
+    pts = spark.createDataFrame(
+        [
+            (1, 45.0, -90.0),   # NW quadrant -> z1 (0,0)
+            (2, -45.0, 90.0),   # SE quadrant -> z1 (1,1)
+            (3, 89.9, 0.0),     # above mercator edge -> clamped to y=0
+            (4, -89.9, 179.999),# below edge, near antimeridian -> (1, 1)
+            (5, 0.0, 0.0),      # greenwich equator -> z1 (1, 1) by floor
+        ],
+        "id long, lat double, lon double",
+    )
+    x, y = slippy_xy("lat", "lon", 1)
+    got = {r["id"]: (r["x"], r["y"])
+           for r in pts.select("id", x.alias("x"), y.alias("y")).collect()}
+    assert got[1] == (0, 0) and got[2] == (1, 1)
+    assert got[3][1] == 0 and got[4] == (1, 1)
+    assert got[5] == (1, 1)

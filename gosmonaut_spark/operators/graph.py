@@ -1387,3 +1387,118 @@ SELECT m AS n_edges, n_communities,
          / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE))
        END AS modularity
 FROM md_s, md_m"""
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity
+# ---------------------------------------------------------------------------
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient → one row ``(n_edges, r)``.
+
+    Newman's r: the Pearson correlation of endpoint degrees over all
+    edge ends — positive when hubs link hubs (social/collab graphs),
+    negative for hub-and-spoke (the web's host graph, star-shaped spam).
+    The one-number structural fingerprint that separates organic link
+    neighborhoods from manufactured ones.
+
+    Exact-moment law over the SYMMETRIZED edge-end list (each canonical
+    undirected edge contributes (d_u,d_v) and (d_v,d_u) — the standard
+    convention, making Σx = Σy by construction):
+
+        r = (M·Σxy − Σx·Σy) / √(M·Σx² − (Σx)²) / √(M·Σy² − (Σy)²)
+
+    with every Σ an exact DECIMAL(38,0)/HUGEINT integer; the two
+    square roots and divisions are terminal, and IEEE sqrt is correctly
+    rounded on both engines, so the double result is bit-identical.
+    Degenerate regular graphs (zero variance) return NULL r.
+
+    Scale: degree agg + two joins + one global agg — no iteration.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wd = e.join(
+        deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+    ends = wd.select(
+        F.col("da").alias("x"), F.col("db").alias("y")
+    ).unionByName(wd.select(F.col("db").alias("x"), F.col("da").alias("y")))
+    dec = lambda c: F.col(c).cast("decimal(19,0)")
+    s = ends.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * dec("y")).alias("sxy"),
+        F.sum(dec("x") * dec("x")).alias("sxx"),
+        F.sum(dec("y") * dec("y")).alias("syy"),
+    )
+    m2d = F.col("m2").cast("double")
+    num = m2d * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    vx = m2d * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    vy = m2d * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    return s.select(
+        (F.col("m2") / F.lit(2)).cast("long").alias("n_edges"),
+        F.when((vx > 0) & (vy > 0), num / F.sqrt(vx) / F.sqrt(vy)).alias("r"),
+    )
+
+
+def degree_assortativity_sql(edges_sql: str) -> str:
+    """DuckDB twin — identical symmetrized ends and exact moments."""
+    return f"""WITH as_e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({edges_sql}) WHERE least(src, dst) < greatest(src, dst)
+),
+as_d AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM as_e UNION ALL SELECT b FROM as_e
+  ) GROUP BY v
+),
+as_w AS (
+  SELECT da.d AS x, db.d AS y
+  FROM as_e e JOIN as_d da ON da.v = e.a JOIN as_d db ON db.v = e.b
+),
+as_ends AS (
+  SELECT x, y FROM as_w UNION ALL SELECT y, x FROM as_w
+),
+as_s AS (
+  SELECT count(*) AS m2,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy
+  FROM as_ends
+)
+SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+       CASE WHEN (CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+             AND (CAST(m2 AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+       THEN (CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / sqrt(CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            / sqrt(CAST(m2 AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+       END AS r
+FROM as_s"""

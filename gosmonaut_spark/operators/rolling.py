@@ -778,3 +778,80 @@ SELECT lag, n_pairs,
          AS acf
 FROM ac_l, ac_den
 ORDER BY lag"""
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of per-key activity
+# ---------------------------------------------------------------------------
+
+
+def gini_concentration(
+    events: DataFrame, key_col: str = "user_id", weight: F.Column | None = None
+) -> DataFrame:
+    """Gini coefficient of per-key mass → one row ``(n_keys, total,
+    gini)``.
+
+    The concentration gate every corpus/traffic audit runs: is activity
+    (events per user, tokens per host, points per tile) spread out
+    (G→0) or captured by a few heavy keys (G→1)? At web scale a
+    high-and-rising host Gini is the canary for crawler traps and
+    spam farms.
+
+    Exact law: with per-key masses x sorted ASCENDING (ties by key —
+    total order, so ranks are pinned), G = (2·Σ i·x_i − (n+1)·Σx) /
+    (n·Σx). The rank-weighted sum accumulates in DECIMAL(38,0)/HUGEINT
+    (rank ≤ n ~ 1e9 times mass ~ 1e9 overflows int64 summed); division
+    is terminal. ``weight`` defaults to row count per key.
+
+    Scale shape: one groupBy(key) agg over the input, then ONE global
+    sort of the KEY table for ranks (the n_keys-sized table, not the
+    corpus — same budget as RFM's ntile; swap to a two-pass histogram
+    rank at 1e10+ keys, documented not silently done).
+    """
+    from pyspark.sql import Window
+
+    w_expr = weight if weight is not None else F.count(F.lit(1))
+    per = events.groupBy(F.col(key_col).alias("k")).agg(
+        w_expr.cast("long").alias("x")
+    )
+    w = Window.orderBy(F.asc("x"), F.asc("k"))
+    ranked = per.select(
+        "x", F.row_number().over(w).alias("i")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("x").alias("total"),
+        (
+            (
+                F.lit(2.0)
+                * F.sum(
+                    F.col("i").cast("decimal(19,0)")
+                    * F.col("x").cast("decimal(19,0)")
+                ).cast("double")
+                - (F.count(F.lit(1)) + F.lit(1)).cast("double")
+                  * F.sum("x").cast("double")
+            )
+            / (
+                F.count(F.lit(1)).cast("double")
+                * F.sum("x").cast("double")
+            )
+        ).alias("gini"),
+    )
+
+
+def gini_concentration_sql(
+    events_sql: str, key_expr: str = "user_id", weight_expr: str = "count(*)"
+) -> str:
+    """DuckDB twin — identical pinned ranks and exact rank-weighted sum."""
+    return f"""WITH gn_p AS (
+  SELECT {key_expr} AS k, CAST({weight_expr} AS BIGINT) AS x
+  FROM ({events_sql}) GROUP BY {key_expr}
+),
+gn_r AS (
+  SELECT x, row_number() OVER (ORDER BY x ASC, k ASC) AS i FROM gn_p
+)
+SELECT count(*) AS n_keys, CAST(sum(x) AS BIGINT) AS total,
+       (2.0 * CAST(sum(CAST(i AS HUGEINT) * x) AS DOUBLE)
+        - CAST(count(*) + 1 AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+       / (CAST(count(*) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) AS gini
+FROM gn_r"""

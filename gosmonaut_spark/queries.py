@@ -4919,6 +4919,32 @@ ORDER BY rank""",
         link_prediction_sql(_CONTACT_EDGES_SQL, k=15),
     )
 
+    def q_gini(spark, sf):
+        from .operators.rolling import gini_concentration
+
+        return gini_concentration(
+            spark.read.parquet(f"{sf}/events.parquet"), "user_id"
+        )
+
+    from .operators.rolling import gini_concentration_sql
+
+    q["events_user_gini"] = (
+        q_gini,
+        gini_concentration_sql("SELECT user_id FROM events", "user_id"),
+    )
+
+    def q_assort(spark, sf):
+        from .operators.graph import degree_assortativity
+
+        return degree_assortativity(_contact_edges(spark, sf))
+
+    from .operators.graph import degree_assortativity_sql
+
+    q["graph_assortativity"] = (
+        q_assort,
+        degree_assortativity_sql(_CONTACT_EDGES_SQL),
+    )
+
     def q_modularity(spark, sf):
         from .operators.graph import connected_components, modularity
 

@@ -592,3 +592,40 @@ def test_modularity_known_partitions(spark):
     assert q2["n_edges"] == 6 and q2["n_communities"] == 2
     assert abs(q2["modularity"] - 0.5) < 1e-15
     assert abs(q1["modularity"] - 0.0) < 1e-15
+
+
+def test_gini_extremes(spark):
+    """Perfect equality → G = 0 exactly (law identity); total
+    concentration on one of n keys → G = (n−1)/n."""
+    from gosmonaut_spark.operators.rolling import gini_concentration
+
+    eq = spark.createDataFrame(
+        [(u,) for u in range(1, 5) for _ in range(3)], "user_id long"
+    )
+    g_eq = gini_concentration(eq).collect()[0]
+    assert g_eq["n_keys"] == 4 and abs(g_eq["gini"]) < 1e-15
+
+    conc = spark.createDataFrame(
+        [(1,)] * 96 + [(2,), (3,), (4,), (5,)], "user_id long"
+    )
+    g_c = gini_concentration(conc).collect()[0]
+    # exact: sorted x = [1,1,1,1,96]; G = (2*(1+2+3+4+5*96)-6*100)/(5*100)
+    assert abs(g_c["gini"] - (2 * (1 + 2 + 3 + 4 + 480) - 600) / 500) < 1e-15
+
+
+def test_assortativity_star_vs_path(spark):
+    """A star is maximally disassortative (r = −1); a 4-cycle is
+    regular → zero variance → NULL."""
+    from gosmonaut_spark.operators.graph import degree_assortativity
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    r_star = degree_assortativity(star).collect()[0]
+    assert abs(r_star["r"] + 1.0) < 1e-12
+
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    r_cyc = degree_assortativity(cyc).collect()[0]
+    assert r_cyc["r"] is None and r_cyc["n_edges"] == 4

@@ -4919,6 +4919,50 @@ ORDER BY rank""",
         link_prediction_sql(_CONTACT_EDGES_SQL, k=15),
     )
 
+    def q_comp_sizes(spark, sf):
+        from .operators.graph import connected_components
+
+        edges = _contact_edges(spark, sf)
+        cc = connected_components(edges, "src", "dst")
+        sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+        tot = sizes.agg(F.sum("size").alias("n_nodes"))
+        return (
+            sizes.groupBy("size")
+            .agg(F.count(F.lit(1)).alias("n_components"))
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "size",
+                "n_components",
+                (
+                    (F.col("size") * F.col("n_components")).cast("double")
+                    / F.col("n_nodes").cast("double")
+                ).alias("node_share"),
+            )
+            .orderBy("size")
+        )
+
+    q["graph_component_sizes"] = (
+        q_comp_sizes,
+        f"""WITH RECURSIVE cs_e AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({_CONTACT_EDGES_SQL}) WHERE src != dst
+),
+cs_sym AS (SELECT a AS u, b AS v FROM cs_e UNION SELECT b, a FROM cs_e),
+cs_reach(id, lbl) AS (
+  SELECT u, u FROM cs_sym
+  UNION
+  SELECT e.v, r.lbl FROM cs_reach r JOIN cs_sym e ON e.u = r.id
+),
+cs_cc AS (SELECT id, min(lbl) AS component FROM cs_reach GROUP BY id),
+cs_sz AS (SELECT component, count(*) AS size FROM cs_cc GROUP BY component),
+cs_h AS (SELECT size, count(*) AS n_components FROM cs_sz GROUP BY size)
+SELECT size, n_components,
+       CAST(size * n_components AS DOUBLE)
+         / CAST((SELECT sum(size) FROM cs_sz) AS DOUBLE) AS node_share
+FROM cs_h
+ORDER BY size""",
+    )
+
     def q_gini(spark, sf):
         from .operators.rolling import gini_concentration
 

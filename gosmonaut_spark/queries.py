@@ -4190,6 +4190,96 @@ ORDER BY user_id, ts_ms, n_window""",
         + "\n) ORDER BY event_type",
     )
 
+    # ---- entropy rate of the event-type chain ---------------------------------
+    # H = -Σ_i π_i Σ_j p_ij ln p_ij over the transition matrix, with π the
+    # registered stationary law (round 9). The double sum folds LEFT-TO-RIGHT
+    # over the (from, to)-sorted term list on BOTH engines (array_sort +
+    # aggregate vs list(ORDER BY) + list_reduce) — bit-identical, no
+    # reassociation anywhere.
+    def q_chain_entropy(spark, sf):
+        from .operators.graph import pagerank
+        from .operators.rolling import transition_counts
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            "user_id", "ts", "event_type", "event_id"
+        )
+        tc = transition_counts(ev, "user_id", "ts", "event_type", "event_id")
+        pr = pagerank(
+            tc.select(
+                F.col("from_type").alias("src"),
+                F.col("to_type").alias("dst"),
+                F.col("n").alias("w"),
+            ),
+            weight="w",
+            damping=1.0,
+            iters=8,
+        ).select(F.col("id").alias("from_type"), F.round("pr", 9).alias("pi"))
+        rowsum = tc.groupBy("from_type").agg(F.sum("n").alias("rs"))
+        terms = (
+            tc.join(rowsum, "from_type")
+            .join(pr, "from_type")
+            .select(
+                "from_type",
+                "to_type",
+                (
+                    F.col("pi")
+                    * (F.col("n").cast("double") / F.col("rs").cast("double"))
+                    * F.log(
+                        F.col("n").cast("double") / F.col("rs").cast("double")
+                    )
+                ).alias("term"),
+            )
+        )
+        return terms.agg(
+            F.countDistinct("from_type").alias("n_states"),
+            F.count(F.lit(1)).alias("n_transitions"),
+            (
+                -F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("from_type", "to_type", "term")
+                            )
+                        ),
+                        lambda s: s["term"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                )
+            ).alias("entropy_nats"),
+        )
+
+    q["events_chain_entropy"] = (
+        q_chain_entropy,
+        f"""WITH ce_tc AS (
+{transition_counts_sql(
+            "SELECT user_id, epoch_ms(ts) AS ms, event_type, event_id FROM events",
+            "user_id", "ms", "event_type", "event_id")}
+),
+ce_pi AS (
+  SELECT id AS from_type, round(pr, 9) AS pi FROM (
+{pagerank_sql("SELECT from_type AS src, to_type AS dst, n AS w FROM ce_tc",
+              iters=8, damping=1.0, weighted=True)}
+  )
+),
+ce_rs AS (SELECT from_type, sum(n) AS rs FROM ce_tc GROUP BY from_type),
+ce_t AS (
+  SELECT t.from_type, t.to_type,
+         p.pi * (CAST(t.n AS DOUBLE) / CAST(r.rs AS DOUBLE))
+              * ln(CAST(t.n AS DOUBLE) / CAST(r.rs AS DOUBLE)) AS term
+  FROM ce_tc t JOIN ce_rs r ON r.from_type = t.from_type
+  JOIN ce_pi p ON p.from_type = t.from_type
+)
+SELECT count(DISTINCT from_type) AS n_states,
+       count(*) AS n_transitions,
+       -list_reduce(
+          list_prepend(CAST(0.0 AS DOUBLE),
+            list(term ORDER BY from_type, to_type)),
+          (acc, t) -> acc + t
+        ) AS entropy_nats
+FROM ce_t""",
+    )
+
     # ---- first-order event-transition matrix (Markov counts) -----------------
     def q_transitions(spark, sf):
         from .operators.rolling import transition_counts

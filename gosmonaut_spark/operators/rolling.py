@@ -855,3 +855,111 @@ SELECT count(*) AS n_keys, CAST(sum(x) AS BIGINT) AS total,
         - CAST(count(*) + 1 AS DOUBLE) * CAST(sum(x) AS DOUBLE))
        / (CAST(count(*) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) AS gini
 FROM gn_r"""
+
+
+# ---------------------------------------------------------------------------
+# metronome (bot-cadence) detection via exact gap-CV
+# ---------------------------------------------------------------------------
+
+
+def metronome_users(
+    events: DataFrame,
+    cv_threshold_pct: int = 10,
+    min_gaps: int = 5,
+    key_col: str = "user_id",
+    ms_col: str = "ms",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Flag keys whose inter-event cadence is suspiciously regular →
+    ``(key, n_gaps, mean_gap_ms, cv, is_metronome)``.
+
+    The classic bot signal: humans are bursty (gap CV ≳ 1), schedulers
+    and scripted crawlers tick (CV ≈ 0). The flag is decided in EXACT
+    integer arithmetic — population CV² of the gaps g is
+    (n·Σg² − (Σg)²) / (Σg)², so
+
+        CV < c/100  ⇔  100² · (n·Σg² − (Σg)²) < c² · (Σg)²
+
+    both sides HUGEINT/DECIMAL(38,0) — no float ever decides a flag (a
+    boundary user flips on a ulp otherwise). The reported ``cv`` column
+    is a terminal double for humans; the ``is_metronome`` bit is the
+    law. Keys with < ``min_gaps`` gaps or zero mean gap are not judged
+    (flag NULL): too little evidence, and all-identical-timestamp keys
+    are a data-quality case, not a cadence.
+
+    Scale shape: one per-key lag window (sessionize budget) + one agg.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ms_col).asc(), F.col(id_col).asc()
+    )
+    g = (F.col(ms_col) - F.lag(ms_col).over(w)).alias("g")
+    gaps = events.select(F.col(key_col).alias("k"), g).where(
+        F.col("g").isNotNull()
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")
+    agg = gaps.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("g")).alias("sg"),
+        F.sum(dec("g") * dec("g")).alias("sg2"),
+    )
+    var_num = (
+        F.col("n").cast("decimal(38,0)") * F.col("sg2")
+        - F.col("sg") * F.col("sg")
+    )
+    judged = (F.col("n") >= F.lit(int(min_gaps))) & (F.col("sg") > 0)
+    c2 = int(cv_threshold_pct) ** 2
+    return agg.select(
+        F.col("k").alias(key_col),
+        F.col("n").alias("n_gaps"),
+        (F.col("sg").cast("double") / F.col("n").cast("double")).alias(
+            "mean_gap_ms"
+        ),
+        F.when(
+            judged,
+            F.sqrt(var_num.cast("double")) / F.col("sg").cast("double"),
+        ).alias("cv"),
+        F.when(
+            judged,
+            (
+                F.lit(10_000).cast("decimal(38,0)") * var_num
+                < F.lit(c2).cast("decimal(38,0)") * F.col("sg") * F.col("sg")
+            ).cast("int"),
+        ).alias("is_metronome"),
+    )
+
+
+def metronome_users_sql(
+    events_sql: str,
+    cv_threshold_pct: int = 10,
+    min_gaps: int = 5,
+    key_expr: str = "user_id",
+    ms_expr: str = "ms",
+    id_expr: str = "event_id",
+) -> str:
+    """DuckDB twin — identical gap law and integer flag inequality."""
+    c2 = int(cv_threshold_pct) ** 2
+    return f"""WITH mt_src AS ({events_sql}),
+mt_g AS (
+  SELECT {key_expr} AS k,
+         ({ms_expr}) - lag({ms_expr}) OVER (
+           PARTITION BY {key_expr} ORDER BY {ms_expr} ASC, {id_expr} ASC
+         ) AS g
+  FROM mt_src
+),
+mt_a AS (
+  SELECT k, count(*) AS n,
+         sum(CAST(g AS HUGEINT)) AS sg,
+         sum(CAST(g AS HUGEINT) * g) AS sg2
+  FROM mt_g WHERE g IS NOT NULL GROUP BY k
+)
+SELECT k AS {key_expr}, n AS n_gaps,
+       CAST(sg AS DOUBLE) / CAST(n AS DOUBLE) AS mean_gap_ms,
+       CASE WHEN n >= {int(min_gaps)} AND sg > 0 THEN
+         sqrt(CAST(n * sg2 - sg * sg AS DOUBLE)) / CAST(sg AS DOUBLE)
+       END AS cv,
+       CASE WHEN n >= {int(min_gaps)} AND sg > 0 THEN
+         CAST(10000 * (n * sg2 - sg * sg) < {c2} * sg * sg AS INT)
+       END AS is_metronome
+FROM mt_a"""

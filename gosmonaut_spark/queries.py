@@ -2899,6 +2899,44 @@ FROM keys GROUP BY etype, tag_key
 ORDER BY etype, tag_key""",
     )
 
+    # ---- URL path-depth census over the crawl table ---------------------------
+    # pure string law both engines: strip scheme+host with one regexp, depth
+    # = '/' count in the remaining path; split by lang — the crawl-shape
+    # audit (deep paths = calendars/faceted traps) a real pipeline runs
+    # before spending decode budget.
+    def q_url_depth(spark, sf):
+        p = _pages_for(spark, sf).select("url", "lang", "text")
+        path = F.regexp_replace("url", "^[a-z]+://[^/]*", "")
+        depth = (
+            F.length(path) - F.length(F.regexp_replace(path, "/", ""))
+        ).alias("depth")
+        return (
+            p.select("lang", depth, F.length("text").alias("tl"))
+            .groupBy("lang", "depth")
+            .agg(
+                F.count(F.lit(1)).alias("n_pages"),
+                F.sum("tl").alias("total_text_chars"),
+            )
+            .orderBy("lang", "depth")
+        )
+
+    q["pages_url_depth"] = (
+        q_url_depth,
+        f"""WITH ud AS (
+  SELECT lang,
+         length(regexp_replace(url, '^[a-z]+://[^/]*', ''))
+           - length(regexp_replace(
+               regexp_replace(url, '^[a-z]+://[^/]*', ''), '/', '', 'g'))
+           AS depth,
+         length(text) AS tl
+  FROM read_parquet('{pages_path}')
+)
+SELECT lang, depth, count(*) AS n_pages,
+       CAST(sum(tl) AS BIGINT) AS total_text_chars
+FROM ud GROUP BY lang, depth
+ORDER BY lang, depth""",
+    )
+
     q["pages_relation_assembly"] = (
         q_rel,
         f"""SELECT r.rel_id AS id, CAST(coalesce(c.n, 0) AS INT) AS n_members
@@ -5051,6 +5089,26 @@ SELECT size, n_components,
          / CAST((SELECT sum(size) FROM cs_sz) AS DOUBLE) AS node_share
 FROM cs_h
 ORDER BY size""",
+    )
+
+    def q_metronome(spark, sf):
+        from .functions.timeops import ntz_epoch_ms
+        from .operators.rolling import metronome_users
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            "user_id", ntz_epoch_ms(F.col("ts")).alias("ms"), "event_id"
+        )
+        return metronome_users(ev, cv_threshold_pct=50).orderBy("user_id")
+
+    from .operators.rolling import metronome_users_sql
+
+    q["events_metronome_users"] = (
+        q_metronome,
+        metronome_users_sql(
+            "SELECT user_id, epoch_ms(ts) AS ms, event_id FROM events",
+            cv_threshold_pct=50,
+        )
+        + "\nORDER BY user_id",
     )
 
     def q_gini(spark, sf):

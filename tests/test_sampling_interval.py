@@ -351,3 +351,20 @@ def test_daily_autocorr_planted_period(spark):
     got = {r["lag"]: r for r in daily_autocorr(ev, max_lag=3).collect()}
     assert got[1]["acf"] < -0.8 and got[2]["acf"] > 0.8
     assert got[1]["n_pairs"] == 19 and got[3]["n_pairs"] == 17
+
+
+def test_metronome_planted_bot_vs_human(spark):
+    """A perfectly ticking key is flagged; a jittery key is not; a
+    3-gap key is unjudged (NULL flag)."""
+    from gosmonaut_spark.operators.rolling import metronome_users
+
+    rows = []
+    rows += [(1, 1000 * i, i) for i in range(20)]            # exact 1s tick
+    rows += [(2, v, 100 + i) for i, v in enumerate(
+        [0, 300, 5000, 5600, 21000, 22000, 40000, 90000])]   # bursty
+    rows += [(3, v, 200 + i) for i, v in enumerate([0, 10, 20, 30])]
+    ev = spark.createDataFrame(rows, "user_id long, ms long, event_id long")
+    got = {r["user_id"]: r for r in metronome_users(ev).collect()}
+    assert got[1]["is_metronome"] == 1 and got[1]["cv"] == 0.0
+    assert got[2]["is_metronome"] == 0 and got[2]["cv"] > 0.5
+    assert got[3]["is_metronome"] is None and got[3]["n_gaps"] == 3

@@ -823,3 +823,116 @@ hd_ba AS (
 SELECT a.k1 AS k1, a.k2 AS k2, a.h_ab_mm, b.h_ba_mm,
        greatest(a.h_ab_mm, b.h_ba_mm) AS hausdorff_mm
 FROM hd_ab a JOIN hd_ba b ON a.k1 = b.k1 AND a.k2 = b.k2"""
+
+
+# ---------------------------------------------------------------------------
+# segment speed histogram (exact integer band thresholds)
+# ---------------------------------------------------------------------------
+
+SPEED_BANDS_M_S = (1, 5, 20, 50)
+
+
+def speed_histogram(
+    pts: DataFrame,
+    key_col: str = "user_id",
+    order_col: str = "ms",
+    id_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    bands_m_s: tuple = SPEED_BANDS_M_S,
+) -> DataFrame:
+    """Per-key histogram of segment speeds → ``(key, band, n_segments,
+    total_mm)`` with ``band`` = number of thresholds at or below the
+    segment's speed (0 = slowest bin).
+
+    The GPS-hygiene audit before any trajectory op: walking/driving/
+    flying mixes, and the teleporting-fix segments (band = len(bands))
+    that poison track lengths and map-matching. Segment speed is
+    dist/gap; the BAND DECISION never divides — speed ≥ t m/s ⇔
+    dist_mm ≥ t·gap_ms exactly (mm/ms = m/s, integers both sides,
+    HUGEINT/DECIMAL products) — so a boundary segment cannot flip bins
+    on a float ulp. Zero-gap segments (simultaneous pings) are dropped
+    by exact predicate (undefined speed), matching both engines.
+
+    Scale: the sessionize lag-window budget + one hash agg.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(order_col).asc(), F.col(id_col).asc()
+    )
+    dist_mm = F.round(
+        haversine_m(
+            F.lag(lat_col).over(w),
+            F.lag(lon_col).over(w),
+            F.col(lat_col),
+            F.col(lon_col),
+        )
+        * F.lit(1000.0)
+    ).cast("long")
+    gap = (F.col(order_col) - F.lag(order_col).over(w)).cast("long")
+    dec = lambda c: c.cast("decimal(19,0)")
+    band = None
+    for t in bands_m_s:
+        test = (dec(F.col("__d")) >= F.lit(int(t)) * dec(F.col("__g"))).cast(
+            "long"
+        )
+        band = test if band is None else band + test
+    staged = (
+        pts.select(
+            F.col(key_col),
+            dist_mm.alias("__d"),
+            gap.alias("__g"),
+        )
+        .where(F.col("__g").isNotNull() & (F.col("__g") > 0))
+        .select(F.col(key_col), F.col("__d"), band.alias("band"))
+    )
+    return (
+        staged.groupBy(key_col, "band")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("__d").alias("total_mm"),
+        )
+        .orderBy(key_col, "band")
+    )
+
+
+def speed_histogram_sql(
+    pts_sql: str,
+    key_expr: str = "user_id",
+    order_expr: str = "ms",
+    id_expr: str = "event_id",
+    lat_expr: str = "lat",
+    lon_expr: str = "lon",
+    bands_m_s: tuple = SPEED_BANDS_M_S,
+) -> str:
+    """DuckDB twin — identical mm/ms integer threshold products."""
+    over = (
+        f"OVER (PARTITION BY {key_expr} "
+        f"ORDER BY {order_expr} ASC, {id_expr} ASC)"
+    )
+    hav = haversine_sql(
+        f"lag({lat_expr}) {over}",
+        f"lag({lon_expr}) {over}",
+        lat_expr,
+        lon_expr,
+    )
+    band = " + ".join(
+        f"CAST(CAST(d AS HUGEINT) >= {int(t)} * CAST(g AS HUGEINT) AS BIGINT)"
+        for t in bands_m_s
+    )
+    return f"""WITH sp_src AS ({pts_sql}),
+sp_seg AS (
+  SELECT {key_expr} AS k,
+         CAST(round(({hav}) * 1000.0) AS BIGINT) AS d,
+         ({order_expr}) - lag({order_expr}) {over} AS g
+  FROM sp_src
+),
+sp_band AS (
+  SELECT k, d, ({band}) AS band
+  FROM sp_seg WHERE g IS NOT NULL AND g > 0
+)
+SELECT k AS {key_expr}, band, count(*) AS n_segments,
+       CAST(sum(d) AS BIGINT) AS total_mm
+FROM sp_band GROUP BY k, band
+ORDER BY {key_expr}, band"""

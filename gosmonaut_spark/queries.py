@@ -3799,6 +3799,18 @@ FROM events""",
         + "\nORDER BY user_id",
     )
 
+    def q_speed_hist(spark, sf):
+        from .operators.trajectory import speed_histogram
+
+        return speed_histogram(_dwell_pts(spark, sf))
+
+    from .operators.trajectory import speed_histogram_sql
+
+    q["geo_speed_histogram"] = (
+        q_speed_hist,
+        speed_histogram_sql(_DWELL_PTS_SQL),
+    )
+
     def q_hausdorff(spark, sf):
         from .operators.trajectory import hausdorff_pairs
 

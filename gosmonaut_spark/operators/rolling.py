@@ -963,3 +963,101 @@ SELECT k AS {key_expr}, n AS n_gaps,
          CAST(10000 * (n * sg2 - sg * sg) < {c2} * sg * sg AS INT)
        END AS is_metronome
 FROM mt_a"""
+
+
+# ---------------------------------------------------------------------------
+# per-key EWMA (exponentially weighted moving average) replay
+# ---------------------------------------------------------------------------
+
+
+def value_ewma(
+    events: DataFrame,
+    alpha_num: int = 1,
+    alpha_den: int = 8,
+    key_col: str = "user_id",
+    ms_col: str = "ms",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Final EWMA of each key's value stream → ``(key, n_events,
+    last_ms, ewma_cents)``.
+
+    The streaming-health staple (smoothed per-tenant spend/latency/rate
+    that a threshold alarm reads). α is a RATIONAL ``alpha_num /
+    alpha_den`` — with a power-of-two denominator every step is
+
+        s ← s + (x − s)·num/den
+
+    evaluated in the IDENTICAL IEEE order on both engines, so the
+    replay is bit-identical (no reassociation: it is a sequential
+    fold by definition). Values enter as integer cents (the money
+    law); the state is one double per key.
+
+    Spark side replays per key inside Arrow ``applyInPandas`` (the
+    fold is irreducibly sequential; Python touches only the per-key
+    batch, never per-row plan rows); the DuckDB twin replays the same
+    chain with a recursive CTE over per-key row_numbers. Both order by
+    (ms, id) — total, pinned.
+
+    Scale: one shuffle on the key + a linear per-key pass; state O(1)
+    per key. The closed-form Σ α(1−α)^i decomposition would avoid the
+    sequential pass but reorders the float ops — deliberately NOT used.
+    """
+    num, den = int(alpha_num), int(alpha_den)
+
+    def fn(pdf):
+        import pandas as _pd
+
+        pdf = pdf.sort_values([ms_col, id_col])
+        s = None
+        for x in pdf["__cents"].tolist():
+            xv = float(x)
+            s = xv if s is None else s + (xv - s) * num / den
+        return _pd.DataFrame(
+            {
+                "key": [str(pdf[key_col].iloc[0])],
+                "n_events": [len(pdf)],
+                "last_ms": [int(pdf[ms_col].iloc[-1])],
+                "ewma_cents": [s],
+            }
+        )
+
+    staged = events.select(
+        F.col(key_col),
+        F.col(ms_col).cast("long").alias(ms_col),
+        F.col(id_col).cast("long").alias(id_col),
+        F.round(F.col(value_col) * F.lit(100.0)).cast("long").alias("__cents"),
+    )
+    return staged.groupBy(key_col).applyInPandas(
+        fn, schema="key string, n_events long, last_ms long, ewma_cents double"
+    )
+
+
+def value_ewma_sql(
+    events_sql: str,
+    alpha_num: int = 1,
+    alpha_den: int = 8,
+    key_expr: str = "user_id",
+    ms_expr: str = "ms",
+    value_expr: str = "value",
+    id_expr: str = "event_id",
+) -> str:
+    """DuckDB twin — recursive-CTE replay of the identical fold."""
+    num, den = int(alpha_num), int(alpha_den)
+    return f"""WITH RECURSIVE ew_ev AS MATERIALIZED (
+  SELECT CAST({key_expr} AS VARCHAR) AS k, CAST({ms_expr} AS BIGINT) AS ms,
+         CAST(round(({value_expr}) * 100.0) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY {key_expr}
+                            ORDER BY {ms_expr}, {id_expr}) AS rn
+  FROM ({events_sql})
+),
+ew_step(k, rn, ms, s) AS (
+  SELECT k, rn, ms, CAST(cents AS DOUBLE) FROM ew_ev WHERE rn = 1
+  UNION ALL
+  SELECT e.k, e.rn, e.ms,
+         p.s + (CAST(e.cents AS DOUBLE) - p.s) * {num} / {den}
+  FROM ew_step p JOIN ew_ev e ON e.k = p.k AND e.rn = p.rn + 1
+)
+SELECT k AS key, max(rn) AS n_events,
+       arg_max(ms, rn) AS last_ms, arg_max(s, rn) AS ewma_cents
+FROM ew_step GROUP BY k"""

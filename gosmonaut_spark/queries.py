@@ -5103,6 +5103,28 @@ FROM cs_h
 ORDER BY size""",
     )
 
+    def q_ewma(spark, sf):
+        from .functions.timeops import ntz_epoch_ms
+        from .operators.rolling import value_ewma
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            "user_id",
+            ntz_epoch_ms(F.col("ts")).alias("ms"),
+            "event_id",
+            "value",
+        )
+        return value_ewma(ev).orderBy("key")
+
+    from .operators.rolling import value_ewma_sql
+
+    q["events_value_ewma"] = (
+        q_ewma,
+        value_ewma_sql(
+            "SELECT user_id, epoch_ms(ts) AS ms, event_id, value FROM events"
+        )
+        + "\nORDER BY key",
+    )
+
     # ---- token-bucket admission over the event stream (batch law) -------------
     # Spark side: the streaming operator's batch twin (Arrow applyInPandas —
     # the per-key replay is irreducibly sequential). Oracle: the SAME

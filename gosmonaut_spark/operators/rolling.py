@@ -1061,3 +1061,138 @@ ew_step(k, rn, ms, s) AS (
 SELECT k AS key, max(rn) AS n_events,
        arg_max(ms, rn) AS last_ms, arg_max(s, rn) AS ewma_cents
 FROM ew_step GROUP BY k"""
+
+
+# ---------------------------------------------------------------------------
+# RFM at scale: broadcast quantile-boundary scores (no global sort)
+# ---------------------------------------------------------------------------
+
+
+def rfm_segments_scale(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ms_col: str = "ms",
+    value_col: str = "value",
+    n_tiles: int = 4,
+) -> DataFrame:
+    """The documented scale path of :func:`rfm_segments`: identical
+    metrics, but scores come from EXACT rank-selected quantile
+    boundaries instead of three single-partition ``ntile`` sorts —
+    2-pass, broadcastable, no global sort of the user table.
+
+    Law (fully pinned, but a DIFFERENT law than ntile at boundaries —
+    this is its own operator, not a drop-in): for each metric, boundary
+    b_j (j = 1..n_tiles−1) is the value at rank ``ceil(j·n/n_tiles)``
+    under the metric's score order (recency ASC, frequency/monetary
+    DESC — rank via row_number with user-id tie-break, picked by exact
+    integer rank equality, the corpus-quantiles discipline); a user's
+    score is ``1 + Σ_j [rank_metric > ceil(j·n/n_tiles)]`` — computed
+    from the user's OWN rank, so ties at a boundary split exactly as
+    the rank order says, reproducibly.
+
+    Plan shape at 10^9 users: per-user agg; per-metric rank via ONE
+    range-partitioned sort each (Spark's sort is distributed — the
+    point is no single-partition window); the 3·(n_tiles−1) boundary
+    rows collapse to a broadcast join. Here ranks double as the score
+    inputs so the whole thing is three distributed sorts + arithmetic —
+    no driver state, no single partition anywhere.
+    """
+    from pyspark.sql import Window
+
+    per_user = events.groupBy(F.col(user_col).alias("user")).agg(
+        F.max(F.col(ms_col)).alias("last_ms"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.coalesce(
+            F.sum(F.round(F.col(value_col) * F.lit(100.0)).cast("long")),
+            F.lit(0).cast("long"),
+        ).alias("monetary_cents"),
+    )
+    gmax = per_user.agg(F.max("last_ms").alias("gmax"))
+    scored = per_user.crossJoin(F.broadcast(gmax)).select(
+        "user",
+        ((F.col("gmax") - F.col("last_ms")) / F.lit(86_400_000))
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    n_t = int(n_tiles)
+    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("user").asc())
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("user").asc())
+    w_m = Window.orderBy(F.col("monetary_cents").desc(), F.col("user").asc())
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w_r).alias("__rr"),
+        F.row_number().over(w_f).alias("__rf"),
+        F.row_number().over(w_m).alias("__rm"),
+    )
+    cnt = ranked.agg(F.count(F.lit(1)).alias("n"))
+
+    def score(rank_col):
+        # 1 + number of boundary ranks strictly below this rank;
+        # boundary_j = ceil(j*n/n_tiles) evaluated in exact integers
+        s = F.lit(1)
+        for j in range(1, n_t):
+            # integer ceil(j*n/n_t) = (j*n + n_t - 1) div n_t — Spark's
+            # integral `div`, no float division anywhere
+            b = F.expr(f"({j} * n + {n_t - 1}) div {n_t}")
+            s = s + (F.col(rank_col) > b).cast("int")
+        return s
+
+    return ranked.crossJoin(F.broadcast(cnt)).select(
+        "user",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        score("__rr").alias("r"),
+        score("__rf").alias("f"),
+        score("__rm").alias("m"),
+    ).withColumn(
+        "segment", F.col("r") * 100 + F.col("f") * 10 + F.col("m")
+    )
+
+
+def rfm_segments_scale_sql(
+    events_sql: str,
+    user_expr: str = "user_id",
+    ms_expr: str = "ms",
+    value_expr: str = "value",
+    n_tiles: int = 4,
+) -> str:
+    """DuckDB twin — identical ranks, exact integer boundaries."""
+    n_t = int(n_tiles)
+
+    def score(rank: str) -> str:
+        parts = " + ".join(
+            f"CAST({rank} > ({j} * n + {n_t - 1}) // {n_t} AS INT)"
+            for j in range(1, n_t)
+        )
+        return f"1 + {parts}"
+
+    return f"""WITH rs_src AS ({events_sql}),
+rs_u AS (
+  SELECT {user_expr} AS u, max({ms_expr}) AS last_ms,
+         count(*) AS frequency,
+         coalesce(sum(CAST(round(({value_expr}) * 100.0) AS BIGINT)), 0)
+           AS monetary_cents
+  FROM rs_src GROUP BY 1
+),
+rs_s AS (
+  SELECT u, CAST((SELECT max(last_ms) FROM rs_u) - last_ms AS BIGINT)
+           // 86400000 AS recency_days,
+         frequency, monetary_cents
+  FROM rs_u
+),
+rs_r AS (
+  SELECT *,
+         row_number() OVER (ORDER BY recency_days ASC, u ASC) AS rr,
+         row_number() OVER (ORDER BY frequency DESC, u ASC) AS rf,
+         row_number() OVER (ORDER BY monetary_cents DESC, u ASC) AS rm,
+         (SELECT count(*) FROM rs_s) AS n
+  FROM rs_s
+)
+SELECT u AS user, recency_days, frequency, monetary_cents,
+       {score('rr')} AS r, {score('rf')} AS f, {score('rm')} AS m,
+       ({score('rr')}) * 100 + ({score('rf')}) * 10 + ({score('rm')})
+         AS segment
+FROM rs_r"""

@@ -5357,6 +5357,28 @@ SELECT id, min(lbl) AS community FROM mc_reach GROUP BY id"""
         + "\nORDER BY \"user\"",
     )
 
+    def q_rfm_scale(spark, sf):
+        from .functions.timeops import ntz_epoch_ms
+        from .operators.rolling import rfm_segments_scale
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            "user_id", ntz_epoch_ms(F.col("ts")).alias("ms"), "value"
+        )
+        return rfm_segments_scale(ev, "user_id", "ms", "value").orderBy("user")
+
+    from .operators.rolling import rfm_segments_scale_sql
+
+    q["events_rfm_segments_scale"] = (
+        q_rfm_scale,
+        rfm_segments_scale_sql(
+            "SELECT user_id, epoch_ms(ts) AS ms, value FROM events",
+            "user_id",
+            "ms",
+            "value",
+        )
+        + "\nORDER BY \"user\"",
+    )
+
     def q_readability(spark, sf):
         from .functions.text import readability
 

@@ -166,3 +166,20 @@ def test_length_histogram_boundaries(spark):
     assert rows[3]["n_docs"] == 1
     assert rows[3]["cum_docs"] == 5
     assert abs(rows[2]["doc_share"] - 0.4) < 1e-15
+
+
+def test_rfm_scale_boundary_law(spark):
+    """8 users, n_tiles=4: boundaries at ranks 2,4,6 — scores follow the
+    exact ceil(j*n/k) rank cut, fully pinned."""
+    from gosmonaut_spark.operators.rolling import rfm_segments_scale
+
+    day = 86_400_000
+    rows = [(u, (10 - u) * day, float(u)) for u in range(1, 9)]
+    ev = spark.createDataFrame(rows, "user_id long, ms long, value double")
+    got = {r["user"]: r for r in rfm_segments_scale(ev, n_tiles=4).collect()}
+    # recency: user 8 most recent ... user 1 oldest -> r = 1,1,2,2,3,3,4,4
+    assert [got[u]["r"] for u in range(8, 0, -1)] == [1, 1, 2, 2, 3, 3, 4, 4]
+    # monetary: user 8 biggest -> m same pattern
+    assert [got[u]["m"] for u in range(8, 0, -1)] == [1, 1, 2, 2, 3, 3, 4, 4]
+    # frequency all ties -> rank by user asc -> f = 1,1,2,2,3,3,4,4 by user
+    assert [got[u]["f"] for u in range(1, 9)] == [1, 1, 2, 2, 3, 3, 4, 4]

@@ -177,8 +177,8 @@ def test_rfm_scale_boundary_law(spark):
     rows = [(u, (10 - u) * day, float(u)) for u in range(1, 9)]
     ev = spark.createDataFrame(rows, "user_id long, ms long, value double")
     got = {r["user"]: r for r in rfm_segments_scale(ev, n_tiles=4).collect()}
-    # recency: user 8 most recent ... user 1 oldest -> r = 1,1,2,2,3,3,4,4
-    assert [got[u]["r"] for u in range(8, 0, -1)] == [1, 1, 2, 2, 3, 3, 4, 4]
+    # ms = (10-u)*day: user 1 has the LATEST ms -> most recent -> r asc by u
+    assert [got[u]["r"] for u in range(1, 9)] == [1, 1, 2, 2, 3, 3, 4, 4]
     # monetary: user 8 biggest -> m same pattern
     assert [got[u]["m"] for u in range(8, 0, -1)] == [1, 1, 2, 2, 3, 3, 4, 4]
     # frequency all ties -> rank by user asc -> f = 1,1,2,2,3,3,4,4 by user

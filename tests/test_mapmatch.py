@@ -185,3 +185,40 @@ def test_grid_dbscan_diag_toggle(spark):
     no_diag = grid_dbscan(pts, res=2, min_pts=2, diag=False).collect()
     assert len({r["cluster"] for r in with_diag}) == 1
     assert len({r["cluster"] for r in no_diag}) == 2
+
+
+def test_round4c_ops_no_cartesian(spark):
+    """Scale guard for the round-4c operators: none of them may plan a
+    CartesianProduct — pair fan-out must ride equi-joins (scalar
+    broadcast one-row joins are fine and show as BroadcastNestedLoop)."""
+    from pyspark.sql import functions as F
+    from gosmonaut_spark.operators.cluster import grid_dbscan
+    from gosmonaut_spark.operators.graph import link_prediction
+    from gosmonaut_spark.operators.tiling import join_counts, morans_i
+    from gosmonaut_spark.operators.trajectory import hausdorff_pairs
+
+    pts = spark.createDataFrame(
+        [(i, float(i % 7), float(i % 11)) for i in range(60)],
+        "id long, lat double, lon double",
+    )
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 20) for i in range(40)], "src long, dst long"
+    )
+    tiles = spark.createDataFrame(
+        [(1 << 10 | i, i % 3 + 1) for i in range(30)],
+        "cell long, n_points long",
+    )
+    classed = tiles.select("cell", (F.col("n_points") % 2).cast("string").alias("cls"))
+    upts = pts.withColumnRenamed("id", "user_id")
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "k1 long, k2 long")
+
+    plans = {
+        "link_prediction": link_prediction(edges, k=5),
+        "grid_dbscan": grid_dbscan(pts, res=5, min_pts=2),
+        "join_counts": join_counts(classed, res=5),
+        "morans_i": morans_i(tiles.select("cell", "n_points"), res=5),
+        "hausdorff": hausdorff_pairs(upts, pairs, "user_id"),
+    }
+    for name, df in plans.items():
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in p, name

@@ -832,3 +832,147 @@ SELECT id AS {id_expr}, n_words, n_sentences, n_syllables,
        - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
          AS flesch
 FROM rd_c WHERE n_words > 0"""
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM perplexity proxy (model-free quality score)
+# ---------------------------------------------------------------------------
+
+
+def bigram_perplexity(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-bigram-LM perplexity per document →
+    ``(id, n_bigrams, avg_nll, ppl)``.
+
+    The no-external-model stand-in for LM-perplexity quality filtering
+    (the CCNet/Gopher gate): train add-one-smoothed bigram
+    probabilities on THIS corpus, score every document by its average
+    negative log-likelihood — low = fluent-for-this-corpus, high =
+    novel or garbled. A document's own bigrams count toward the model
+    (corpus-internal novelty scoring; the standard held-in convention,
+    documented).
+
+        P(w2|w1) = (n(w1,w2) + 1) / (n(w1) + V)
+
+    with V = unigram vocabulary size, all counts exact integers.
+
+    Cross-engine exactness WITHOUT rounding: each bigram's
+    ``ln(n12+1) − ln(n1+V)`` is one identical IEEE expression, and the
+    per-document sum folds LEFT-TO-RIGHT IN POSITION ORDER (array_sort
+    by position + ``aggregate`` vs ``list(ORDER BY pos)`` +
+    ``list_reduce``) — no reassociation anywhere, so ``avg_nll`` and
+    ``ppl = exp(avg_nll)`` are bit-identical on both engines.
+
+    Scale shape: two corpus-wide count aggs (map-side combinable), one
+    broadcastable V scalar, bigram explode ⨝ counts (equi-joins on the
+    token keys), then one per-doc collect_list bounded by document
+    length — the same per-doc bound every text op here carries.
+    """
+    toks = tokens(text_col)
+    base = docs.select(
+        F.col(id_col).alias("id"), toks.alias("t")
+    ).where(F.size("t") >= 2)
+    pairs = base.select(
+        "id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(CAST(i AS LONG) AS pos, "
+                "element_at(t, CAST(i AS INT)) AS w1, "
+                "element_at(t, CAST(i AS INT) + 1) AS w2))"
+            )
+        ).alias("p"),
+    ).select("id", "p.pos", "p.w1", "p.w2")
+    uni = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    scored = (
+        pairs.join(big, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "id",
+            "pos",
+            (
+                F.log((F.col("n12") + F.lit(1)).cast("double"))
+                - F.log((F.col("n1") + F.col("v")).cast("double"))
+            ).alias("ll"),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "ll"))),
+                    lambda s: s["ll"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("__sum"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_bigrams",
+            (-F.col("__sum") / F.col("n_bigrams").cast("double")).alias(
+                "avg_nll"
+            ),
+            # exp() is the one non-correctly-rounded libm call in this
+            # op (JVM vs libm differ by 1 ulp) — round(9) per convention
+            F.round(
+                F.exp(-F.col("__sum") / F.col("n_bigrams").cast("double")), 9
+            ).alias("ppl"),
+        )
+    )
+
+
+def bigram_perplexity_sql(
+    docs_sql: str, id_expr: str = "doc_id", text_expr: str = "text"
+) -> str:
+    """DuckDB twin — identical counts, per-term log expression and
+    position-ordered fold."""
+    t = tokens_sql(text_expr)
+    return f"""WITH bp2_src AS MATERIALIZED (
+  SELECT {id_expr} AS id, {t} AS t FROM ({docs_sql})
+),
+bp2_pairs AS MATERIALIZED (
+  SELECT id, i AS pos, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT id, t FROM bp2_src WHERE len(t) >= 2) s,
+       LATERAL (SELECT unnest(range(1, len(t))) AS i) ix
+),
+bp2_uni AS (
+  SELECT w, count(*) AS n1 FROM (
+    SELECT unnest(t) AS w FROM bp2_src
+  ) GROUP BY w
+),
+bp2_v AS (SELECT count(*) AS v FROM bp2_uni),
+bp2_big AS (
+  SELECT w1, w2, count(*) AS n12 FROM bp2_pairs GROUP BY w1, w2
+),
+bp2_sc AS (
+  SELECT p.id, p.pos,
+         ln(CAST(b.n12 + 1 AS DOUBLE)) - ln(CAST(u.n1 + v.v AS DOUBLE))
+           AS ll
+  FROM bp2_pairs p
+  JOIN bp2_big b ON b.w1 = p.w1 AND b.w2 = p.w2
+  JOIN bp2_uni u ON u.w = p.w1
+  CROSS JOIN bp2_v v
+),
+bp2_agg AS (
+  SELECT id, count(*) AS n_bigrams,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE), list(ll ORDER BY pos)),
+           (acc, x) -> acc + x
+         ) AS s
+  FROM bp2_sc GROUP BY id
+)
+SELECT id AS {id_expr}, n_bigrams,
+       -s / CAST(n_bigrams AS DOUBLE) AS avg_nll,
+       round(exp(-s / CAST(n_bigrams AS DOUBLE)), 9) AS ppl
+FROM bp2_agg"""

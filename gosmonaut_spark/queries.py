@@ -5433,6 +5433,21 @@ SELECT id, min(lbl) AS community FROM mc_reach GROUP BY id"""
         textrank_keywords_sql("SELECT text FROM documents WHERE lang = 'en'"),
     )
 
+    def q_bigram_ppl(spark, sf):
+        from .functions.text import bigram_perplexity
+
+        return bigram_perplexity(
+            spark.read.parquet(f"{sf}/documents.parquet")
+        ).orderBy("doc_id")
+
+    from .functions.text import bigram_perplexity_sql
+
+    q["text_bigram_ppl"] = (
+        q_bigram_ppl,
+        bigram_perplexity_sql("SELECT doc_id, text FROM documents")
+        + "\nORDER BY doc_id",
+    )
+
     def q_lenhist(spark, sf):
         from .functions.corpus import length_histogram
 

@@ -1681,3 +1681,23 @@ def test_textrank_prefers_connected_words(spark):
     # self-pairs (solo solo) were dropped: solo's only edge is solo-pair,
     # so its rank mass stays at the uniform level
     assert abs(scores["solo"] - scores["pair"]) < 1e-9
+
+
+def test_bigram_ppl_novelty_ordering(spark):
+    """A doc made of corpus-frequent bigrams scores lower perplexity
+    than a doc of one-off bigrams; add-one smoothing keeps everything
+    finite."""
+    from gosmonaut_spark.functions.text import bigram_perplexity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the mat again"),
+            (3, "zq xv qk jw pf vb"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bigram_perplexity(docs).collect()}
+    assert got[1]["avg_nll"] < got[3]["avg_nll"]
+    assert got[1]["ppl"] < got[3]["ppl"] < float("inf")
+    assert got[1]["n_bigrams"] == 5 and got[3]["n_bigrams"] == 5

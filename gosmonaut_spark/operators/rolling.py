@@ -1196,3 +1196,127 @@ SELECT u AS user, recency_days, frequency, monetary_cents,
        ({score('rr')}) * 100 + ({score('rf')}) * 10 + ({score('rm')})
          AS segment
 FROM rs_r"""
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift alarms (pure-integer sequential replay)
+# ---------------------------------------------------------------------------
+
+
+def cusum_alarms(
+    events: DataFrame,
+    target_cents: int,
+    slack_cents: int,
+    threshold_cents: int,
+    key_col: str = "user_id",
+    ms_col: str = "ms",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """One-sided CUSUM drift detection per key → ``(key, n_events,
+    n_alarms, first_alarm_ms, max_s)``.
+
+    The sequential change-point gate (Page's test): spend/latency/rate
+    creeping above ``target`` raises an alarm long before any
+    fixed-window mean notices. State replays
+
+        S ← max(0, S + x − target − slack);  alarm when S > threshold
+
+    with x in integer CENTS and every constant an integer — the whole
+    recursion is INTEGER arithmetic, so cross-engine equality is exact
+    with no float anywhere (one law stronger than the EWMA op's
+    bit-identical doubles). S resets to 0 after an alarm (the standard
+    restart convention, documented). Replay order (ms, id) — total.
+
+    Spark side: Arrow ``applyInPandas`` per key (irreducibly
+    sequential); DuckDB twin: recursive CTE over per-key row chains —
+    the same machinery pair as :func:`value_ewma` / the token bucket.
+    Scale: one key shuffle + linear pass, O(1) state per key.
+    """
+    t, k, h = int(target_cents), int(slack_cents), int(threshold_cents)
+
+    def fn(pdf):
+        import pandas as _pd
+
+        pdf = pdf.sort_values([ms_col, id_col])
+        s = 0
+        n_alarms = 0
+        first = None
+        mx = 0
+        for ms, x in zip(pdf[ms_col].tolist(), pdf["__cents"].tolist()):
+            s = max(0, s + int(x) - t - k)
+            mx = max(mx, s)
+            if s > h:
+                n_alarms += 1
+                if first is None:
+                    first = int(ms)
+                s = 0
+        return _pd.DataFrame(
+            {
+                "key": [str(pdf[key_col].iloc[0])],
+                "n_events": [len(pdf)],
+                "n_alarms": [n_alarms],
+                # -1 sentinel (not NULL): keeps the column soundly typed
+                # for row-set comparison tooling
+                "first_alarm_ms": [first if first is not None else -1],
+                "max_s": [mx],
+            }
+        )
+
+    staged = events.select(
+        F.col(key_col),
+        F.col(ms_col).cast("long").alias(ms_col),
+        F.col(id_col).cast("long").alias(id_col),
+        F.round(F.col(value_col) * F.lit(100.0)).cast("long").alias("__cents"),
+    )
+    return staged.groupBy(key_col).applyInPandas(
+        fn,
+        schema=(
+            "key string, n_events long, n_alarms long, "
+            "first_alarm_ms long, max_s long"
+        ),
+    )
+
+
+def cusum_alarms_sql(
+    events_sql: str,
+    target_cents: int,
+    slack_cents: int,
+    threshold_cents: int,
+    key_expr: str = "user_id",
+    ms_expr: str = "ms",
+    value_expr: str = "value",
+    id_expr: str = "event_id",
+) -> str:
+    """DuckDB twin — identical integer recursion with alarm reset."""
+    t, k, h = int(target_cents), int(slack_cents), int(threshold_cents)
+    step = f"greatest(0, s.s + e.cents - {t} - {k})"
+    return f"""WITH RECURSIVE cu_ev AS MATERIALIZED (
+  SELECT CAST({key_expr} AS VARCHAR) AS k, CAST({ms_expr} AS BIGINT) AS ms,
+         CAST(round(({value_expr}) * 100.0) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY {key_expr}
+                            ORDER BY {ms_expr}, {id_expr}) AS rn
+  FROM ({events_sql})
+),
+cu_step(k, rn, ms, s, n_alarms, first_alarm_ms, max_s) AS (
+  SELECT k, rn, ms,
+         CASE WHEN greatest(0, cents - {t} - {k}) > {h} THEN 0
+              ELSE greatest(0, cents - {t} - {k}) END,
+         CAST(greatest(0, cents - {t} - {k}) > {h} AS BIGINT),
+         CASE WHEN greatest(0, cents - {t} - {k}) > {h} THEN ms END,
+         greatest(0, cents - {t} - {k})
+  FROM cu_ev WHERE rn = 1
+  UNION ALL
+  SELECT e.k, e.rn, e.ms,
+         CASE WHEN {step} > {h} THEN 0 ELSE {step} END,
+         s.n_alarms + CAST({step} > {h} AS BIGINT),
+         coalesce(s.first_alarm_ms,
+                  CASE WHEN {step} > {h} THEN e.ms END),
+         greatest(s.max_s, {step})
+  FROM cu_step s JOIN cu_ev e ON e.k = s.k AND e.rn = s.rn + 1
+)
+SELECT k AS key, max(rn) AS n_events,
+       arg_max(n_alarms, rn) AS n_alarms,
+       coalesce(max(first_alarm_ms), -1) AS first_alarm_ms,
+       arg_max(max_s, rn) AS max_s
+FROM cu_step GROUP BY k"""

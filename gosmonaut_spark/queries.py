@@ -5125,6 +5125,33 @@ ORDER BY size""",
         + "\nORDER BY key",
     )
 
+    def q_cusum(spark, sf):
+        from .functions.timeops import ntz_epoch_ms
+        from .operators.rolling import cusum_alarms
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            "user_id",
+            ntz_epoch_ms(F.col("ts")).alias("ms"),
+            "event_id",
+            "value",
+        )
+        return cusum_alarms(
+            ev, target_cents=5000, slack_cents=500, threshold_cents=20_000
+        ).orderBy("key")
+
+    from .operators.rolling import cusum_alarms_sql
+
+    q["events_cusum_alarms"] = (
+        q_cusum,
+        cusum_alarms_sql(
+            "SELECT user_id, epoch_ms(ts) AS ms, event_id, value FROM events",
+            target_cents=5000,
+            slack_cents=500,
+            threshold_cents=20_000,
+        )
+        + "\nORDER BY key",
+    )
+
     # ---- token-bucket admission over the event stream (batch law) -------------
     # Spark side: the streaming operator's batch twin (Arrow applyInPandas —
     # the per-key replay is irreducibly sequential). Oracle: the SAME

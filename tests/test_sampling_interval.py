@@ -368,3 +368,22 @@ def test_metronome_planted_bot_vs_human(spark):
     assert got[1]["is_metronome"] == 1 and got[1]["cv"] == 0.0
     assert got[2]["is_metronome"] == 0 and got[2]["cv"] > 0.5
     assert got[3]["is_metronome"] is None and got[3]["n_gaps"] == 3
+
+
+def test_cusum_hand_sequence(spark):
+    """target 100, slack 0, threshold 250: values 200,200,200 drive
+    S = 100, 200, 300 → alarm at the third event, then reset; a steady
+    key at target never alarms (first_alarm_ms = -1)."""
+    from gosmonaut_spark.operators.rolling import cusum_alarms
+
+    rows = [(1, 1000 * i, i, 2.0) for i in range(5)]
+    rows += [(2, 1000 * i, 10 + i, 1.0) for i in range(5)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ms long, event_id long, value double"
+    )
+    got = {r["key"]: r for r in cusum_alarms(
+        ev, target_cents=100, slack_cents=0, threshold_cents=250
+    ).collect()}
+    assert got["1"]["n_alarms"] == 1 and got["1"]["first_alarm_ms"] == 2000
+    assert got["1"]["max_s"] == 300
+    assert got["2"]["n_alarms"] == 0 and got["2"]["first_alarm_ms"] == -1

@@ -2975,6 +2975,44 @@ ORDER BY id""",
 FROM read_parquet('{pages_path}')""",
     )
 
+    # ---- decode → text-family composition: quality over DECODED text ----------
+    # the engine scores its OWN blob-decoded text (byte-identity invariant
+    # makes this meaningful); the oracle scores the fixture's truth text
+    # column with the same ANSI expressions — any decode drift anywhere
+    # breaks the integer counts, not just the identity query
+    def q_decoded_quality(spark, sf):
+        from .functions.text import lang_id, token_count
+        from .sources.pages import extract_texts
+
+        pages = _pages_for(spark, sf)
+        t = extract_texts(pages).select(
+            F.col("text_extracted").alias("text")
+        )
+        return (
+            t.select(
+                lang_id("text").alias("lid"),
+                token_count("text").alias("tc"),
+            )
+            .groupBy("lid")
+            .agg(
+                F.count(F.lit(1)).alias("n_pages"),
+                F.sum("tc").alias("total_tokens"),
+            )
+            .orderBy("lid")
+        )
+
+    from .functions.text import lang_id_sql as _lid_sql
+    from .functions.text import token_count_sql as _tc2_sql
+
+    q["pages_decoded_quality"] = (
+        q_decoded_quality,
+        f"""SELECT {_lid_sql('text')} AS lid, count(*) AS n_pages,
+       CAST(sum({_tc2_sql('text')}) AS BIGINT) AS total_tokens
+FROM read_parquet('{pages_path}')
+GROUP BY 1
+ORDER BY lid""",
+    )
+
     def q_pip_syn(spark, sf):
         from .operators.assembly import SKIP_MISSING
         from .operators.pip import polygons_from_ways

@@ -5163,6 +5163,68 @@ ORDER BY size""",
         + "\nORDER BY key",
     )
 
+    # ---- per-user behavioral entropy (pinned per-key fold) --------------------
+    # H(user) = -Σ_type p ln p over the user's event-type mix; each term is
+    # one identical IEEE expression and the per-user fold runs in sorted
+    # type order on both engines — bit-identical, no rounding needed.
+    def q_user_entropy(spark, sf):
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        per = ev.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        tot = per.groupBy("user_id").agg(F.sum("n").alias("t"))
+        terms = per.join(tot, "user_id").select(
+            "user_id",
+            "event_type",
+            (
+                (F.col("n").cast("double") / F.col("t").cast("double"))
+                * F.log(F.col("n").cast("double") / F.col("t").cast("double"))
+            ).alias("term"),
+        )
+        return (
+            terms.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_types"),
+                (
+                    -F.aggregate(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct("event_type", "term")
+                                )
+                            ),
+                            lambda s: s["term"],
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ).alias("entropy_nats"),
+            )
+            .orderBy("user_id")
+        )
+
+    q["events_user_entropy"] = (
+        q_user_entropy,
+        """WITH ue_p AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type
+),
+ue_t AS (SELECT user_id, sum(n) AS t FROM ue_p GROUP BY user_id),
+ue_terms AS (
+  SELECT p.user_id, p.event_type,
+         (CAST(p.n AS DOUBLE) / CAST(t.t AS DOUBLE))
+           * ln(CAST(p.n AS DOUBLE) / CAST(t.t AS DOUBLE)) AS term
+  FROM ue_p p JOIN ue_t t ON t.user_id = p.user_id
+)
+SELECT user_id, count(*) AS n_types,
+       -list_reduce(
+          list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY event_type)),
+          (acc, x) -> acc + x
+        ) AS entropy_nats
+FROM ue_terms GROUP BY user_id
+ORDER BY user_id""",
+    )
+
     def q_cusum(spark, sf):
         from .functions.timeops import ntz_epoch_ms
         from .operators.rolling import cusum_alarms

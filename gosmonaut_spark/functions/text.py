@@ -920,9 +920,9 @@ def bigram_perplexity(
         .select(
             F.col("id").alias(id_col),
             "n_bigrams",
-            (-F.col("__sum") / F.col("n_bigrams").cast("double")).alias(
-                "avg_nll"
-            ),
+            F.round(
+                -F.col("__sum") / F.col("n_bigrams").cast("double"), 9
+            ).alias("avg_nll"),
             # exp() is the one non-correctly-rounded libm call in this
             # op (JVM vs libm differ by 1 ulp) — round(9) per convention
             F.round(
@@ -973,6 +973,6 @@ bp2_agg AS (
   FROM bp2_sc GROUP BY id
 )
 SELECT id AS {id_expr}, n_bigrams,
-       -s / CAST(n_bigrams AS DOUBLE) AS avg_nll,
+       round(-s / CAST(n_bigrams AS DOUBLE), 9) AS avg_nll,
        round(exp(-s / CAST(n_bigrams AS DOUBLE)), 9) AS ppl
 FROM bp2_agg"""

@@ -4321,7 +4321,7 @@ ORDER BY user_id, ts_ms, n_window""",
         return terms.agg(
             F.countDistinct("from_type").alias("n_states"),
             F.count(F.lit(1)).alias("n_transitions"),
-            (
+            F.round(
                 -F.aggregate(
                     F.transform(
                         F.array_sort(
@@ -4333,7 +4333,8 @@ ORDER BY user_id, ts_ms, n_window""",
                     ),
                     F.lit(0.0),
                     lambda acc, t: acc + t,
-                )
+                ),
+                9,
             ).alias("entropy_nats"),
         )
 
@@ -4360,11 +4361,11 @@ ce_t AS (
 )
 SELECT count(DISTINCT from_type) AS n_states,
        count(*) AS n_transitions,
-       -list_reduce(
+       round(-list_reduce(
           list_prepend(CAST(0.0 AS DOUBLE),
             list(term ORDER BY from_type, to_type)),
           (acc, t) -> acc + t
-        ) AS entropy_nats
+        ), 9) AS entropy_nats
 FROM ce_t""",
     )
 
@@ -5185,7 +5186,9 @@ ORDER BY size""",
             terms.groupBy("user_id")
             .agg(
                 F.count(F.lit(1)).alias("n_types"),
-                (
+                # ln() is not correctly rounded (JVM vs libm differ by
+                # 1 ulp on non-integer ratios) -> round(9) per convention
+                F.round(
                     -F.aggregate(
                         F.transform(
                             F.array_sort(
@@ -5197,7 +5200,8 @@ ORDER BY size""",
                         ),
                         F.lit(0.0),
                         lambda acc, x: acc + x,
-                    )
+                    ),
+                    9,
                 ).alias("entropy_nats"),
             )
             .orderBy("user_id")
@@ -5217,10 +5221,10 @@ ue_terms AS (
   FROM ue_p p JOIN ue_t t ON t.user_id = p.user_id
 )
 SELECT user_id, count(*) AS n_types,
-       -list_reduce(
+       round(-list_reduce(
           list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY event_type)),
           (acc, x) -> acc + x
-        ) AS entropy_nats
+        ), 9) AS entropy_nats
 FROM ue_terms GROUP BY user_id
 ORDER BY user_id""",
     )

@@ -457,6 +457,92 @@ WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) 
 ORDER BY a, b""",
     )
 
+    # ---- LSH tuning evaluation: candidate recall/precision vs exact truth -----
+    # the report a pipeline owner reads before picking (n_hashes, n_bands):
+    # candidates = band collisions with ANY shingle overlap (threshold 0);
+    # truth = exact jaccard >= tau on the same planted corpus. All counts
+    # integer; two terminal divisions.
+    def q_lsh_eval(spark, sf):
+        d = spark.read.parquet(f"{sf}/documents.parquet").filter(
+            F.col("doc_id") < 200
+        )
+        dup = d.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+        pert = d.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(2_000_000)
+        ).withColumn("text", F.concat(F.col("text"), F.lit(" zq")))
+        docs = d.unionByName(dup).unionByName(pert)
+        cand = D.minhash_lsh_pairs(
+            docs, threshold=0.0, n_hashes=8, n_bands=4, n=3
+        ).select("a", "b", F.col("jaccard").alias("cj"))
+        truth = D.jaccard_pairs(docs, threshold=0.5, n=3).select("a", "b")
+        n_c = cand.count()
+        hit = cand.where(F.col("cj") >= 0.5)
+        stats = hit.agg(F.count(F.lit(1)).alias("n_hit")).crossJoin(
+            F.broadcast(truth.agg(F.count(F.lit(1)).alias("n_truth")))
+        )
+        return stats.select(
+            F.lit(n_c).alias("n_candidates"),
+            "n_truth",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.lit(float(n_c))).alias(
+                "precision"
+            ),
+            (
+                F.col("n_hit").cast("double")
+                / F.col("n_truth").cast("double")
+            ).alias("recall"),
+        )
+
+    q["dedup_lsh_eval"] = (
+        q_lsh_eval,
+        f"""WITH all_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 200
+  UNION ALL SELECT doc_id + 2000000, text || ' zq' FROM documents
+            WHERE doc_id < 200
+),
+shing AS (SELECT doc_id, {sh_sql} AS sh FROM all_docs),
+sigs AS (SELECT doc_id, sh, {mh_cols} FROM shing WHERE len(sh) > 0),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+),
+sh2 AS (SELECT doc_id, unnest(sh) AS s FROM shing),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id),
+cinter AS (
+  SELECT c.a, c.b, count(*) AS n_inter
+  FROM cand c JOIN sh2 x ON x.doc_id = c.a JOIN sh2 y ON y.doc_id = c.b AND y.s = x.s
+  GROUP BY c.a, c.b
+),
+cj AS (
+  SELECT i.a, i.b,
+         CAST(i.n_inter AS DOUBLE)
+           / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) AS j
+  FROM cinter i JOIN sizes sa ON sa.doc_id = i.a
+  JOIN sizes sb ON sb.doc_id = i.b
+),
+tinter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+  FROM sh2 x JOIN sh2 y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.a, i.b
+  FROM tinter i JOIN sizes sa ON sa.doc_id = i.a
+  JOIN sizes sb ON sb.doc_id = i.b
+  WHERE CAST(i.n_inter AS DOUBLE)
+          / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.5
+)
+SELECT (SELECT count(*) FROM cj) AS n_candidates,
+       (SELECT count(*) FROM truth) AS n_truth,
+       (SELECT count(*) FROM cj WHERE j >= 0.5) AS n_hit,
+       CAST((SELECT count(*) FROM cj WHERE j >= 0.5) AS DOUBLE)
+         / CAST((SELECT count(*) FROM cj) AS DOUBLE) AS precision,
+       CAST((SELECT count(*) FROM cj WHERE j >= 0.5) AS DOUBLE)
+         / CAST((SELECT count(*) FROM truth) AS DOUBLE) AS recall""",
+    )
+
     def q_simhash(spark, sf):
         d = (
             spark.read.parquet(f"{sf}/documents.parquet")

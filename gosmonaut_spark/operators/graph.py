@@ -1502,3 +1502,182 @@ SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
        END AS r
 FROM as_s"""
+
+
+# ---------------------------------------------------------------------------
+# HITS (hubs & authorities, fixed-round power iteration)
+# ---------------------------------------------------------------------------
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+) -> DataFrame:
+    """Kleinberg HITS over a directed edge table → ``(id, hub,
+    authority)``.
+
+    PageRank's complement on a web host graph: authorities are pointed
+    at by good hubs, hubs point at good authorities — the directory-vs-
+    content split PageRank's single score conflates (link farms score
+    as hubs, not authorities). Fixed ``iters`` rounds of
+
+        a ← Aᵀh / max(Aᵀh);   h ← Aa / max(Aa)
+
+    MAX-normalization instead of the textbook L2: the max is one
+    comparison-based reduction (no sum-of-squares reassociation), and
+    any positive scaling yields the same fixed-point direction.
+    Duplicate edges are collapsed (DISTINCT — the simple-graph law).
+    Like :func:`pagerank`, per-round sums reassociate between engines,
+    so consumers compare at ``round(x, 9)``; the unrolled-CTE DuckDB
+    twin mirrors every op.
+
+    Plan shape: per round two edge⋈score equi-joins + hash aggs and a
+    1-row max broadcast back — O(edges) shuffle rows per round, never a
+    matrix; ``localCheckpoint`` truncates the iterative lineage.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    h = nodes.select("id", F.lit(1.0).alias("h"))
+    a = None
+    for _ in range(int(iters)):
+        a_raw = (
+            e.join(h.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("h").alias("a"))
+        )
+        a_max = a_raw.agg(F.max("a").alias("mx"))
+        a = (
+            nodes.join(a_raw, "id", "left")
+            .crossJoin(F.broadcast(a_max))
+            .select(
+                "id",
+                (F.coalesce(F.col("a"), F.lit(0.0)) / F.col("mx")).alias("a"),
+            )
+            .localCheckpoint()
+        )
+        h_raw = (
+            e.join(a.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("a").alias("h"))
+        )
+        h_max = h_raw.agg(F.max("h").alias("mx"))
+        h = (
+            nodes.join(h_raw, "id", "left")
+            .crossJoin(F.broadcast(h_max))
+            .select(
+                "id",
+                (F.coalesce(F.col("h"), F.lit(0.0)) / F.col("mx")).alias("h"),
+            )
+            .localCheckpoint()
+        )
+    return nodes.join(h, "id", "left").join(a, "id", "left").select(
+        "id",
+        F.col("h").alias("hub"),
+        F.col("a").alias("authority"),
+    )
+
+
+def hits_sql(edges_sql: str, iters: int = 5) -> str:
+    """DuckDB twin — the identical max-normalized rounds unrolled."""
+    parts = [
+        f"WITH ht_e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "ht_nodes AS MATERIALIZED (SELECT src AS id FROM ht_e "
+        "UNION SELECT dst FROM ht_e)",
+        "ht_h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS h FROM ht_nodes)",
+    ]
+    prev_h = "ht_h0"
+    a_name = None
+    for t in range(1, int(iters) + 1):
+        # every round CTE is MATERIALIZED: each is referenced twice
+        # (join + scalar max), and DuckDB's default inlining would
+        # duplicate the whole prior chain per reference — exponential
+        # in the round count
+        parts.append(
+            f"ht_ar{t} AS MATERIALIZED (SELECT e.dst AS id, sum(p.h) AS a "
+            f"FROM ht_e e JOIN {prev_h} p ON p.id = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"ht_a{t} AS MATERIALIZED (SELECT n.id, "
+            f"coalesce(r.a, CAST(0.0 AS DOUBLE)) "
+            f"/ (SELECT max(a) FROM ht_ar{t}) AS a "
+            f"FROM ht_nodes n LEFT JOIN ht_ar{t} r ON r.id = n.id)"
+        )
+        parts.append(
+            f"ht_hr{t} AS MATERIALIZED (SELECT e.src AS id, sum(p.a) AS h "
+            f"FROM ht_e e JOIN ht_a{t} p ON p.id = e.dst GROUP BY e.src)"
+        )
+        parts.append(
+            f"ht_h{t} AS MATERIALIZED (SELECT n.id, "
+            f"coalesce(r.h, CAST(0.0 AS DOUBLE)) "
+            f"/ (SELECT max(h) FROM ht_hr{t}) AS h "
+            f"FROM ht_nodes n LEFT JOIN ht_hr{t} r ON r.id = n.id)"
+        )
+        prev_h = f"ht_h{t}"
+        a_name = f"ht_a{t}"
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT n.id AS id, h.h AS hub, a.a AS authority
+FROM ht_nodes n
+LEFT JOIN {prev_h} h ON h.id = n.id
+LEFT JOIN {a_name} a ON a.id = n.id"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# reciprocity of a directed graph
+# ---------------------------------------------------------------------------
+
+
+def reciprocity(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Edge reciprocity → one row ``(n_edges, n_reciprocal,
+    reciprocity)``: the fraction of directed edges whose reverse also
+    exists (self-loops excluded, duplicates collapsed).
+
+    The one-number directedness fingerprint of a link graph — organic
+    social/host graphs reciprocate heavily, scraper/spam link farms
+    are near-zero. Pure integer counts (a LEFT SEMI join of the edge
+    set against its own transpose) + one terminal division.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    rec = e.join(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v")),
+        ["u", "v"],
+        "left_semi",
+    )
+    return e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        F.broadcast(rec.agg(F.count(F.lit(1)).alias("n_reciprocal")))
+    ).select(
+        "n_edges",
+        "n_reciprocal",
+        (
+            F.col("n_reciprocal").cast("double")
+            / F.col("n_edges").cast("double")
+        ).alias("reciprocity"),
+    )
+
+
+def reciprocity_sql(edges_sql: str) -> str:
+    """DuckDB twin — identical distinct/semi-transpose counts."""
+    return f"""WITH rc_e AS (
+  SELECT DISTINCT src AS u, dst AS v FROM ({edges_sql}) WHERE src != dst
+),
+rc_r AS (
+  SELECT count(*) AS n_reciprocal FROM rc_e a
+  WHERE EXISTS (SELECT 1 FROM rc_e b WHERE b.u = a.v AND b.v = a.u)
+)
+SELECT (SELECT count(*) FROM rc_e) AS n_edges, n_reciprocal,
+       CAST(n_reciprocal AS DOUBLE)
+         / CAST((SELECT count(*) FROM rc_e) AS DOUBLE) AS reciprocity
+FROM rc_r"""

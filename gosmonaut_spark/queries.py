@@ -4201,6 +4201,65 @@ FROM (SELECT doc_id,
         f") ORDER BY host",
     )
 
+    def _host_edges(spark, sf):
+        d = spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", "source"
+        )
+        nh = d.select(F.countDistinct("source").alias("nh"))
+        return (
+            d.withColumn(
+                "h", F.regexp_extract("source", "([0-9]+)$", 1).cast("long")
+            )
+            .crossJoin(F.broadcast(nh))
+            .select(
+                "h",
+                "nh",
+                F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+                "doc_id",
+            )
+            .select(
+                F.col("h").alias("src"),
+                (
+                    (F.col("h") + F.col("j") * ((F.col("doc_id") % 13) + 1))
+                    % F.col("nh")
+                ).alias("dst"),
+            )
+        )
+
+    # ---- HITS hubs/authorities over the same host graph -----------------------
+    def q_hits(spark, sf):
+        from .operators.graph import hits
+
+        out = hits(_host_edges(spark, sf), iters=5)
+        return out.select(
+            F.col("id").alias("host"),
+            F.round("hub", 9).alias("hub"),
+            F.round("authority", 9).alias("authority"),
+        ).orderBy("host")
+
+    from .operators.graph import hits_sql
+
+    q["hosts_hits"] = (
+        q_hits,
+        f"SELECT id AS host, round(hub, 9) AS hub, "
+        f"round(authority, 9) AS authority FROM (\n"
+        f"{hits_sql(_pr_edges_sql, iters=5)}\n"
+        f") ORDER BY host",
+    )
+
+    # ---- reciprocity of the host graph ----------------------------------------
+    def q_reciprocity(spark, sf):
+        from .operators.graph import reciprocity
+
+        return reciprocity(_host_edges(spark, sf))
+
+    from .operators.graph import reciprocity_sql
+
+    q["hosts_reciprocity"] = (
+        q_reciprocity,
+        reciprocity_sql(_pr_edges_sql),
+    )
+
     # ---- personalized PageRank (topic-sensitive trust from seed hosts) -------
     # same host graph as hosts_pagerank, restart mass pinned to hosts
     # {0..3}: rank decays with link distance from the trusted seeds.

@@ -5309,6 +5309,93 @@ ORDER BY size""",
         + "\nORDER BY key",
     )
 
+    # ---- A/B conversion lift report (two-proportion z) ------------------------
+    # variant = user_id parity (the deterministic hash-split stand-in);
+    # conversion = any 'purchase'. Counts exact; lift and the pooled
+    # two-proportion z-statistic are terminal arithmetic over exact ints
+    # (sqrt is correctly rounded) — bit-identical, no rounding needed.
+    def q_ab_lift(spark, sf):
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        per = ev.groupBy("user_id").agg(
+            F.max(
+                (
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= 100.0)
+                ).cast("int")
+            ).alias("conv")
+        )
+        g = per.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("conv").alias("n_conv"),
+        )
+        a = g.where(F.col("variant") == 0).select(
+            F.col("n_users").alias("na"), F.col("n_conv").alias("ca")
+        )
+        b = g.where(F.col("variant") == 1).select(
+            F.col("n_users").alias("nb"), F.col("n_conv").alias("cb")
+        )
+        j = a.crossJoin(F.broadcast(b))
+        pa = F.col("ca").cast("double") / F.col("na").cast("double")
+        pb = F.col("cb").cast("double") / F.col("nb").cast("double")
+        pp = (F.col("ca") + F.col("cb")).cast("double") / (
+            F.col("na") + F.col("nb")
+        ).cast("double")
+        se = F.sqrt(
+            pp
+            * (F.lit(1.0) - pp)
+            * (
+                F.lit(1.0) / F.col("na").cast("double")
+                + F.lit(1.0) / F.col("nb").cast("double")
+            )
+        )
+        return j.select(
+            "na",
+            "ca",
+            "nb",
+            "cb",
+            pa.alias("rate_a"),
+            pb.alias("rate_b"),
+            (pb - pa).alias("lift"),
+            F.when(se > 0, (pb - pa) / se).alias("z"),
+        )
+
+    q["events_ab_lift"] = (
+        q_ab_lift,
+        """WITH ab_u AS (
+  SELECT user_id,
+         max(CAST(event_type = 'purchase' AND value >= 100.0 AS INT)) AS conv
+  FROM events GROUP BY user_id
+),
+ab_g AS (
+  SELECT user_id % 2 AS variant, count(*) AS n_users, sum(conv) AS n_conv
+  FROM ab_u GROUP BY 1
+),
+ab_j AS (
+  SELECT a.n_users AS na, a.n_conv AS ca, b.n_users AS nb, b.n_conv AS cb
+  FROM (SELECT * FROM ab_g WHERE variant = 0) a,
+       (SELECT * FROM ab_g WHERE variant = 1) b
+)
+SELECT na, ca, nb, cb,
+       CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS rate_a,
+       CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) AS rate_b,
+       CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)
+         - CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS lift,
+       CASE WHEN sqrt(
+              (CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+              * (1.0 - CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+              * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))
+            ) > 0 THEN
+         (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)
+          - CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+         / sqrt(
+              (CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+              * (1.0 - CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+              * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))
+            )
+       END AS z
+FROM ab_j""",
+    )
+
     # ---- per-user behavioral entropy (pinned per-key fold) --------------------
     # H(user) = -Σ_type p ln p over the user's event-type mix; each term is
     # one identical IEEE expression and the per-user fold runs in sorted

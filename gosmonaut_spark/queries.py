@@ -2142,6 +2142,71 @@ WHERE {hav} <= 150000.0
 ORDER BY query_id, target_id""",
     )
 
+    # ---- Ripley's K point-pattern statistic at three distance bands -----------
+    # K̂(r) = A · 2·pairs(≤r) / (n·(n−1)) on the sphere (A = 4πR²): the
+    # clustered-vs-CSR diagnostic, composed over the EXACT distance-band
+    # join at three radii — each radius re-certifies the grid fan-out
+    # join against the brute pair oracle. Integer pair counts, one
+    # identical terminal expression.
+    def q_ripley(spark, sf):
+        from .operators.knn import radius_join
+
+        sub = _pts(spark, sf).filter(F.col("id") % 23 == 0)
+        n_pts = sub.count()
+        area = 4.0 * 3.141592653589793 * 6_371_000.0 * 6_371_000.0
+        out = None
+        for r in (100_000.0, 300_000.0, 1_000_000.0):
+            pairs = radius_join(
+                sub.select(F.col("id").alias("query_id"), "lat", "lon"),
+                sub.select(F.col("id").alias("target_id"), "lat", "lon"),
+                radius_m=r,
+                res=6,
+            ).where(F.col("query_id") < F.col("target_id"))
+            row = pairs.agg(
+                F.lit(int(r)).alias("radius_m"),
+                F.count(F.lit(1)).alias("n_pairs"),
+            )
+            out = row if out is None else out.unionByName(row)
+        return out.select(
+            "radius_m",
+            F.lit(n_pts).alias("n_points"),
+            "n_pairs",
+            (
+                F.lit(area)
+                * F.lit(2.0)
+                * F.col("n_pairs").cast("double")
+                / (F.lit(float(n_pts)) * F.lit(float(n_pts - 1)))
+            ).alias("k_hat"),
+        ).orderBy("radius_m")
+
+    _RIPLEY_HAV = hav.replace("q.", "a.").replace("t.", "b.")
+    q["geo_ripley_k"] = (
+        q_ripley,
+        f"""WITH pts AS ({_PTS_SQL}),
+sub AS (SELECT id, lat, lon FROM pts WHERE id % 23 = 0),
+n AS (SELECT count(*) AS n FROM sub),
+bands AS (
+  SELECT unnest([100000, 300000, 1000000]) AS radius_m
+),
+pc AS (
+  SELECT bd.radius_m, count(p.ia) AS n_pairs
+  FROM bands bd
+  LEFT JOIN (
+    SELECT a.id AS ia, b.id AS ib, {_RIPLEY_HAV} AS d
+    FROM sub a JOIN sub b ON a.id < b.id
+  ) p ON p.d <= bd.radius_m
+  GROUP BY bd.radius_m
+)
+SELECT pc.radius_m, n.n AS n_points, pc.n_pairs,
+       (CAST(4.0 AS DOUBLE) * CAST(3.141592653589793 AS DOUBLE)
+        * CAST(6371000.0 AS DOUBLE) * CAST(6371000.0 AS DOUBLE))
+         * CAST(2.0 AS DOUBLE)
+         * CAST(pc.n_pairs AS DOUBLE)
+         / (CAST(n.n AS DOUBLE) * CAST(n.n - 1 AS DOUBLE)) AS k_hat
+FROM pc, n
+ORDER BY pc.radius_m""",
+    )
+
     # ---- eps-connectivity spatial clustering (friends-of-friends) -----------
     def q_grid_cluster(spark, sf):
         from .operators.cluster import grid_cluster

@@ -5374,6 +5374,113 @@ ORDER BY size""",
         + "\nORDER BY key",
     )
 
+    # ---- inter-arrival gap histogram (power-of-two ms buckets, per type) ------
+    # burstiness fingerprint per event type: the threshold-sum bucket law
+    # (boundary-exact, no log2 float) over per-user lag gaps
+    def q_gap_hist(spark, sf):
+        from pyspark.sql import Window as _W
+
+        from .functions.timeops import ntz_epoch_ms
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        w = _W.partitionBy("user_id").orderBy(
+            ntz_epoch_ms(F.col("ts")).asc(), F.col("event_id").asc()
+        )
+        ms = ntz_epoch_ms(F.col("ts"))
+        gap = (ms - F.lag(ms).over(w)).alias("g")
+        gaps = ev.select(F.col("event_type"), gap).where(
+            F.col("g").isNotNull() & (F.col("g") > 0)
+        )
+        bucket = sum(
+            (F.col("g") >= F.lit(1 << k)).cast("long") for k in range(46)
+        )
+        return (
+            gaps.select("event_type", bucket.alias("bucket"))
+            .groupBy("event_type", "bucket")
+            .agg(F.count(F.lit(1)).alias("n_gaps"))
+            .orderBy("event_type", "bucket")
+        )
+
+    _GAP_TESTS = " + ".join(
+        f"CAST(g >= {1 << k} AS BIGINT)" for k in range(46)
+    )
+    q["events_gap_histogram"] = (
+        q_gap_hist,
+        f"""WITH gh_g AS (
+  SELECT event_type,
+         epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_ms(ts) ASC, event_id ASC
+         ) AS g
+  FROM events
+)
+SELECT event_type, ({_GAP_TESTS}) AS bucket, count(*) AS n_gaps
+FROM gh_g WHERE g IS NOT NULL AND g > 0
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket""",
+    )
+
+    # ---- per-document character entropy (pinned fold) -------------------------
+    # compressibility/gibberish signal: H over the normalized character
+    # distribution, terms folded in sorted-character order — round(9)
+    # for the ln ulps
+    def q_char_entropy(spark, sf):
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        chars = d.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), "")).alias("ch"),
+        ).where(F.col("ch") != "")
+        per = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n"))
+        tot = per.groupBy("doc_id").agg(F.sum("n").alias("t"))
+        terms = per.join(tot, "doc_id").select(
+            "doc_id",
+            "ch",
+            (
+                (F.col("n").cast("double") / F.col("t").cast("double"))
+                * F.log(F.col("n").cast("double") / F.col("t").cast("double"))
+            ).alias("term"),
+        )
+        return (
+            terms.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_distinct_chars"),
+                F.round(
+                    -F.aggregate(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("ch", "term"))),
+                            lambda s: s["term"],
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    9,
+                ).alias("entropy_nats"),
+            )
+            .orderBy("doc_id")
+        )
+
+    q["text_char_entropy"] = (
+        q_char_entropy,
+        """WITH ch_c AS (
+  SELECT doc_id, ch, count(*) AS n FROM (
+    SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+  ) WHERE ch != '' GROUP BY doc_id, ch
+),
+ch_t AS (SELECT doc_id, sum(n) AS t FROM ch_c GROUP BY doc_id),
+ch_terms AS (
+  SELECT c.doc_id, c.ch,
+         (CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE))
+           * ln(CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE)) AS term
+  FROM ch_c c JOIN ch_t t ON t.doc_id = c.doc_id
+)
+SELECT doc_id, count(*) AS n_distinct_chars,
+       round(-list_reduce(
+          list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY ch)),
+          (acc, x) -> acc + x
+        ), 9) AS entropy_nats
+FROM ch_terms GROUP BY doc_id
+ORDER BY doc_id""",
+    )
+
     # ---- A/B conversion lift report (two-proportion z) ------------------------
     # variant = user_id parity (the deterministic hash-split stand-in);
     # conversion = any 'purchase'. Counts exact; lift and the pooled

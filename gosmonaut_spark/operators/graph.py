@@ -1681,3 +1681,97 @@ SELECT (SELECT count(*) FROM rc_e) AS n_edges, n_reciprocal,
        CAST(n_reciprocal AS DOUBLE)
          / CAST((SELECT count(*) FROM rc_e) AS DOUBLE) AS reciprocity
 FROM rc_r"""
+
+
+# ---------------------------------------------------------------------------
+# rich-club coefficient
+# ---------------------------------------------------------------------------
+
+
+def rich_club(
+    edges: DataFrame, ks: tuple = (2, 4, 8), src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Rich-club coefficient φ(k) for each threshold in ``ks`` →
+    ``(k, n_rich, e_rich, phi)``.
+
+    Do the high-degree vertices form their own dense club? φ(k) =
+    2·E_{>k} / (N_{>k}·(N_{>k}−1)) over the subgraph induced by
+    vertices with degree > k — elites interlinking (φ → 1) is the
+    covert-community / curated-hub signature; organic scale-free
+    graphs keep φ moderate. Pure integer counts (degree agg + two
+    semi-joins per threshold) and one terminal division; thresholds
+    share one canonical edge set and one degree table.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()
+    )
+    out = None
+    for k in ks:
+        rich = deg.where(F.col("d") > F.lit(int(k))).select("v")
+        er = e.join(
+            rich.withColumnRenamed("v", "a"), "a", "left_semi"
+        ).join(rich.withColumnRenamed("v", "b"), "b", "left_semi")
+        row = (
+            rich.agg(F.count(F.lit(1)).alias("n_rich"))
+            .crossJoin(F.broadcast(er.agg(F.count(F.lit(1)).alias("e_rich"))))
+            .select(
+                F.lit(int(k)).alias("k"),
+                "n_rich",
+                "e_rich",
+                F.when(
+                    F.col("n_rich") >= 2,
+                    F.lit(2.0)
+                    * F.col("e_rich").cast("double")
+                    / (
+                        F.col("n_rich").cast("double")
+                        * (F.col("n_rich") - F.lit(1)).cast("double")
+                    ),
+                ).alias("phi"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("k")
+
+
+def rich_club_sql(edges_sql: str, ks: tuple = (2, 4, 8)) -> str:
+    """DuckDB twin — identical induced-subgraph counts per threshold."""
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT {int(k)} AS k,
+       (SELECT count(*) FROM rb_deg WHERE d > {int(k)}) AS n_rich,
+       (SELECT count(*) FROM rb_e e
+        WHERE e.a IN (SELECT v FROM rb_deg WHERE d > {int(k)})
+          AND e.b IN (SELECT v FROM rb_deg WHERE d > {int(k)})) AS e_rich"""
+        for k in ks
+    )
+    return f"""WITH rb_e AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({edges_sql}) WHERE least(src, dst) < greatest(src, dst)
+),
+rb_deg AS MATERIALIZED (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM rb_e UNION ALL SELECT b FROM rb_e
+  ) GROUP BY v
+),
+rb_rows AS (
+{rows}
+)
+SELECT k, n_rich, e_rich,
+       CASE WHEN n_rich >= 2 THEN
+         2.0 * CAST(e_rich AS DOUBLE)
+         / (CAST(n_rich AS DOUBLE) * CAST(n_rich - 1 AS DOUBLE))
+       END AS phi
+FROM rb_rows
+ORDER BY k"""

@@ -5308,6 +5308,18 @@ ORDER BY rank""",
         link_prediction_sql(_CONTACT_EDGES_SQL, k=15),
     )
 
+    def q_rich_club(spark, sf):
+        from .operators.graph import rich_club
+
+        return rich_club(_contact_edges(spark, sf), ks=(2, 4, 8))
+
+    from .operators.graph import rich_club_sql
+
+    q["graph_rich_club"] = (
+        q_rich_club,
+        rich_club_sql(_CONTACT_EDGES_SQL, ks=(2, 4, 8)),
+    )
+
     def q_comp_sizes(spark, sf):
         from .operators.graph import connected_components
 

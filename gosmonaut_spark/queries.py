@@ -3567,6 +3567,39 @@ ORDER BY id, d""",
 
     from .functions.similarity import pq_encode_sql
 
+    # ---- PQ distortion report (quantization error by subspace) ----------------
+    # the codebook-quality gate before trusting ADC distances: per-subspace
+    # count / mean / max of the encode residual d2. Each d2 is bit-identical
+    # (unrolled fixed-order chain); the mean reassociates -> round(9), the
+    # max compares identical scalars -> exact.
+    def q_pq_distortion(spark, sf):
+        from .functions.similarity import pq_encode
+
+        e_ = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        codes = pq_encode(e_, m=8, centroid_stride=32, dim=64)
+        return (
+            codes.groupBy("subspace")
+            .agg(
+                F.count(F.lit(1)).alias("n_vectors"),
+                F.round(F.avg("d2"), 9).alias("mean_d2"),
+                F.max("d2").alias("max_d2"),
+            )
+            .orderBy("subspace")
+        )
+
+    q["embeddings_pq_distortion"] = (
+        q_pq_distortion,
+        f"""SELECT subspace, count(*) AS n_vectors,
+       round(avg(d2), 9) AS mean_d2, max(d2) AS max_d2
+FROM (
+{pq_encode_sql("SELECT vec_id, embedding FROM embeddings", m=8, centroid_stride=32, dim=64)}
+)
+GROUP BY subspace
+ORDER BY subspace""",
+    )
+
     q["embeddings_pq_codes"] = (
         q_pq,
         pq_encode_sql(

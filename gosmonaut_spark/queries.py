@@ -6013,6 +6013,96 @@ SELECT id, min(lbl) AS community FROM mc_reach GROUP BY id"""
         textrank_keywords_sql("SELECT text FROM documents WHERE lang = 'en'"),
     )
 
+    # ---- Zipf slope of the token rank-frequency curve -------------------------
+    # log-log least squares over the top-500 terms (rank pinned by
+    # (freq DESC, term ASC)); ALL four moment sums fold in rank order —
+    # no reassociation — and the slope/intercept round(9) for ln ulps.
+    # healthy natural-language corpora sit near slope ≈ −1.
+    def q_zipf(spark, sf):
+        from .functions.text import tokens as _tok
+        from pyspark.sql import Window as _W
+
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        freq = (
+            d.select(F.explode(_tok("text")).alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        ranked = freq.withColumn(
+            "r",
+            F.row_number().over(_W.orderBy(F.desc("n"), F.asc("w"))),
+        ).where(F.col("r") <= 500)
+        pts = ranked.select(
+            "r",
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("n").cast("double")).alias("y"),
+        )
+        folded = pts.agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.array_sort(
+                F.collect_list(F.struct("r", "x", "y"))
+            ).alias("pts"),
+        )
+
+        def fold(expr):
+            return F.aggregate(
+                F.transform(F.col("pts"), expr),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+
+        sx = fold(lambda s: s["x"])
+        sy = fold(lambda s: s["y"])
+        sxy = fold(lambda s: s["x"] * s["y"])
+        sxx = fold(lambda s: s["x"] * s["x"])
+        nn = F.col("n_terms").cast("double")
+        slope = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+        return folded.select(
+            "n_terms",
+            F.round(slope, 9).alias("zipf_slope"),
+            F.round((sy - slope * sx) / nn, 9).alias("intercept"),
+        )
+
+    q["corpus_token_zipf"] = (
+        q_zipf,
+        f"""WITH zf_f AS (
+          SELECT w, count(*) AS n FROM (
+            SELECT unnest({T.tokens_sql("text")}) AS w
+            FROM documents
+          ) GROUP BY w
+),
+zf_r AS (
+  SELECT w, n, row_number() OVER (ORDER BY n DESC, w ASC) AS r
+  FROM zf_f QUALIFY r <= 500
+),
+zf_p AS (
+  SELECT r, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y FROM zf_r
+),
+zf_l AS (
+  SELECT count(*) AS n_terms,
+         list(x ORDER BY r) AS xs, list(y ORDER BY r) AS ys
+  FROM zf_p
+),
+zf_s AS (
+  SELECT n_terms,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs), (a, v) -> a + v) AS sx,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ys), (a, v) -> a + v) AS sy,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(list_zip(xs, ys), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+           (a, v) -> a + v) AS sxy,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(xs, v -> v * v)), (a, v) -> a + v) AS sxx
+  FROM zf_l
+)
+SELECT n_terms,
+       round((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n_terms AS DOUBLE) * sxx - sx * sx), 9) AS zipf_slope,
+       round((sy - ((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                    / (CAST(n_terms AS DOUBLE) * sxx - sx * sx)) * sx)
+             / CAST(n_terms AS DOUBLE), 9) AS intercept
+FROM zf_s""",
+    )
+
     def q_bigram_ppl(spark, sf):
         from .functions.text import bigram_perplexity
 

@@ -6103,6 +6103,70 @@ SELECT n_terms,
 FROM zf_s""",
     )
 
+    # ---- vocabulary coverage curve (tokenizer budget planning) ----------------
+    # what share of corpus tokens do the top-k terms cover, k in
+    # {10, 50, 200}: exact integers (pinned ranks) + terminal divisions
+    def q_vocab_coverage(spark, sf):
+        from .functions.text import tokens as _tok
+        from pyspark.sql import Window as _W
+
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        freq = (
+            d.select(F.explode(_tok("text")).alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        ranked = freq.withColumn(
+            "r", F.row_number().over(_W.orderBy(F.desc("n"), F.asc("w")))
+        )
+        tot = ranked.agg(
+            F.sum("n").alias("t"), F.count(F.lit(1)).alias("v")
+        )
+        out = None
+        for k in (10, 50, 200):
+            row = (
+                ranked.where(F.col("r") <= k)
+                .agg(F.sum("n").alias("covered"))
+                .crossJoin(F.broadcast(tot))
+                .select(
+                    F.lit(k).alias("top_k"),
+                    F.col("v").alias("vocab_size"),
+                    F.coalesce(F.col("covered"), F.lit(0)).alias(
+                        "covered_tokens"
+                    ),
+                    "t",
+                    (
+                        F.coalesce(F.col("covered"), F.lit(0)).cast("double")
+                        / F.col("t").cast("double")
+                    ).alias("coverage"),
+                )
+                .withColumnRenamed("t", "total_tokens")
+            )
+            out = row if out is None else out.unionByName(row)
+        return out.orderBy("top_k")
+
+    q["corpus_vocab_coverage"] = (
+        q_vocab_coverage,
+        f"""WITH vc_f AS (
+  SELECT w, count(*) AS n FROM (
+    SELECT unnest({T.tokens_sql("text")}) AS w FROM documents
+  ) GROUP BY w
+),
+vc_r AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, w ASC) AS r FROM vc_f
+),
+vc_t AS (SELECT sum(n) AS t, count(*) AS v FROM vc_r),
+vc_ks AS (SELECT unnest([10, 50, 200]) AS top_k)
+SELECT k.top_k, t.v AS vocab_size,
+       CAST(coalesce((SELECT sum(n) FROM vc_r WHERE r <= k.top_k), 0)
+            AS BIGINT) AS covered_tokens,
+       CAST(t.t AS BIGINT) AS total_tokens,
+       CAST(coalesce((SELECT sum(n) FROM vc_r WHERE r <= k.top_k), 0)
+            AS DOUBLE) / CAST(t.t AS DOUBLE) AS coverage
+FROM vc_ks k, vc_t t
+ORDER BY top_k""",
+    )
+
     def q_bigram_ppl(spark, sf):
         from .functions.text import bigram_perplexity
 

@@ -2352,6 +2352,65 @@ FROM customer""",
         + "\nORDER BY id",
     )
 
+    # ---- hop-distance histogram + mean reach (BFS composition) -----------------
+    # the closeness summary on top of graph_bfs_hops: how many nodes sit
+    # at each hop, cumulative reach share, and the mean hop distance of
+    # REACHED nodes (exact ints, terminal divisions)
+    def q_hop_hist(spark, sf):
+        from .operators.graph import bfs_hops
+
+        cu = spark.read.parquet(f"{sf}/customer.parquet").select(
+            F.col("c_custkey").cast("long").alias("u")
+        )
+        n = cu.count()
+        edges = cu.select(
+            "u", ((F.col("u") * F.lit(_P1)) % F.lit(_M) % F.lit(n)).alias("v")
+        )
+        seeds = cu.where(F.col("u") < 10).select(F.col("u").alias("id"))
+        hops = bfs_hops(edges, seeds, max_hops=8)
+        hist = hops.groupBy("hops").agg(F.count(F.lit(1)).alias("n_nodes"))
+        tot = hops.agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum("hops").alias("hop_sum"),
+        )
+        return (
+            hist.crossJoin(F.broadcast(tot))
+            .select(
+                "hops",
+                "n_nodes",
+                (
+                    F.col("n_nodes").cast("double")
+                    / F.col("n_reached").cast("double")
+                ).alias("reach_share"),
+                (
+                    F.col("hop_sum").cast("double")
+                    / F.col("n_reached").cast("double")
+                ).alias("mean_hops"),
+            )
+            .orderBy("hops")
+        )
+
+    _BFS_EDGES_SQL = f"""SELECT CAST(c_custkey AS BIGINT) AS u,
+       ((CAST(c_custkey AS BIGINT) * {_P1}) % {_M})
+         % (SELECT count(*) FROM customer) AS v
+FROM customer"""
+    q["graph_hop_histogram"] = (
+        q_hop_hist,
+        f"""WITH hh AS (
+{bfs_hops_sql(_BFS_EDGES_SQL,
+              "SELECT CAST(c_custkey AS BIGINT) AS id FROM customer "
+              "WHERE c_custkey < 10", max_hops=8)}
+),
+hh_h AS (SELECT hops, count(*) AS n_nodes FROM hh GROUP BY hops),
+hh_t AS (SELECT count(*) AS n_reached, sum(hops) AS hop_sum FROM hh)
+SELECT h.hops, h.n_nodes,
+       CAST(h.n_nodes AS DOUBLE) / CAST(t.n_reached AS DOUBLE)
+         AS reach_share,
+       CAST(t.hop_sum AS DOUBLE) / CAST(t.n_reached AS DOUBLE) AS mean_hops
+FROM hh_h h, hh_t t
+ORDER BY h.hops""",
+    )
+
     # ---- weighted SSSP (frontier Bellman-Ford, iterative) ----------------------
     # TWO hash-edge families per node (degree ~4 after symmetrize) so the
     # weighted diameter stays bounded — the single functional edge of

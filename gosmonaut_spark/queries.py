@@ -6162,6 +6162,83 @@ SELECT n_terms,
 FROM zf_s""",
     )
 
+    # ---- hapax legomena rate (vocabulary freshness) ---------------------------
+    # share of vocabulary seen exactly once, and the token share it holds —
+    # the OCR-garbage / productive-morphology dial every corpus audit reads
+    def q_hapax(spark, sf):
+        from .functions.text import tokens as _tok
+
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        freq = (
+            d.select(F.explode(_tok("text")).alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return freq.agg(
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum("n").alias("total_tokens"),
+            F.sum((F.col("n") == 1).cast("long")).alias("n_hapax"),
+            (
+                F.sum((F.col("n") == 1).cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("hapax_vocab_share"),
+            (
+                F.sum((F.col("n") == 1).cast("long")).cast("double")
+                / F.sum("n").cast("double")
+            ).alias("hapax_token_share"),
+        )
+
+    q["corpus_hapax_rate"] = (
+        q_hapax,
+        f"""WITH hx_f AS (
+  SELECT w, count(*) AS n FROM (
+    SELECT unnest({T.tokens_sql("text")}) AS w FROM documents
+  ) GROUP BY w
+)
+SELECT count(*) AS vocab_size,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST(sum(CAST(n = 1 AS BIGINT)) AS BIGINT) AS n_hapax,
+       CAST(sum(CAST(n = 1 AS BIGINT)) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS hapax_vocab_share,
+       CAST(sum(CAST(n = 1 AS BIGINT)) AS DOUBLE)
+         / CAST(sum(n) AS DOUBLE) AS hapax_token_share
+FROM hx_f""",
+    )
+
+    # ---- embedding norm distribution (drift / normalization audit) ------------
+    # per-label mean & max L2 norm: each norm is sqrt of the bit-identical
+    # unrolled dot (exact); the mean reassociates -> round(9), max exact
+    def q_norm_stats(spark, sf):
+        from .functions.similarity import dot_codegen
+
+        e_ = spark.read.parquet(f"{sf}/embeddings.parquet")
+        nrm = F.sqrt(dot_codegen(F.col("embedding"), F.col("embedding"), 64))
+        return (
+            e_.select("label", nrm.alias("nv"))
+            .groupBy("label")
+            .agg(
+                F.count(F.lit(1)).alias("n_vectors"),
+                F.round(F.avg("nv"), 9).alias("mean_norm"),
+                F.max("nv").alias("max_norm"),
+            )
+            .orderBy("label")
+        )
+
+    _NORM_DOT = (
+        "list_reduce(list_transform(list_zip(embedding, embedding), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), "
+        "(acc, v) -> acc + v)"
+    )
+    q["embeddings_norm_stats"] = (
+        q_norm_stats,
+        f"""SELECT label, count(*) AS n_vectors,
+       round(avg(sqrt({_NORM_DOT})), 9) AS mean_norm,
+       max(sqrt({_NORM_DOT})) AS max_norm
+FROM embeddings
+GROUP BY label
+ORDER BY label""",
+    )
+
     # ---- vocabulary coverage curve (tokenizer budget planning) ----------------
     # what share of corpus tokens do the top-k terms cover, k in
     # {10, 50, 200}: exact integers (pinned ranks) + terminal divisions

@@ -993,6 +993,99 @@ FROM sess GROUP BY user_id, session_no
 ORDER BY user_id, session_no""",
     )
 
+    # ---- session-level stats (12h-gap sessions, exact rank quantiles) ---------
+    # one row: session count, mean events/session, median & p90 duration
+    # by the exact integer rank law (no approx-percentile gap)
+    def q_session_stats(spark, sf):
+        from .functions.timeops import ntz_epoch_ms
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ms = ntz_epoch_ms(F.col("ts"))
+        gap = ms - F.lag(ms).over(w)
+        new_s = F.when(gap.isNull() | (gap > 43_200_000), 1).otherwise(0)
+        sess = (
+            ev.withColumn("new_s", new_s)
+            .withColumn("session_no", F.sum("new_s").over(w))
+            .groupBy("user_id", "session_no")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                (F.max(ms) - F.min(ms)).alias("dur_ms"),
+            )
+        )
+        ranked = sess.select(
+            "n_events",
+            "dur_ms",
+            F.row_number().over(
+                Window.orderBy(
+                    F.asc("dur_ms"), F.asc("user_id"), F.asc("session_no")
+                )
+            ).alias("rk"),
+            F.count(F.lit(1)).over(
+                Window.partitionBy()
+            ).alias("n"),
+        )
+        med = F.floor((F.col("n") + 1) / F.lit(2.0)).cast("long")
+        p90 = F.floor((F.col("n") * 9 + 9) / F.lit(10.0)).cast("long")
+        return ranked.agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events_total"),
+            (
+                F.sum("n_events").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_events"),
+            F.max(
+                F.when(F.col("rk") == med, F.col("dur_ms"))
+            ).alias("median_dur_ms"),
+            F.max(
+                F.when(F.col("rk") == p90, F.col("dur_ms"))
+            ).alias("p90_dur_ms"),
+        )
+
+    q["events_session_stats"] = (
+        q_session_stats,
+        """WITH ss_l AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+         lag(epoch_ms(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+  FROM events
+),
+ss_f AS (
+  SELECT user_id, event_id, ms,
+         CASE WHEN prev_ms IS NULL OR ms - prev_ms > 43200000
+              THEN 1 ELSE 0 END AS new_s
+  FROM ss_l
+),
+ss_s AS (
+  SELECT user_id, ms,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_no
+  FROM ss_f
+),
+ss_g AS (
+  SELECT user_id, session_no, count(*) AS n_events,
+         max(ms) - min(ms) AS dur_ms
+  FROM ss_s GROUP BY user_id, session_no
+),
+ss_r AS (
+  SELECT n_events, dur_ms,
+         row_number() OVER (ORDER BY dur_ms ASC, user_id ASC,
+                            session_no ASC) AS rk,
+         count(*) OVER () AS n
+  FROM ss_g
+)
+SELECT count(*) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS n_events_total,
+       CAST(sum(n_events) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS mean_events,
+       max(CASE WHEN rk = CAST(floor((n + 1) / 2.0) AS BIGINT)
+                THEN dur_ms END) AS median_dur_ms,
+       max(CASE WHEN rk = CAST(floor((n * 9 + 9) / 10.0) AS BIGINT)
+                THEN dur_ms END) AS p90_dur_ms
+FROM ss_r""",
+    )
+
     # ---- relational coverage (TPC-H-shaped; exact integer-cent money) ---------
     def q_pricing(spark, sf):
         li = spark.read.parquet(f"{sf}/lineitem.parquet")

@@ -936,3 +936,115 @@ SELECT k AS {key_expr}, band, count(*) AS n_segments,
        CAST(sum(d) AS BIGINT) AS total_mm
 FROM sp_band GROUP BY k, band
 ORDER BY {key_expr}, band"""
+
+
+# ---------------------------------------------------------------------------
+# convex hull of each key's point set (exact integer geometry)
+# ---------------------------------------------------------------------------
+
+
+def convex_hull_stats(
+    pts: DataFrame,
+    key_col: str = "user_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Convex-hull summary per key → ``(key, n_points, n_hull,
+    hull_area_sq_microdeg)``.
+
+    The territory-shape primitive (roaming extent, geofence drafting,
+    GPS-outlier blast radius). EXACT integer geometry: coordinates are
+    scaled by ``scale`` (1e4 = the fixture grid) to integers, so every
+    orientation test is an integer cross product — no epsilon, no float
+    tie ambiguity, and the DuckDB twin can verify with a COMPLETELY
+    DIFFERENT algorithm:
+
+    * engine: Andrew's monotone chain per key inside Arrow
+      ``applyInPandas`` (O(n log n), the irreducibly-sequential-per-key
+      pattern of this repo's EWMA/CUSUM family), STRICT turns — hull
+      vertices are the extreme points only (collinear mid-points drop);
+    * oracle: brute extreme-point elimination — a point is NOT a hull
+      vertex iff it lies inside (boundary inclusive) a triangle of
+      three other points, tested with three same-sign-or-zero integer
+      cross products plus the bbox guard that makes degenerate
+      (collinear) triangles mean exact segment containment.
+
+    Agreement of the two formulations on every key is the correctness
+    statement. ``hull_area2`` is the twice-shoelace INTEGER over the
+    chain cycle; the oracle rebuilds the same cycle without running the
+    chain — lower chain (points on or below the L–R line, x asc) then
+    upper chain (above, x desc), legal because a strict-extreme hull
+    has no collinear vertex triple, so only L and R sit ON the line.
+
+    Scale shape: one shuffle on the key; per-key work bounded by the
+    key's DISTINCT point count (dedup first — duplicates cannot change
+    a hull).
+    """
+    import pandas as _pd
+
+    sc = int(scale)
+
+    def fn(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        key = pdf[key_col].iloc[0]
+        pts_i = sorted(
+            {
+                (
+                    int(round(x * sc)),
+                    int(round(y * sc)),
+                )
+                for x, y in zip(pdf[lon_col], pdf[lat_col])
+            }
+        )
+        n = len(pts_i)
+
+        def cross(o, a, b):
+            return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (
+                b[0] - o[0]
+            )
+
+        if n <= 2:
+            hull = pts_i
+        else:
+            lower: list = []
+            for p in pts_i:
+                while (
+                    len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0
+                ):
+                    lower.pop()
+                lower.append(p)
+            upper: list = []
+            for p in reversed(pts_i):
+                while (
+                    len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0
+                ):
+                    upper.pop()
+                upper.append(p)
+            hull = lower[:-1] + upper[:-1]
+        area2 = 0
+        if len(hull) >= 3:
+            for i in range(len(hull)):
+                x1, y1 = hull[i]
+                x2, y2 = hull[(i + 1) % len(hull)]
+                area2 += x1 * y2 - x2 * y1
+        return _pd.DataFrame(
+            {
+                "key": [str(key)],
+                "n_points": [n],
+                "n_hull": [len(hull)],
+                # twice the shoelace area, in integer square micro-deg —
+                # exact, so the oracle compares integers, not floats
+                "hull_area2": [abs(area2)],
+            }
+        )
+
+    return (
+        pts.select(F.col(key_col), F.col(lat_col), F.col(lon_col))
+        .groupBy(key_col)
+        .applyInPandas(
+            fn,
+            schema=(
+                "key string, n_points long, n_hull long, hull_area2 long"
+            ),
+        )
+    )

@@ -4173,6 +4173,127 @@ FROM events""",
         + "\nORDER BY user_id",
     )
 
+    # ---- convex hull per user (two independent exact-geometry algorithms) -----
+    # engine: Andrew monotone chain (Arrow per-key); oracle: brute
+    # extreme-point elimination + canonical-cycle shoelace. Input pinned
+    # to each user's 25 lexicographically-smallest distinct micro-degree
+    # points (bounds the oracle's O(n^4) elimination; documented law).
+    def q_hull(spark, sf):
+        from pyspark.sql import Window as _W
+
+        from .operators.trajectory import convex_hull_stats
+
+        pts = _dwell_pts(spark, sf).where(F.col("user_id") % 7 == 3)
+        ints = pts.select(
+            "user_id",
+            F.round(F.col("lon") * 10_000).cast("long").alias("x"),
+            F.round(F.col("lat") * 10_000).cast("long").alias("y"),
+        ).distinct()
+        capped = ints.withColumn(
+            "rn",
+            F.row_number().over(
+                _W.partitionBy("user_id").orderBy("x", "y")
+            ),
+        ).where(F.col("rn") <= 25)
+        back = capped.select(
+            "user_id",
+            (F.col("y").cast("double") / 10_000.0).alias("lat"),
+            (F.col("x").cast("double") / 10_000.0).alias("lon"),
+        )
+        return convex_hull_stats(back, "user_id").orderBy("key")
+
+    q["geo_convex_hull"] = (
+        q_hull,
+        f"""WITH ch_raw AS (
+  SELECT DISTINCT user_id,
+         CAST(round(lon * 10000) AS BIGINT) AS x,
+         CAST(round(lat * 10000) AS BIGINT) AS y
+  FROM ({_DWELL_PTS_SQL}) WHERE user_id % 7 = 3
+),
+ch_p AS MATERIALIZED (
+  SELECT user_id, x, y FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY x, y) AS rn
+    FROM ch_raw
+  ) WHERE rn <= 25
+),
+ch_hull AS MATERIALIZED (
+  SELECT p.user_id, p.x, p.y
+  FROM ch_p p
+  WHERE NOT EXISTS (
+    SELECT 1
+    FROM ch_p a, ch_p b, ch_p c
+    WHERE a.user_id = p.user_id AND b.user_id = p.user_id
+      AND c.user_id = p.user_id
+      AND (a.x, a.y) < (b.x, b.y) AND (b.x, b.y) < (c.x, c.y)
+      AND (a.x, a.y) != (p.x, p.y) AND (b.x, b.y) != (p.x, p.y)
+      AND (c.x, c.y) != (p.x, p.y)
+      AND NOT (
+        ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x) > 0
+         OR (c.x - b.x) * (p.y - b.y) - (c.y - b.y) * (p.x - b.x) > 0
+         OR (a.x - c.x) * (p.y - c.y) - (a.y - c.y) * (p.x - c.x) > 0)
+        AND
+        ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x) < 0
+         OR (c.x - b.x) * (p.y - b.y) - (c.y - b.y) * (p.x - b.x) < 0
+         OR (a.x - c.x) * (p.y - c.y) - (a.y - c.y) * (p.x - c.x) < 0)
+      )
+      AND p.x BETWEEN least(a.x, b.x, c.x) AND greatest(a.x, b.x, c.x)
+      AND p.y BETWEEN least(a.y, b.y, c.y) AND greatest(a.y, b.y, c.y)
+  )
+),
+ch_lr AS (
+  SELECT user_id,
+         max(CASE WHEN rna = 1 THEN x END) AS lx,
+         max(CASE WHEN rna = 1 THEN y END) AS ly,
+         max(CASE WHEN rnd = 1 THEN x END) AS rx,
+         max(CASE WHEN rnd = 1 THEN y END) AS ry
+  FROM (
+    SELECT *,
+           row_number() OVER (PARTITION BY user_id ORDER BY x, y) AS rna,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY x DESC, y DESC) AS rnd
+    FROM ch_hull
+  ) GROUP BY user_id
+),
+ch_cyc AS (
+  SELECT h.user_id, h.x, h.y,
+         row_number() OVER (
+           PARTITION BY h.user_id
+           ORDER BY
+             CASE WHEN (l.rx - l.lx) * (h.y - l.ly)
+                       - (l.ry - l.ly) * (h.x - l.lx) <= 0
+                  THEN 0 ELSE 1 END,
+             CASE WHEN (l.rx - l.lx) * (h.y - l.ly)
+                       - (l.ry - l.ly) * (h.x - l.lx) <= 0
+                  THEN h.x ELSE -h.x END,
+             CASE WHEN (l.rx - l.lx) * (h.y - l.ly)
+                       - (l.ry - l.ly) * (h.x - l.lx) <= 0
+                  THEN h.y ELSE -h.y END
+         ) AS seq,
+         count(*) OVER (PARTITION BY h.user_id) AS nh
+  FROM ch_hull h JOIN ch_lr l ON l.user_id = h.user_id
+),
+ch_edges AS (
+  SELECT a.user_id,
+         a.x * b.y - b.x * a.y AS term
+  FROM ch_cyc a
+  JOIN ch_cyc b
+    ON b.user_id = a.user_id
+   AND b.seq = CASE WHEN a.seq = a.nh THEN 1 ELSE a.seq + 1 END
+  WHERE a.nh >= 3
+),
+ch_area AS (
+  SELECT user_id, abs(sum(term)) AS area2 FROM ch_edges GROUP BY user_id
+),
+ch_np AS (SELECT user_id, count(*) AS n_points FROM ch_p GROUP BY user_id),
+ch_nh AS (SELECT user_id, count(*) AS n_hull FROM ch_hull GROUP BY user_id)
+SELECT CAST(np.user_id AS VARCHAR) AS key, np.n_points, nh.n_hull,
+       CAST(coalesce(ar.area2, 0) AS BIGINT) AS hull_area2
+FROM ch_np np
+JOIN ch_nh nh ON nh.user_id = np.user_id
+LEFT JOIN ch_area ar ON ar.user_id = np.user_id
+ORDER BY key""",
+    )
+
     def q_speed_hist(spark, sf):
         from .operators.trajectory import speed_histogram
 

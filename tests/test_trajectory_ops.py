@@ -416,3 +416,24 @@ def test_speed_histogram_band_boundaries(spark):
     exp_band = 2 if d_mm % 5 == 0 else (2 if d_mm >= 5 * gap_b else 1)
     assert (2, exp_band) in got
     assert not any(k[0] == 3 for k in got)
+
+
+def test_convex_hull_known_shapes(spark):
+    """Unit square + center point → 4 hull vertices, area2 = 2·(1e4)²
+    per square degree; collinear track → 2 vertices, zero area;
+    collinear edge midpoint is NOT a hull vertex (strict extremes)."""
+    from gosmonaut_spark.operators.trajectory import convex_hull_stats
+
+    rows = []
+    # user 1: unit-degree square + center + an edge midpoint
+    for la, lo in [(0.0, 0.0), (0.0, 1.0), (1.0, 0.0), (1.0, 1.0),
+                   (0.5, 0.5), (0.0, 0.5)]:
+        rows.append((1, la, lo))
+    # user 2: 3 collinear points
+    for la, lo in [(0.0, 0.0), (0.0, 0.5), (0.0, 1.0)]:
+        rows.append((2, la, lo))
+    pts = spark.createDataFrame(rows, "user_id long, lat double, lon double")
+    got = {r["key"]: r for r in convex_hull_stats(pts, "user_id").collect()}
+    assert got["1"]["n_hull"] == 4 and got["1"]["n_points"] == 6
+    assert got["1"]["hull_area2"] == 2 * 10_000 * 10_000
+    assert got["2"]["n_hull"] == 2 and got["2"]["hull_area2"] == 0

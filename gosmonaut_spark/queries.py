@@ -4294,6 +4294,45 @@ LEFT JOIN ch_area ar ON ar.user_id = np.user_id
 ORDER BY key""",
     )
 
+    # ---- territory size (distinct res-7 cells per user) -----------------------
+    def q_territory(spark, sf):
+        cells = (
+            _dwell_pts(spark, sf)
+            .select(
+                "user_id", cell_expr("lat", "lon", 7).alias("cell")
+            )
+            .distinct()
+        )
+        tot = cells.select("cell").distinct().count()
+        return (
+            cells.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_cells"))
+            .select(
+                "user_id",
+                "n_cells",
+                F.lit(tot).alias("corpus_cells"),
+                (
+                    F.col("n_cells").cast("double") / F.lit(float(tot))
+                ).alias("territory_share"),
+            )
+            .orderBy("user_id")
+        )
+
+    q["geo_territory_cells"] = (
+        q_territory,
+        f"""WITH tc2_c AS (
+  SELECT DISTINCT user_id, {cell_sql('lat', 'lon', 7)} AS cell
+  FROM ({_DWELL_PTS_SQL})
+),
+tc2_t AS (SELECT count(DISTINCT cell) AS t FROM tc2_c)
+SELECT user_id, count(*) AS n_cells,
+       (SELECT t FROM tc2_t) AS corpus_cells,
+       CAST(count(*) AS DOUBLE) / CAST((SELECT t FROM tc2_t) AS DOUBLE)
+         AS territory_share
+FROM tc2_c GROUP BY user_id
+ORDER BY user_id""",
+    )
+
     def q_speed_hist(spark, sf):
         from .operators.trajectory import speed_histogram
 

@@ -3719,6 +3719,69 @@ ORDER BY id, d""",
 
     from .functions.similarity import pq_encode_sql
 
+    # ---- class separation: intra- vs inter-class cosine -----------------------
+    # the "is a classifier even plausible" gate: mean pairwise cosine
+    # within labels vs across labels on a deterministic stride subset.
+    # Each cosine is the bit-identical unrolled fold; means round(9).
+    def q_class_sep(spark, sf):
+        from .functions.similarity import dot_codegen
+
+        e_ = (
+            spark.read.parquet(f"{sf}/embeddings.parquet")
+            .where(F.col("vec_id") % 5 == 0)
+            .select("vec_id", "label", "embedding")
+        )
+        a = e_.select(
+            F.col("vec_id").alias("ia"),
+            F.col("label").alias("la"),
+            F.col("embedding").alias("va"),
+        )
+        b = e_.select(
+            F.col("vec_id").alias("ib"),
+            F.col("label").alias("lb"),
+            F.col("embedding").alias("vb"),
+        )
+        pairs = a.join(b, F.col("ia") < F.col("ib"))
+        cos = dot_codegen(F.col("va"), F.col("vb"), 64) / (
+            F.sqrt(dot_codegen(F.col("va"), F.col("va"), 64))
+            * F.sqrt(dot_codegen(F.col("vb"), F.col("vb"), 64))
+        )
+        return (
+            pairs.select(
+                (F.col("la") == F.col("lb")).cast("int").alias("same_class"),
+                cos.alias("c"),
+            )
+            .groupBy("same_class")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.round(F.avg("c"), 9).alias("mean_cosine"),
+            )
+            .orderBy("same_class")
+        )
+
+    _CS_DOT = lambda x, y: (
+        f"list_reduce(list_transform(list_zip({x}, {y}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), "
+        f"(acc, v) -> acc + v)"
+    )
+    q["embeddings_class_separation"] = (
+        q_class_sep,
+        f"""WITH cs_e AS (
+  SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 5 = 0
+),
+cs_p AS (
+  SELECT CAST(a.label = b.label AS INT) AS same_class,
+         ({_CS_DOT('a.embedding', 'b.embedding')})
+           / (sqrt({_CS_DOT('a.embedding', 'a.embedding')})
+              * sqrt({_CS_DOT('b.embedding', 'b.embedding')})) AS c
+  FROM cs_e a JOIN cs_e b ON a.vec_id < b.vec_id
+)
+SELECT same_class, count(*) AS n_pairs,
+       round(avg(c), 9) AS mean_cosine
+FROM cs_p GROUP BY same_class
+ORDER BY same_class""",
+    )
+
     # ---- PQ distortion report (quantization error by subspace) ----------------
     # the codebook-quality gate before trusting ADC distances: per-subspace
     # count / mean / max of the encode residual d2. Each d2 is bit-identical

@@ -993,6 +993,162 @@ FROM sess GROUP BY user_id, session_no
 ORDER BY user_id, session_no""",
     )
 
+    # ---- longest daily-activity streak per user (islands law) -----------------
+    # day − row_number over distinct active days is constant within a
+    # consecutive run — the classic gaps-and-islands trick, all integers
+    def q_streak(spark, sf):
+        from pyspark.sql import Window as _W
+
+        from .functions.timeops import ntz_epoch_ms
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        days = ev.select(
+            "user_id",
+            (ntz_epoch_ms(F.col("ts")) / F.lit(86_400_000))
+            .cast("long")
+            .alias("day"),
+        ).distinct()
+        grp = days.withColumn(
+            "g",
+            F.col("day")
+            - F.row_number().over(
+                _W.partitionBy("user_id").orderBy("day")
+            ),
+        )
+        runs = grp.groupBy("user_id", "g").agg(
+            F.count(F.lit(1)).alias("len")
+        )
+        return (
+            runs.groupBy("user_id")
+            .agg(
+                F.sum("len").alias("active_days"),
+                F.max("len").alias("longest_streak"),
+                F.count(F.lit(1)).alias("n_streaks"),
+            )
+            .orderBy("user_id")
+        )
+
+    q["events_longest_streak"] = (
+        q_streak,
+        """WITH st_d AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+),
+st_g AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS g
+  FROM st_d
+),
+st_r AS (
+  SELECT user_id, g, count(*) AS len FROM st_g GROUP BY user_id, g
+)
+SELECT user_id, CAST(sum(len) AS BIGINT) AS active_days,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       count(*) AS n_streaks
+FROM st_r GROUP BY user_id
+ORDER BY user_id""",
+    )
+
+    # ---- event-type affinity (market-basket lift over sessions) ---------------
+    # support/lift for unordered type pairs co-occurring inside the same
+    # 12h-gap session: integer counts, terminal divisions only
+    def q_affinity(spark, sf):
+        from .functions.timeops import ntz_epoch_ms
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ms = ntz_epoch_ms(F.col("ts"))
+        gap = ms - F.lag(ms).over(w)
+        new_s = F.when(gap.isNull() | (gap > 43_200_000), 1).otherwise(0)
+        sess = ev.withColumn(
+            "sid", F.sum(new_s).over(w)
+        ).select("user_id", "sid", "event_type")
+        st = sess.select(
+            F.concat_ws("#", F.col("user_id"), F.col("sid")).alias("s"),
+            "event_type",
+        ).distinct()
+        n_sessions = st.select("s").distinct().count()
+        single = st.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        pairs = (
+            st.alias("x")
+            .join(st.alias("y"), "s")
+            .where(F.col("x.event_type") < F.col("y.event_type"))
+            .groupBy(
+                F.col("x.event_type").alias("t1"),
+                F.col("y.event_type").alias("t2"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_both"))
+        )
+        ns = float(n_sessions)
+        return (
+            pairs.join(
+                single.select(
+                    F.col("event_type").alias("t1"), F.col("n").alias("n1")
+                ),
+                "t1",
+            )
+            .join(
+                single.select(
+                    F.col("event_type").alias("t2"), F.col("n").alias("n2")
+                ),
+                "t2",
+            )
+            .select(
+                "t1",
+                "t2",
+                "n_both",
+                (
+                    F.col("n_both").cast("double") * F.lit(ns)
+                    / (
+                        F.col("n1").cast("double")
+                        * F.col("n2").cast("double")
+                    )
+                ).alias("lift"),
+            )
+            .orderBy("t1", "t2")
+        )
+
+    q["events_type_affinity"] = (
+        q_affinity,
+        """WITH af_l AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+         lag(epoch_ms(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+  FROM events
+),
+af_s AS (
+  SELECT user_id, event_type, ms, event_id,
+         CASE WHEN prev_ms IS NULL OR ms - prev_ms > 43200000
+              THEN 1 ELSE 0 END AS new_s
+  FROM af_l
+),
+af_t AS (
+  SELECT DISTINCT
+         CAST(user_id AS VARCHAR) || '#' || CAST(
+           CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS VARCHAR) AS s,
+         event_type
+  FROM af_s
+),
+af_n AS (SELECT count(DISTINCT s) AS ns FROM af_t),
+af_1 AS (SELECT event_type, count(*) AS n FROM af_t GROUP BY event_type),
+af_p AS (
+  SELECT x.event_type AS t1, y.event_type AS t2, count(*) AS n_both
+  FROM af_t x JOIN af_t y ON x.s = y.s AND x.event_type < y.event_type
+  GROUP BY 1, 2
+)
+SELECT p.t1, p.t2, p.n_both,
+       CAST(p.n_both AS DOUBLE) * CAST(n.ns AS DOUBLE)
+         / (CAST(a1.n AS DOUBLE) * CAST(a2.n AS DOUBLE)) AS lift
+FROM af_p p
+JOIN af_1 a1 ON a1.event_type = p.t1
+JOIN af_1 a2 ON a2.event_type = p.t2
+CROSS JOIN af_n n
+ORDER BY t1, t2""",
+    )
+
     # ---- session-level stats (12h-gap sessions, exact rank quantiles) ---------
     # one row: session count, mean events/session, median & p90 duration
     # by the exact integer rank law (no approx-percentile gap)

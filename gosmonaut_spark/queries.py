@@ -6634,6 +6634,68 @@ SELECT n_terms,
 FROM zf_s""",
     )
 
+    # ---- novelty accretion: share of first-seen bigrams per doc ---------------
+    # reading docs in id order, what fraction of each doc's bigrams has
+    # never appeared before (first occurrence = min doc_id holding the
+    # bigram)? The diminishing-returns curve behind dedup budgeting.
+    # Integer counts + one division per row.
+    def q_novelty(spark, sf):
+        from .functions.text import tokens as _tok
+
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        base = d.select(
+            "doc_id", _tok("text").alias("t")
+        ).where(F.size("t") >= 2)
+        bg = base.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> concat(element_at(t, CAST(i AS INT)), ' ', "
+                    "element_at(t, CAST(i AS INT) + 1)))"
+                )
+            ).alias("b"),
+        ).distinct()
+        first = bg.groupBy("b").agg(F.min("doc_id").alias("first_doc"))
+        per = (
+            bg.join(first, "b")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_distinct_bigrams"),
+                F.sum(
+                    (F.col("doc_id") == F.col("first_doc")).cast("long")
+                ).alias("n_novel"),
+            )
+        )
+        return per.select(
+            "doc_id",
+            "n_distinct_bigrams",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double")
+                / F.col("n_distinct_bigrams").cast("double")
+            ).alias("novelty"),
+        ).orderBy("doc_id")
+
+    q["corpus_novelty_curve"] = (
+        q_novelty,
+        f"""WITH nv_b AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] AS b
+  FROM (SELECT doc_id, {T.tokens_sql("text")} AS t FROM documents) s,
+       LATERAL (SELECT unnest(range(1, len(t))) AS i) ix
+  WHERE len(t) >= 2
+),
+nv_f AS (SELECT b, min(doc_id) AS first_doc FROM nv_b GROUP BY b)
+SELECT x.doc_id, count(*) AS n_distinct_bigrams,
+       CAST(sum(CAST(x.doc_id = f.first_doc AS BIGINT)) AS BIGINT)
+         AS n_novel,
+       CAST(sum(CAST(x.doc_id = f.first_doc AS BIGINT)) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS novelty
+FROM nv_b x JOIN nv_f f ON f.b = x.b
+GROUP BY x.doc_id
+ORDER BY x.doc_id""",
+    )
+
     # ---- hapax legomena rate (vocabulary freshness) ---------------------------
     # share of vocabulary seen exactly once, and the token share it holds —
     # the OCR-garbage / productive-morphology dial every corpus audit reads

@@ -383,6 +383,62 @@ SELECT fp, count(*) AS n_docs, min(doc_id) AS canonical_id
 FROM fps GROUP BY fp HAVING count(*) > 1 ORDER BY fp""",
     )
 
+    # ---- exact-dedup savings report -------------------------------------------
+    # the bytes-kept summary a pipeline owner reads after fingerprint
+    # dedup (keep min doc_id per fingerprint; planted duplicates via the
+    # +1e6 shift): all integer counts + terminal shares
+    def q_dedup_savings(spark, sf):
+        d = spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", "text", "n_chars"
+        )
+        dup = d.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+        docs = d.unionByName(dup)
+        fp = docs.select(
+            "doc_id", "n_chars", T.content_fingerprint("text").alias("fp")
+        )
+        kept = fp.groupBy("fp").agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sum("n_chars").alias("chars_all"),
+            F.min_by(F.col("n_chars"), F.col("doc_id")).alias("chars_kept"),
+        )
+        return kept.agg(
+            F.count(F.lit(1)).alias("n_unique_docs"),
+            F.sum("n_copies").alias("n_docs_in"),
+            F.sum("chars_all").alias("chars_in"),
+            F.sum("chars_kept").alias("chars_kept"),
+            (
+                F.lit(1.0)
+                - F.sum("chars_kept").cast("double")
+                / F.sum("chars_all").cast("double")
+            ).alias("savings_share"),
+        )
+
+    q["dedup_exact_savings"] = (
+        q_dedup_savings,
+        f"""WITH sv2_docs AS (
+  SELECT doc_id, text, n_chars FROM documents
+  UNION ALL SELECT doc_id + 1000000, text, n_chars FROM documents
+),
+sv2_fp AS (
+  SELECT doc_id, n_chars, {T.content_fingerprint_sql('text')} AS fp
+  FROM sv2_docs
+),
+sv2_k AS (
+  SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies,
+         sum(n_chars) AS chars_all,
+         arg_min(n_chars, doc_id) AS chars_kept
+  FROM sv2_fp GROUP BY fp
+)
+SELECT count(*) AS n_unique_docs,
+       CAST(sum(n_copies) AS BIGINT) AS n_docs_in,
+       CAST(sum(chars_all) AS BIGINT) AS chars_in,
+       CAST(sum(chars_kept) AS BIGINT) AS chars_kept,
+       1.0 - CAST(sum(chars_kept) AS DOUBLE)
+           / CAST(sum(chars_all) AS DOUBLE) AS savings_share
+FROM sv2_k""",
+    )
+
     def q_jaccard(spark, sf):
         d = spark.read.parquet(f"{sf}/documents.parquet").filter(F.col("doc_id") < 300)
         return D.jaccard_pairs(d, threshold=0.2, n=3).orderBy("a", "b")
@@ -5403,6 +5459,27 @@ ORDER BY x, y""",
     q["tiles_join_counts"] = (
         q_join_counts,
         join_counts_sql(_DOM_TILES_SQL, res=4),
+    )
+
+    # ---- spatial concentration: Gini over the res-5 tile mass -----------------
+    # the skew dial for shuffle planning: how unevenly do points load
+    # tiles (the salting decision input) — reuses the pinned-rank Gini law
+    def q_tile_gini(spark, sf):
+        from .operators.rolling import gini_concentration
+
+        cells = _pts(spark, sf).select(
+            cell_expr("lat", "lon", 5).alias("cell")
+        )
+        return gini_concentration(cells, key_col="cell")
+
+    from .operators.rolling import gini_concentration_sql as _gini_sql
+
+    q["tiles_cell_gini"] = (
+        q_tile_gini,
+        _gini_sql(
+            f"SELECT {cell_sql('lat', 'lon', 5)} AS cell FROM ({_PTS_SQL})",
+            "cell",
+        ),
     )
 
     # ---- global spatial autocorrelation over the same weighted layer ------------

@@ -599,6 +599,76 @@ SELECT (SELECT count(*) FROM cj) AS n_candidates,
          / CAST((SELECT count(*) FROM truth) AS DOUBLE) AS recall""",
     )
 
+    # ---- duplicate-cluster size histogram --------------------------------------
+    # how big do near-dup clusters get (pairwise LSH -> components ->
+    # size histogram): the skew signal for cluster-cap planning. Engine:
+    # star-loop CC; oracle: recursive closure over the same banded pairs.
+    def q_cluster_hist(spark, sf):
+        from .operators.graph import connected_components
+
+        d = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(F.col("doc_id") < 200)
+            .select("doc_id", "text")
+        )
+        dup = d.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+        pert = d.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(2_000_000)
+        ).withColumn("text", F.concat(F.col("text"), F.lit(" zq")))
+        docs = d.unionByName(dup).unionByName(pert)
+        pairs = D.minhash_lsh_pairs(
+            docs, threshold=0.5, n_hashes=8, n_bands=4, n=3
+        )
+        cc = connected_components(pairs, "a", "b")
+        sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+        return (
+            sizes.groupBy("sz")
+            .agg(F.count(F.lit(1)).alias("n_clusters"))
+            .orderBy("sz")
+        )
+
+    q["dedup_cluster_size_histogram"] = (
+        q_cluster_hist,
+        f"""WITH RECURSIVE all_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 200
+  UNION ALL SELECT doc_id + 2000000, text || ' zq' FROM documents
+            WHERE doc_id < 200
+),
+shing AS (SELECT doc_id, {sh_sql} AS sh FROM all_docs),
+sigs AS (SELECT doc_id, sh, {mh_cols} FROM shing WHERE len(sh) > 0),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+   AND x.doc_id < y.doc_id
+),
+sh2 AS (SELECT doc_id, unnest(sh) AS s FROM shing),
+sizes0 AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS n_inter
+  FROM cand c JOIN sh2 x ON x.doc_id = c.a
+  JOIN sh2 y ON y.doc_id = c.b AND y.s = x.s
+  GROUP BY c.a, c.b
+),
+pairs AS (
+  SELECT i.a, i.b
+  FROM inter i JOIN sizes0 sa ON sa.doc_id = i.a
+  JOIN sizes0 sb ON sb.doc_id = i.b
+  WHERE CAST(i.n_inter AS DOUBLE)
+          / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.5
+),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach AS (
+  SELECT u AS id, u AS lbl FROM edges
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id
+),
+comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+csz AS (SELECT component, count(*) AS sz FROM comp GROUP BY component)
+SELECT sz, count(*) AS n_clusters FROM csz GROUP BY sz ORDER BY sz""",
+    )
+
     def q_simhash(spark, sf):
         d = (
             spark.read.parquet(f"{sf}/documents.parquet")

@@ -6781,6 +6781,51 @@ SELECT n_terms,
 FROM zf_s""",
     )
 
+    # ---- language-ID confusion matrix (classifier audit) ----------------------
+    # the engine's stopword-vote lang_id scored against the corpus labels:
+    # (actual, predicted, n) + per-cell recall share — integer counts,
+    # terminal division
+    def q_lang_confusion(spark, sf):
+        from .functions.text import lang_id
+
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        per = (
+            d.select(
+                F.col("lang").alias("actual"),
+                lang_id("text").alias("predicted"),
+            )
+            .groupBy("actual", "predicted")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        tot = per.groupBy("actual").agg(F.sum("n").alias("t"))
+        return (
+            per.join(tot, "actual")
+            .select(
+                "actual",
+                "predicted",
+                "n",
+                (F.col("n").cast("double") / F.col("t").cast("double")).alias(
+                    "share_of_actual"
+                ),
+            )
+            .orderBy("actual", "predicted")
+        )
+
+    from .functions.text import lang_id_sql as _lid_sql
+
+    q["text_lang_confusion"] = (
+        q_lang_confusion,
+        f"""WITH lc_p AS (
+  SELECT lang AS actual, {_lid_sql('text')} AS predicted, count(*) AS n
+  FROM documents GROUP BY 1, 2
+),
+lc_t AS (SELECT actual, sum(n) AS t FROM lc_p GROUP BY actual)
+SELECT p.actual, p.predicted, p.n,
+       CAST(p.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS share_of_actual
+FROM lc_p p JOIN lc_t t ON t.actual = p.actual
+ORDER BY p.actual, p.predicted""",
+    )
+
     # ---- novelty accretion: share of first-seen bigrams per doc ---------------
     # reading docs in id order, what fraction of each doc's bigrams has
     # never appeared before (first occurrence = min doc_id holding the

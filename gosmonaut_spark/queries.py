@@ -2895,6 +2895,115 @@ FROM lt_att GROUP BY 1
 ORDER BY channel""",
     )
 
+    # ---- linear (multi-touch) attribution --------------------------------------
+    # every click/view inside the 7-day lookback shares the conversion
+    # equally (credit 1/n). Credits are identical IEEE divisions on both
+    # engines and the per-channel sum folds in (conversion, touch-ts)
+    # order — pinned, so totals compare at round(9) without drift.
+    def q_linear_touch(spark, sf):
+        from .functions.timeops import ntz_epoch_ms
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        conv = ev.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("conv_id"),
+            "user_id",
+            ntz_epoch_ms(F.col("ts")).alias("cms"),
+        )
+        touch = (
+            ev.where(F.col("event_type").isin("click", "view"))
+            .groupBy("user_id", ntz_epoch_ms(F.col("ts")).alias("tms"))
+            .agg(F.min("event_type").alias("channel"))
+        )
+        j = conv.join(touch, "user_id").where(
+            (F.col("tms") <= F.col("cms"))
+            & (F.col("cms") - F.col("tms") <= 7 * 86_400_000)
+        )
+        n_per = j.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
+        credits = (
+            j.join(n_per, "conv_id")
+            .select(
+                "channel",
+                "conv_id",
+                "tms",
+                (F.lit(1.0) / F.col("n").cast("double")).alias("credit"),
+            )
+        )
+        attributed = (
+            credits.groupBy("channel")
+            .agg(
+                F.count(F.lit(1)).alias("n_touches"),
+                F.round(
+                    F.aggregate(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct("conv_id", "tms", "credit")
+                                )
+                            ),
+                            lambda s: s["credit"],
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    9,
+                ).alias("credit"),
+            )
+        )
+        none_row = (
+            conv.join(j.select("conv_id").distinct(), "conv_id", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_touches"))
+            .select(
+                F.lit("none").alias("channel"),
+                "n_touches",
+                F.col("n_touches").cast("double").alias("credit"),
+            )
+            .where(F.col("n_touches") > 0)
+        )
+        return attributed.unionByName(none_row).orderBy("channel")
+
+    q["events_linear_touch"] = (
+        q_linear_touch,
+        """WITH mt_conv AS (
+  SELECT event_id AS conv_id, user_id, epoch_ms(ts) AS cms
+  FROM events WHERE event_type = 'purchase'
+),
+mt_touch AS (
+  SELECT user_id, epoch_ms(ts) AS tms, min(event_type) AS channel
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY user_id, epoch_ms(ts)
+),
+mt_j AS (
+  SELECT c.conv_id, t.tms, t.channel
+  FROM mt_conv c JOIN mt_touch t ON t.user_id = c.user_id
+  WHERE t.tms <= c.cms AND c.cms - t.tms <= 604800000
+),
+mt_n AS (SELECT conv_id, count(*) AS n FROM mt_j GROUP BY conv_id),
+mt_c AS (
+  SELECT j.channel, j.conv_id, j.tms,
+         CAST(1.0 AS DOUBLE) / CAST(n.n AS DOUBLE) AS credit
+  FROM mt_j j JOIN mt_n n ON n.conv_id = j.conv_id
+),
+mt_a AS (
+  SELECT channel, count(*) AS n_touches,
+         round(list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list(credit ORDER BY conv_id, tms)),
+           (acc, x) -> acc + x
+         ), 9) AS credit
+  FROM mt_c GROUP BY channel
+),
+mt_none AS (
+  SELECT 'none' AS channel, count(*) AS n_touches,
+         CAST(count(*) AS DOUBLE) AS credit
+  FROM mt_conv c
+  WHERE NOT EXISTS (SELECT 1 FROM mt_j j WHERE j.conv_id = c.conv_id)
+  HAVING count(*) > 0
+)
+SELECT * FROM mt_a
+UNION ALL SELECT * FROM mt_none
+ORDER BY channel""",
+    )
+
     # ---- positional inverted index + phrase search ----------------------------
     def q_postings(spark, sf):
         from .functions.indexing import inverted_postings

@@ -4110,6 +4110,43 @@ ORDER BY id, d""",
 
     from .functions.similarity import pq_encode_sql
 
+    # ---- exact duplicate vectors (array-equality dedup) -----------------------
+    # the embedding-side twin of exact text dedup: group by the raw
+    # float array (bit equality — both engines read the same parquet
+    # bits); planted duplicates via the +1e6 id shift
+    def q_vec_dupes(spark, sf):
+        e_ = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        dup = e_.where(F.col("vec_id") % 20 == 0).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(1_000_000)
+        )
+        allv = e_.unionByName(dup)
+        groups = allv.groupBy("embedding").agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("vec_id").alias("canonical_id"),
+        )
+        return (
+            groups.where(F.col("n_copies") > 1)
+            .select("canonical_id", "n_copies")
+            .orderBy("canonical_id")
+        )
+
+    q["embeddings_exact_dupes"] = (
+        q_vec_dupes,
+        """WITH vd_all AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 20 = 0
+),
+vd_g AS (
+  SELECT embedding, count(*) AS n_copies, min(vec_id) AS canonical_id
+  FROM vd_all GROUP BY embedding
+)
+SELECT canonical_id, n_copies FROM vd_g WHERE n_copies > 1
+ORDER BY canonical_id""",
+    )
+
     # ---- class separation: intra- vs inter-class cosine -----------------------
     # the "is a classifier even plausible" gate: mean pairwise cosine
     # within labels vs across labels on a deterministic stride subset.

@@ -7034,6 +7034,52 @@ GROUP BY x.doc_id
 ORDER BY x.doc_id""",
     )
 
+    # ---- per-source scorecard (curation dashboard row) ------------------------
+    # integer-exact per-source health: docs, chars, tokens, English share,
+    # mean doc length — the one-row-per-source table a corpus owner scans
+    def q_scorecard(spark, sf):
+        from .functions.text import token_count
+
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        return (
+            d.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+                F.sum(token_count("text")).alias("total_tokens"),
+                F.sum((F.col("lang") == "en").cast("long")).alias("n_en"),
+            )
+            .select(
+                "source",
+                "n_docs",
+                "total_chars",
+                "total_tokens",
+                "n_en",
+                (
+                    F.col("n_en").cast("double") / F.col("n_docs").cast("double")
+                ).alias("en_share"),
+                (
+                    F.col("total_chars").cast("double")
+                    / F.col("n_docs").cast("double")
+                ).alias("mean_chars"),
+            )
+            .orderBy("source")
+        )
+
+    q["corpus_source_scorecard"] = (
+        q_scorecard,
+        f"""SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum({_tc_sql('text')}) AS BIGINT) AS total_tokens,
+       CAST(sum(CAST(lang = 'en' AS BIGINT)) AS BIGINT) AS n_en,
+       CAST(sum(CAST(lang = 'en' AS BIGINT)) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS en_share,
+       CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS mean_chars
+FROM documents GROUP BY source
+ORDER BY source""",
+    )
+
     # ---- hapax legomena rate (vocabulary freshness) ---------------------------
     # share of vocabulary seen exactly once, and the token share it holds —
     # the OCR-garbage / productive-morphology dial every corpus audit reads

@@ -1119,6 +1119,51 @@ FROM sess GROUP BY user_id, session_no
 ORDER BY user_id, session_no""",
     )
 
+    # ---- new vs returning daily actives (growth accounting) -------------------
+    def q_new_returning(spark, sf):
+        from .functions.timeops import ntz_epoch_ms
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        ud = ev.select(
+            "user_id",
+            (ntz_epoch_ms(F.col("ts")) / F.lit(86_400_000))
+            .cast("long")
+            .alias("day"),
+        ).distinct()
+        first = ud.groupBy("user_id").agg(F.min("day").alias("fd"))
+        j = ud.join(first, "user_id")
+        return (
+            j.groupBy("day")
+            .agg(
+                F.count(F.lit(1)).alias("n_active"),
+                F.sum((F.col("day") == F.col("fd")).cast("long")).alias(
+                    "n_new"
+                ),
+            )
+            .select(
+                "day",
+                "n_active",
+                "n_new",
+                (F.col("n_active") - F.col("n_new")).alias("n_returning"),
+            )
+            .orderBy("day")
+        )
+
+    q["events_new_vs_returning"] = (
+        q_new_returning,
+        """WITH nr_d AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+),
+nr_f AS (SELECT user_id, min(day) AS fd FROM nr_d GROUP BY user_id)
+SELECT d.day, count(*) AS n_active,
+       CAST(sum(CAST(d.day = f.fd AS BIGINT)) AS BIGINT) AS n_new,
+       count(*) - CAST(sum(CAST(d.day = f.fd AS BIGINT)) AS BIGINT)
+         AS n_returning
+FROM nr_d d JOIN nr_f f ON f.user_id = d.user_id
+GROUP BY d.day
+ORDER BY d.day""",
+    )
+
     # ---- longest daily-activity streak per user (islands law) -----------------
     # day − row_number over distinct active days is constant within a
     # consecutive run — the classic gaps-and-islands trick, all integers

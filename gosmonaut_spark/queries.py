@@ -5722,6 +5722,46 @@ ORDER BY x, y""",
         join_counts_sql(_DOM_TILES_SQL, res=4),
     )
 
+    # ---- grid occupancy by resolution (index-sizing table) --------------------
+    # occupied cells, occupancy share and max cell load for res 3..8 —
+    # the table that picks an index resolution before building tile
+    # layers; pure integers + terminal divisions
+    def q_occupancy(spark, sf):
+        pts = _pts(spark, sf)
+        out = None
+        for r in range(3, 9):
+            cells = pts.select(cell_expr("lat", "lon", r).alias("cell"))
+            row = (
+                cells.groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .agg(
+                    F.lit(r).alias("res"),
+                    F.count(F.lit(1)).alias("occupied_cells"),
+                    F.lit(1 << (2 * r)).alias("total_cells"),
+                    F.max("n").alias("max_cell_load"),
+                    (
+                        F.count(F.lit(1)).cast("double")
+                        / F.lit(float(1 << (2 * r)))
+                    ).alias("occupancy"),
+                )
+            )
+            out = row if out is None else out.unionByName(row)
+        return out.orderBy("res")
+
+    _OCC_ROWS = "\nUNION ALL\n".join(
+        f"""SELECT {r} AS res, count(*) AS occupied_cells,
+       {1 << (2 * r)} AS total_cells, max(n) AS max_cell_load,
+       CAST(count(*) AS DOUBLE) / CAST({float(1 << (2 * r))!r} AS DOUBLE)
+         AS occupancy
+FROM (SELECT {cell_sql('lat', 'lon', r)} AS cell, count(*) AS n
+      FROM ({_PTS_SQL}) GROUP BY 1)"""
+        for r in range(3, 9)
+    )
+    q["tiles_occupancy_by_res"] = (
+        q_occupancy,
+        f"SELECT * FROM (\n{_OCC_ROWS}\n) ORDER BY res",
+    )
+
     # ---- spatial concentration: Gini over the res-5 tile mass -----------------
     # the skew dial for shuffle planning: how unevenly do points load
     # tiles (the salting decision input) — reuses the pinned-rank Gini law

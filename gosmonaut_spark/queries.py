@@ -4621,6 +4621,61 @@ FROM events"""
         + "\nORDER BY o_cell, d_cell",
     )
 
+    # ---- OD-flow directional asymmetry ----------------------------------------
+    # per unordered cell pair with flow both ways or one way:
+    # asymmetry = |f_ab − f_ba| / (f_ab + f_ba) — commute-imbalance dial
+    # over the same od_matrix law; integers + one division
+    def q_od_asym(spark, sf):
+        from .operators.trajectory import od_matrix
+
+        od = od_matrix(_dwell_pts(spark, sf), 4, "user_id", "ms", "event_id")
+        a = od.where(F.col("o_cell") < F.col("d_cell")).select(
+            F.col("o_cell").alias("c1"),
+            F.col("d_cell").alias("c2"),
+            F.col("n_trips").alias("f_ab"),
+        )
+        b = od.where(F.col("o_cell") > F.col("d_cell")).select(
+            F.col("d_cell").alias("c1"),
+            F.col("o_cell").alias("c2"),
+            F.col("n_trips").alias("f_ba"),
+        )
+        j = a.join(b, ["c1", "c2"], "full")
+        fab = F.coalesce(F.col("f_ab"), F.lit(0))
+        fba = F.coalesce(F.col("f_ba"), F.lit(0))
+        return j.select(
+            "c1",
+            "c2",
+            fab.alias("f_ab"),
+            fba.alias("f_ba"),
+            (
+                F.abs(fab - fba).cast("double")
+                / (fab + fba).cast("double")
+            ).alias("asymmetry"),
+        ).orderBy("c1", "c2")
+
+    q["geo_od_asymmetry"] = (
+        q_od_asym,
+        f"""WITH oda AS (
+{od_matrix_sql(_DWELL_PTS_SQL, 4, "user_id", "ms", "event_id")}
+),
+od_f AS (
+  SELECT o_cell AS c1, d_cell AS c2, n_trips AS f_ab
+  FROM oda WHERE o_cell < d_cell
+),
+od_b AS (
+  SELECT d_cell AS c1, o_cell AS c2, n_trips AS f_ba
+  FROM oda WHERE o_cell > d_cell
+)
+SELECT coalesce(f.c1, b.c1) AS c1, coalesce(f.c2, b.c2) AS c2,
+       CAST(coalesce(f.f_ab, 0) AS BIGINT) AS f_ab,
+       CAST(coalesce(b.f_ba, 0) AS BIGINT) AS f_ba,
+       CAST(abs(coalesce(f.f_ab, 0) - coalesce(b.f_ba, 0)) AS DOUBLE)
+         / CAST(coalesce(f.f_ab, 0) + coalesce(b.f_ba, 0) AS DOUBLE)
+         AS asymmetry
+FROM od_f f FULL JOIN od_b b ON b.c1 = f.c1 AND b.c2 = f.c2
+ORDER BY c1, c2""",
+    )
+
     def q_stay(spark, sf):
         from .operators.trajectory import stay_points
 

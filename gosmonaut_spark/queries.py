@@ -6305,6 +6305,57 @@ ORDER BY rank""",
         link_prediction_sql(_CONTACT_EDGES_SQL, k=15),
     )
 
+    # ---- degree distribution histogram ----------------------------------------
+    def q_degree_dist(spark, sf):
+        edges = _contact_edges(spark, sf)
+        e = (
+            edges.select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .where(F.col("a") < F.col("b"))
+            .distinct()
+        )
+        deg = (
+            e.select(F.col("a").alias("v"))
+            .unionByName(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        tot = deg.agg(F.count(F.lit(1)).alias("n"))
+        return (
+            deg.groupBy("d")
+            .agg(F.count(F.lit(1)).alias("n_nodes"))
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.col("d").alias("degree"),
+                "n_nodes",
+                (
+                    F.col("n_nodes").cast("double") / F.col("n").cast("double")
+                ).alias("share"),
+            )
+            .orderBy("degree")
+        )
+
+    q["graph_degree_distribution"] = (
+        q_degree_dist,
+        f"""WITH dd_e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({_CONTACT_EDGES_SQL}) WHERE least(src, dst) < greatest(src, dst)
+),
+dd_d AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM dd_e UNION ALL SELECT b FROM dd_e
+  ) GROUP BY v
+),
+dd_h AS (SELECT d, count(*) AS n_nodes FROM dd_d GROUP BY d)
+SELECT d AS degree, n_nodes,
+       CAST(n_nodes AS DOUBLE)
+         / CAST((SELECT count(*) FROM dd_d) AS DOUBLE) AS share
+FROM dd_h
+ORDER BY degree""",
+    )
+
     def q_rich_club(spark, sf):
         from .operators.graph import rich_club
 

@@ -1119,6 +1119,74 @@ FROM sess GROUP BY user_id, session_no
 ORDER BY user_id, session_no""",
     )
 
+    # ---- inter-arrival gap quantiles per event type (exact rank law) ----------
+    def q_iat_quantiles(spark, sf):
+        from pyspark.sql import Window as _W
+
+        from .functions.timeops import ntz_epoch_ms
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        w = _W.partitionBy("user_id").orderBy(
+            ntz_epoch_ms(F.col("ts")).asc(), F.col("event_id").asc()
+        )
+        ms = ntz_epoch_ms(F.col("ts"))
+        gaps = ev.select(
+            "event_type",
+            "event_id",
+            (ms - F.lag(ms).over(w)).alias("g"),
+        ).where(F.col("g").isNotNull() & (F.col("g") > 0))
+        ranked = gaps.select(
+            "event_type",
+            "g",
+            F.row_number().over(
+                _W.partitionBy("event_type").orderBy("g", "event_id")
+            ).alias("rk"),
+            F.count(F.lit(1)).over(
+                _W.partitionBy("event_type")
+            ).alias("n"),
+        )
+        med = F.floor((F.col("n") + 1) / F.lit(2.0)).cast("long")
+        p90 = F.floor((F.col("n") * 9 + 9) / F.lit(10.0)).cast("long")
+        return (
+            ranked.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_gaps"),
+                F.min("g").alias("min_ms"),
+                F.max(F.when(F.col("rk") == med, F.col("g"))).alias(
+                    "median_ms"
+                ),
+                F.max(F.when(F.col("rk") == p90, F.col("g"))).alias("p90_ms"),
+                F.max("g").alias("max_ms"),
+            )
+            .orderBy("event_type")
+        )
+
+    q["events_iat_quantiles"] = (
+        q_iat_quantiles,
+        """WITH iq_g AS (
+  SELECT event_type, event_id,
+         epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_ms(ts) ASC, event_id ASC
+         ) AS g
+  FROM events
+),
+iq_r AS (
+  SELECT event_type, g,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY g, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM iq_g WHERE g IS NOT NULL AND g > 0
+)
+SELECT event_type, count(*) AS n_gaps, min(g) AS min_ms,
+       max(CASE WHEN rk = CAST(floor((n + 1) / 2.0) AS BIGINT)
+                THEN g END) AS median_ms,
+       max(CASE WHEN rk = CAST(floor((n * 9 + 9) / 10.0) AS BIGINT)
+                THEN g END) AS p90_ms,
+       max(g) AS max_ms
+FROM iq_r GROUP BY event_type
+ORDER BY event_type""",
+    )
+
     # ---- new vs returning daily actives (growth accounting) -------------------
     def q_new_returning(spark, sf):
         from .functions.timeops import ntz_epoch_ms

@@ -1119,6 +1119,38 @@ FROM sess GROUP BY user_id, session_no
 ORDER BY user_id, session_no""",
     )
 
+    # ---- value histogram (power-of-two cent buckets per type) -----------------
+    def q_value_hist(spark, sf):
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        cents = F.round(F.col("value") * F.lit(100.0)).cast("long")
+        bucket = sum(
+            (cents >= F.lit(1 << k)).cast("long") for k in range(20)
+        )
+        return (
+            ev.select("event_type", bucket.alias("bucket"), cents.alias("c"))
+            .groupBy("event_type", "bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("c").alias("total_cents"),
+            )
+            .orderBy("event_type", "bucket")
+        )
+
+    _VH_TESTS = " + ".join(
+        f"CAST(CAST(round(value * 100.0) AS BIGINT) >= {1 << k} AS BIGINT)"
+        for k in range(20)
+    )
+    q["events_value_histogram"] = (
+        q_value_hist,
+        f"""SELECT event_type, ({_VH_TESTS}) AS bucket,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket""",
+    )
+
     # ---- inter-arrival gap quantiles per event type (exact rank law) ----------
     def q_iat_quantiles(spark, sf):
         from pyspark.sql import Window as _W

@@ -3738,6 +3738,43 @@ FROM keys GROUP BY etype, tag_key
 ORDER BY etype, tag_key""",
     )
 
+    # ---- blob-size census over the crawl table --------------------------------
+    # bytes on the wire per lang: blob count, total/mean html bytes and
+    # the text-to-blob expansion ratio — the storage-planning row
+    def q_blob_sizes(spark, sf):
+        p = _pages_for(spark, sf).select("lang", "html", "text")
+        return (
+            p.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_pages"),
+                F.sum(F.length("html")).alias("blob_bytes"),
+                F.sum(F.length("text")).alias("text_chars"),
+            )
+            .select(
+                "lang",
+                "n_pages",
+                "blob_bytes",
+                "text_chars",
+                (
+                    F.col("text_chars").cast("double")
+                    / F.col("blob_bytes").cast("double")
+                ).alias("text_ratio"),
+            )
+            .orderBy("lang")
+        )
+
+    q["pages_blob_sizes"] = (
+        q_blob_sizes,
+        f"""SELECT lang, count(*) AS n_pages,
+       CAST(sum(octet_length(html)) AS BIGINT) AS blob_bytes,
+       CAST(sum(length(text)) AS BIGINT) AS text_chars,
+       CAST(sum(length(text)) AS DOUBLE)
+         / CAST(sum(octet_length(html)) AS DOUBLE) AS text_ratio
+FROM read_parquet('{pages_path}')
+GROUP BY lang
+ORDER BY lang""",
+    )
+
     # ---- URL path-depth census over the crawl table ---------------------------
     # pure string law both engines: strip scheme+host with one regexp, depth
     # = '/' count in the remaining path; split by lang — the crawl-shape

@@ -1119,6 +1119,37 @@ FROM sess GROUP BY user_id, session_no
 ORDER BY user_id, session_no""",
     )
 
+    # ---- revenue by day-of-week (pure integer dow law) ------------------------
+    # dow = (epoch_days + 4) % 7 with 0 = Sunday — integer arithmetic,
+    # no engine calendar functions (their week conventions differ)
+    def q_value_dow(spark, sf):
+        from .functions.timeops import ntz_epoch_ms
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        days = (ntz_epoch_ms(F.col("ts")) / F.lit(86_400_000)).cast("long")
+        dow = (days + F.lit(4)) % F.lit(7)
+        cents = F.round(F.col("value") * F.lit(100.0)).cast("long")
+        return (
+            ev.select(dow.alias("dow"), cents.alias("c"))
+            .groupBy("dow")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("c").alias("total_cents"),
+            )
+            .orderBy("dow")
+        )
+
+    q["events_value_by_dow"] = (
+        q_value_dow,
+        """SELECT (epoch_ms(ts) // 86400000 + 4) % 7 AS dow,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events
+GROUP BY dow
+ORDER BY dow""",
+    )
+
     # ---- value histogram (power-of-two cent buckets per type) -----------------
     def q_value_hist(spark, sf):
         ev = spark.read.parquet(f"{sf}/events.parquet")
@@ -7406,6 +7437,27 @@ ORDER BY x.doc_id""",
          AS mean_chars
 FROM documents GROUP BY source
 ORDER BY source""",
+    )
+
+    # ---- token length histogram (tokenizer shape audit) -----------------------
+    def q_wordlen(spark, sf):
+        from .functions.text import tokens as _tok
+
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        return (
+            d.select(F.explode(_tok("text")).alias("w"))
+            .select(F.length("w").alias("len"))
+            .groupBy("len")
+            .agg(F.count(F.lit(1)).alias("n_tokens"))
+            .orderBy("len")
+        )
+
+    q["text_word_length_histogram"] = (
+        q_wordlen,
+        f"""SELECT length(w) AS len, count(*) AS n_tokens
+FROM (SELECT unnest({T.tokens_sql("text")}) AS w FROM documents)
+GROUP BY len
+ORDER BY len""",
     )
 
     # ---- hapax legomena rate (vocabulary freshness) ---------------------------

@@ -6473,6 +6473,71 @@ ORDER BY rank""",
         link_prediction_sql(_CONTACT_EDGES_SQL, k=15),
     )
 
+    # ---- global clustering coefficient (transitivity) -------------------------
+    # C = 3·triangles / wedges, wedges = Σ d(d−1)/2 — one number joining
+    # the triangle and degree machinery; exact integers, one division
+    def q_global_clustering(spark, sf):
+        from .operators.graph import triangle_count
+
+        edges = _contact_edges(spark, sf)
+        e = (
+            edges.select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .where(F.col("a") < F.col("b"))
+            .distinct()
+        )
+        deg = (
+            e.select(F.col("a").alias("v"))
+            .unionByName(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        wedges = deg.agg(
+            F.sum(
+                (F.col("d") * (F.col("d") - 1) / F.lit(2)).cast("long")
+            ).alias("n_wedges")
+        )
+        tri = triangle_count(edges)
+        return wedges.crossJoin(F.broadcast(tri)).select(
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.lit(3.0)
+                * F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double"),
+            ).alias("transitivity"),
+        )
+
+    from .operators.graph import triangle_count_sql as _tri_sql
+
+    q["graph_global_clustering"] = (
+        q_global_clustering,
+        f"""WITH gc_e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({_CONTACT_EDGES_SQL}) WHERE least(src, dst) < greatest(src, dst)
+),
+gc_d AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM gc_e UNION ALL SELECT b FROM gc_e
+  ) GROUP BY v
+),
+gc_w AS (
+  SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM gc_d
+),
+gc_t AS (
+{_tri_sql(_CONTACT_EDGES_SQL)}
+)
+SELECT w.n_wedges, t.n_triangles,
+       CASE WHEN w.n_wedges > 0 THEN
+         CAST(3.0 AS DOUBLE) * CAST(t.n_triangles AS DOUBLE)
+         / CAST(w.n_wedges AS DOUBLE)
+       END AS transitivity
+FROM gc_w w, gc_t t""",
+    )
+
     # ---- degree distribution histogram ----------------------------------------
     def q_degree_dist(spark, sf):
         edges = _contact_edges(spark, sf)

@@ -2758,6 +2758,75 @@ FROM pc, n
 ORDER BY pc.radius_m""",
     )
 
+    # ---- Clark–Evans nearest-neighbor index -----------------------------------
+    # R = mean NN distance / CSR expectation 0.5/√density on the sphere:
+    # < 1 clustered, ≈ 1 random, > 1 dispersed. NN distances snap to
+    # integer mm (order-free min), the mean is an exact ratio of
+    # integers, and the final R is one identical double expression.
+    def q_clark_evans(spark, sf):
+        sub = _pts(spark, sf).filter(F.col("id") % 23 == 0)
+        a = sub.select(F.col("id").alias("ia"), F.col("lat").alias("la"),
+                       F.col("lon").alias("lo"))
+        b = sub.select(F.col("id").alias("ib"), F.col("lat").alias("lb"),
+                       F.col("lon").alias("lob"))
+        d_mm = F.round(
+            _hav_m(F.col("la"), F.col("lo"), F.col("lb"), F.col("lob"))
+            * F.lit(1000.0)
+        ).cast("long")
+        nn = (
+            a.join(b, F.col("ia") != F.col("ib"))
+            .select("ia", d_mm.alias("d"))
+            .groupBy("ia")
+            .agg(F.min("d").alias("nn_mm"))
+        )
+        area = 4.0 * 3.141592653589793 * 6_371_000.0 * 6_371_000.0
+        agg = nn.agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("nn_mm").alias("sum_nn_mm"),
+        )
+        mean_m = (
+            F.col("sum_nn_mm").cast("double")
+            / F.col("n_points").cast("double")
+            / F.lit(1000.0)
+        )
+        expected = F.lit(0.5) / F.sqrt(
+            F.col("n_points").cast("double") / F.lit(area)
+        )
+        return agg.select(
+            "n_points",
+            "sum_nn_mm",
+            (mean_m / expected).alias("clark_evans_r"),
+        )
+
+    from .functions.geo import haversine_m as _hav_m
+
+    q["geo_clark_evans"] = (
+        q_clark_evans,
+        f"""WITH ce2_s AS (
+  SELECT id, lat, lon FROM ({_PTS_SQL}) WHERE id % 23 = 0
+),
+ce2_nn AS (
+  SELECT a.id,
+         min(CAST(round(({hav.replace('q.', 'a.').replace('t.', 'b.')})
+                        * 1000.0) AS BIGINT)) AS nn_mm
+  FROM ce2_s a JOIN ce2_s b ON b.id != a.id
+  GROUP BY a.id
+),
+ce2_a AS (
+  SELECT count(*) AS n_points,
+         CAST(sum(nn_mm) AS BIGINT) AS sum_nn_mm
+  FROM ce2_nn
+)
+SELECT n_points, sum_nn_mm,
+       (CAST(sum_nn_mm AS DOUBLE) / CAST(n_points AS DOUBLE)
+        / CAST(1000.0 AS DOUBLE))
+       / (CAST(0.5 AS DOUBLE) / sqrt(CAST(n_points AS DOUBLE)
+          / (CAST(4.0 AS DOUBLE) * CAST(3.141592653589793 AS DOUBLE)
+             * CAST(6371000.0 AS DOUBLE) * CAST(6371000.0 AS DOUBLE))))
+         AS clark_evans_r
+FROM ce2_a""",
+    )
+
     # ---- eps-connectivity spatial clustering (friends-of-friends) -----------
     def q_grid_cluster(spark, sf):
         from .operators.cluster import grid_cluster

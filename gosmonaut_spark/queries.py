@@ -7573,6 +7573,77 @@ FROM documents GROUP BY source
 ORDER BY source""",
     )
 
+    # ---- cross-language vocabulary overlap ------------------------------------
+    # |V_a ∩ V_b| and Jaccard per language pair — the loanword/shared-
+    # script signal that confuses n-gram language ID; integer counts
+    def q_vocab_overlap(spark, sf):
+        from .functions.text import tokens as _tok
+
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        lv = (
+            d.select("lang", F.explode(_tok("text")).alias("w"))
+            .distinct()
+        )
+        sizes = lv.groupBy("lang").agg(F.count(F.lit(1)).alias("v"))
+        inter = (
+            lv.alias("x")
+            .join(lv.alias("y"), "w")
+            .where(F.col("x.lang") < F.col("y.lang"))
+            .groupBy(
+                F.col("x.lang").alias("lang_a"),
+                F.col("y.lang").alias("lang_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
+        return (
+            inter.join(
+                sizes.select(
+                    F.col("lang").alias("lang_a"), F.col("v").alias("va")
+                ),
+                "lang_a",
+            )
+            .join(
+                sizes.select(
+                    F.col("lang").alias("lang_b"), F.col("v").alias("vb")
+                ),
+                "lang_b",
+            )
+            .select(
+                "lang_a",
+                "lang_b",
+                "n_shared",
+                (
+                    F.col("n_shared").cast("double")
+                    / (
+                        F.col("va") + F.col("vb") - F.col("n_shared")
+                    ).cast("double")
+                ).alias("jaccard"),
+            )
+            .orderBy("lang_a", "lang_b")
+        )
+
+    q["corpus_lang_vocab_overlap"] = (
+        q_vocab_overlap,
+        f"""WITH vo_v AS (
+  SELECT DISTINCT lang, w FROM (
+    SELECT lang, unnest({T.tokens_sql("text")}) AS w FROM documents
+  )
+),
+vo_s AS (SELECT lang, count(*) AS v FROM vo_v GROUP BY lang),
+vo_i AS (
+  SELECT x.lang AS lang_a, y.lang AS lang_b, count(*) AS n_shared
+  FROM vo_v x JOIN vo_v y ON y.w = x.w AND x.lang < y.lang
+  GROUP BY 1, 2
+)
+SELECT i.lang_a, i.lang_b, i.n_shared,
+       CAST(i.n_shared AS DOUBLE)
+         / CAST(sa.v + sb.v - i.n_shared AS DOUBLE) AS jaccard
+FROM vo_i i
+JOIN vo_s sa ON sa.lang = i.lang_a
+JOIN vo_s sb ON sb.lang = i.lang_b
+ORDER BY lang_a, lang_b""",
+    )
+
     # ---- token length histogram (tokenizer shape audit) -----------------------
     def q_wordlen(spark, sf):
         from .functions.text import tokens as _tok

@@ -1119,6 +1119,42 @@ FROM sess GROUP BY user_id, session_no
 ORDER BY user_id, session_no""",
     )
 
+    # ---- event-type mix by week (drift monitoring cross-tab) ------------------
+    def q_type_week(spark, sf):
+        from .functions.timeops import ntz_epoch_ms
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        wk = (ntz_epoch_ms(F.col("ts")) / F.lit(604_800_000)).cast("long")
+        per = ev.select(wk.alias("week"), "event_type").groupBy(
+            "week", "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        tot = per.groupBy("week").agg(F.sum("n").alias("t"))
+        return (
+            per.join(tot, "week")
+            .select(
+                "week",
+                "event_type",
+                "n",
+                (F.col("n").cast("double") / F.col("t").cast("double")).alias(
+                    "share"
+                ),
+            )
+            .orderBy("week", "event_type")
+        )
+
+    q["events_type_mix_by_week"] = (
+        q_type_week,
+        """WITH tw_p AS (
+  SELECT epoch_ms(ts) // 604800000 AS week, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+tw_t AS (SELECT week, sum(n) AS t FROM tw_p GROUP BY week)
+SELECT p.week, p.event_type, p.n,
+       CAST(p.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS share
+FROM tw_p p JOIN tw_t t ON t.week = p.week
+ORDER BY p.week, p.event_type""",
+    )
+
     # ---- revenue by day-of-week (pure integer dow law) ------------------------
     # dow = (epoch_days + 4) % 7 with 0 = Sunday — integer arithmetic,
     # no engine calendar functions (their week conventions differ)

@@ -1119,6 +1119,44 @@ FROM sess GROUP BY user_id, session_no
 ORDER BY user_id, session_no""",
     )
 
+    # ---- hour-of-day activity profile (integer hod law) -----------------------
+    def q_hourly(spark, sf):
+        from .functions.timeops import ntz_epoch_ms
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        hod = (
+            (ntz_epoch_ms(F.col("ts")) / F.lit(3_600_000)).cast("long")
+            % F.lit(24)
+        )
+        per = ev.select(hod.alias("hour")).groupBy("hour").agg(
+            F.count(F.lit(1)).alias("n_events")
+        )
+        tot = per.agg(F.sum("n_events").alias("t"))
+        return (
+            per.crossJoin(F.broadcast(tot))
+            .select(
+                "hour",
+                "n_events",
+                (
+                    F.col("n_events").cast("double") / F.col("t").cast("double")
+                ).alias("share"),
+            )
+            .orderBy("hour")
+        )
+
+    q["events_hourly_profile"] = (
+        q_hourly,
+        """WITH hp_p AS (
+  SELECT (epoch_ms(ts) // 3600000) % 24 AS hour, count(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT hour, n_events,
+       CAST(n_events AS DOUBLE)
+         / CAST((SELECT sum(n_events) FROM hp_p) AS DOUBLE) AS share
+FROM hp_p
+ORDER BY hour""",
+    )
+
     # ---- event-type mix by week (drift monitoring cross-tab) ------------------
     def q_type_week(spark, sf):
         from .functions.timeops import ntz_epoch_ms

@@ -1119,6 +1119,66 @@ FROM sess GROUP BY user_id, session_no
 ORDER BY user_id, session_no""",
     )
 
+    # ---- revenue Pareto: top-decile user share --------------------------------
+    # share of total cents held by the top 10% of users (pinned ranks,
+    # integer ceil cut, exact sums) — the 80/20 dial
+    def q_pareto(spark, sf):
+        from pyspark.sql import Window as _W
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        per = ev.groupBy("user_id").agg(
+            F.sum(F.round(F.col("value") * F.lit(100.0)).cast("long")).alias(
+                "cents"
+            )
+        )
+        ranked = per.select(
+            "cents",
+            F.row_number().over(
+                _W.orderBy(F.desc("cents"), F.asc("user_id"))
+            ).alias("rk"),
+            F.count(F.lit(1)).over(_W.partitionBy()).alias("n"),
+        )
+        cut = F.expr("(n + 9) div 10")
+        return ranked.agg(
+            F.max("n").alias("n_users"),
+            F.sum("cents").alias("total_cents"),
+            F.sum(
+                F.when(F.col("rk") <= cut, F.col("cents")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("top_decile_cents"),
+            (
+                F.sum(
+                    F.when(F.col("rk") <= cut, F.col("cents")).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("double")
+                / F.sum("cents").cast("double")
+            ).alias("top_decile_share"),
+        )
+
+    q["events_revenue_pareto"] = (
+        q_pareto,
+        """WITH pr2_u AS (
+  SELECT user_id,
+         sum(CAST(round(value * 100.0) AS BIGINT)) AS cents
+  FROM events GROUP BY user_id
+),
+pr2_r AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents DESC, user_id ASC) AS rk,
+         count(*) OVER () AS n
+  FROM pr2_u
+)
+SELECT max(n) AS n_users,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(CASE WHEN rk <= (n + 9) // 10 THEN cents ELSE 0 END)
+            AS BIGINT) AS top_decile_cents,
+       CAST(sum(CASE WHEN rk <= (n + 9) // 10 THEN cents ELSE 0 END)
+            AS DOUBLE) / CAST(sum(cents) AS DOUBLE) AS top_decile_share
+FROM pr2_r""",
+    )
+
     # ---- hour-of-day activity profile (integer hod law) -----------------------
     def q_hourly(spark, sf):
         from .functions.timeops import ntz_epoch_ms

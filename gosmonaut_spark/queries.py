@@ -1119,6 +1119,62 @@ FROM sess GROUP BY user_id, session_no
 ORDER BY user_id, session_no""",
     )
 
+    # ---- cumulative weekly revenue curve (dense spine) ------------------------
+    def q_cum_revenue(spark, sf):
+        from pyspark.sql import Window as _W
+
+        from .functions.timeops import ntz_epoch_ms
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        wk = (ntz_epoch_ms(F.col("ts")) / F.lit(604_800_000)).cast("long")
+        per = ev.select(
+            wk.alias("week"),
+            F.round(F.col("value") * F.lit(100.0)).cast("long").alias("c"),
+        ).groupBy("week").agg(F.sum("c").alias("wk_cents"))
+        bounds = per.agg(
+            F.min("week").alias("w0"), F.max("week").alias("w1")
+        )
+        spine = bounds.select(
+            F.explode(F.sequence(F.col("w0"), F.col("w1"))).alias("week")
+        )
+        w = _W.orderBy("week").rowsBetween(_W.unboundedPreceding, 0)
+        return (
+            spine.join(per, "week", "left")
+            .select(
+                "week",
+                F.coalesce(F.col("wk_cents"), F.lit(0).cast("long")).alias(
+                    "wk_cents"
+                ),
+            )
+            .select(
+                "week", "wk_cents", F.sum("wk_cents").over(w).alias("cum_cents")
+            )
+            .orderBy("week")
+        )
+
+    q["events_cum_revenue"] = (
+        q_cum_revenue,
+        """WITH cr_p AS (
+  SELECT epoch_ms(ts) // 604800000 AS week,
+         sum(CAST(round(value * 100.0) AS BIGINT)) AS wk_cents
+  FROM events GROUP BY 1
+),
+cr_s AS (
+  SELECT unnest(range((SELECT min(week) FROM cr_p),
+                      (SELECT max(week) FROM cr_p) + 1)) AS week
+),
+cr_d AS (
+  SELECT s.week, coalesce(p.wk_cents, 0) AS wk_cents
+  FROM cr_s s LEFT JOIN cr_p p ON p.week = s.week
+)
+SELECT week, CAST(wk_cents AS BIGINT) AS wk_cents,
+       CAST(sum(wk_cents) OVER (ORDER BY week
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_cents
+FROM cr_d
+ORDER BY week""",
+    )
+
     # ---- revenue Pareto: top-decile user share --------------------------------
     # share of total cents held by the top 10% of users (pinned ranks,
     # integer ceil cut, exact sums) — the 80/20 dial

@@ -259,7 +259,7 @@ tr_seg AS (
   FROM tr_src
 )
 SELECT k AS {key_expr}, count(*) AS n_points,
-       coalesce(sum(seg_mm), 0) AS length_mm
+       CAST(coalesce(sum(seg_mm), 0) AS BIGINT) AS length_mm
 FROM tr_seg GROUP BY k"""
 
 
@@ -367,7 +367,7 @@ sin_seg AS (
 ),
 sin_agg AS (
   SELECT k, count(*) AS n_points,
-         coalesce(sum(seg_mm), 0) AS path_mm,
+         CAST(coalesce(sum(seg_mm), 0) AS BIGINT) AS path_mm,
          arg_min(lat, rn) AS lat0, arg_min(lon, rn) AS lon0,
          arg_max(lat, rn) AS lat1, arg_max(lon, rn) AS lon1
   FROM sin_seg GROUP BY k

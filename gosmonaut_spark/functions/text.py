@@ -715,9 +715,9 @@ def oov_bigram_rate(
             F.col("__id").alias(id_col),
             "n_bigrams",
             "n_oov",
-            (F.col("n_oov").cast("double") / F.col("n_bigrams").cast("double")).alias(
-                "oov_rate"
-            ),
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_bigrams").cast("double"), 9
+            ).alias("oov_rate"),
         )
     )
 
@@ -747,8 +747,8 @@ ov_f AS (
   FROM ov_doc d LEFT JOIN ov_vocab v ON v.pair = d.pair
 )
 SELECT did AS {id_expr}, count(*) AS n_bigrams,
-       sum(oov) AS n_oov,
-       CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
+       CAST(sum(oov) AS BIGINT) AS n_oov,
+       round(CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9) AS oov_rate
 FROM ov_f GROUP BY did"""
 
 

@@ -217,7 +217,7 @@ def gap_fill_sql(
     return f"""WITH gf_src AS ({events_sql}),
 gf_obs AS (
   SELECT {key_expr} AS k, {ms_expr} - ({ms_expr} % {step}) AS bucket_ms,
-         count(*) AS n_obs, sum({value_expr}) AS v_obs
+         count(*) AS n_obs, CAST(sum({value_expr}) AS BIGINT) AS v_obs
   FROM gf_src GROUP BY 1, 2
 ),
 gf_span AS (SELECT k, min(bucket_ms) AS b0, max(bucket_ms) AS b1 FROM gf_obs GROUP BY k),
@@ -421,8 +421,8 @@ def rfm_segments_sql(
 rfm_u AS (
   SELECT {user_expr} AS u, max({ms_expr}) AS last_ms,
          count(*) AS frequency,
-         coalesce(sum(CAST(round(({value_expr}) * 100.0) AS BIGINT)), 0)
-           AS monetary_cents
+         CAST(coalesce(sum(CAST(round(({value_expr}) * 100.0) AS BIGINT)), 0)
+              AS BIGINT) AS monetary_cents
   FROM rfm_src GROUP BY 1
 ),
 rfm_s AS (
@@ -1173,8 +1173,8 @@ def rfm_segments_scale_sql(
 rs_u AS (
   SELECT {user_expr} AS u, max({ms_expr}) AS last_ms,
          count(*) AS frequency,
-         coalesce(sum(CAST(round(({value_expr}) * 100.0) AS BIGINT)), 0)
-           AS monetary_cents
+         CAST(coalesce(sum(CAST(round(({value_expr}) * 100.0) AS BIGINT)), 0)
+              AS BIGINT) AS monetary_cents
   FROM rs_src GROUP BY 1
 ),
 rs_s AS (

@@ -201,7 +201,7 @@ fs_c AS (
   SELECT cell, sum(v) AS focal_sum, count(*) AS n_neighbors
   FROM fs_scat GROUP BY cell
 )
-SELECT t.cell, c.focal_sum, c.n_neighbors
+SELECT t.cell, CAST(c.focal_sum AS BIGINT) AS focal_sum, c.n_neighbors
 FROM (SELECT cell FROM fs_tiles) t JOIN fs_c c USING (cell)"""
 
 
@@ -686,7 +686,8 @@ hg_stats AS (
          sum(CAST(n_points AS BIGINT) * CAST(n_points AS BIGINT)) AS q
   FROM ({tiles_sql})
 )
-SELECT f.cell, f.focal_sum AS w_sum, f.n_neighbors AS m_neighbors,
+SELECT f.cell, CAST(f.focal_sum AS BIGINT) AS w_sum,
+       f.n_neighbors AS m_neighbors,
        CASE WHEN g.n * f.focal_sum - f.n_neighbors * g.s > 0
             THEN 'hot' ELSE 'cold' END AS spot
 FROM hg_focal f CROSS JOIN hg_stats g
@@ -833,7 +834,7 @@ sth_f AS (
 sth_g AS (
   SELECT count(*) AS n, sum(v) AS s, sum(v * v) AS q FROM sth_vox
 )
-SELECT f.cell, f.tbin, f.w_sum, f.m_neighbors,
+SELECT f.cell, f.tbin, CAST(f.w_sum AS BIGINT) AS w_sum, f.m_neighbors,
        CASE WHEN g.n * f.w_sum - f.m_neighbors * g.s > 0
             THEN 'hot' ELSE 'cold' END AS spot
 FROM sth_f f CROSS JOIN sth_g g

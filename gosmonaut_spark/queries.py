@@ -1203,13 +1203,14 @@ ORDER BY week""",
                     F.lit(0)
                 )
             ).alias("top_decile_cents"),
-            (
+            F.round(
                 F.sum(
                     F.when(F.col("rk") <= cut, F.col("cents")).otherwise(
                         F.lit(0)
                     )
                 ).cast("double")
-                / F.sum("cents").cast("double")
+                / F.sum("cents").cast("double"),
+                9,
             ).alias("top_decile_share"),
         )
 
@@ -1230,8 +1231,8 @@ SELECT max(n) AS n_users,
        CAST(sum(cents) AS BIGINT) AS total_cents,
        CAST(sum(CASE WHEN rk <= (n + 9) // 10 THEN cents ELSE 0 END)
             AS BIGINT) AS top_decile_cents,
-       CAST(sum(CASE WHEN rk <= (n + 9) // 10 THEN cents ELSE 0 END)
-            AS DOUBLE) / CAST(sum(cents) AS DOUBLE) AS top_decile_share
+       round(CAST(sum(CASE WHEN rk <= (n + 9) // 10 THEN cents ELSE 0 END)
+            AS DOUBLE) / CAST(sum(cents) AS DOUBLE), 9) AS top_decile_share
 FROM pr2_r""",
     )
 
@@ -1253,8 +1254,9 @@ FROM pr2_r""",
             .select(
                 "hour",
                 "n_events",
-                (
-                    F.col("n_events").cast("double") / F.col("t").cast("double")
+                F.round(
+                    F.col("n_events").cast("double") / F.col("t").cast("double"),
+                    9,
                 ).alias("share"),
             )
             .orderBy("hour")
@@ -1267,8 +1269,8 @@ FROM pr2_r""",
   FROM events GROUP BY 1
 )
 SELECT hour, n_events,
-       CAST(n_events AS DOUBLE)
-         / CAST((SELECT sum(n_events) FROM hp_p) AS DOUBLE) AS share
+       round(CAST(n_events AS DOUBLE)
+         / CAST((SELECT sum(n_events) FROM hp_p) AS DOUBLE), 9) AS share
 FROM hp_p
 ORDER BY hour""",
     )
@@ -1289,9 +1291,9 @@ ORDER BY hour""",
                 "week",
                 "event_type",
                 "n",
-                (F.col("n").cast("double") / F.col("t").cast("double")).alias(
-                    "share"
-                ),
+                F.round(
+                    F.col("n").cast("double") / F.col("t").cast("double"), 9
+                ).alias("share"),
             )
             .orderBy("week", "event_type")
         )
@@ -1304,7 +1306,7 @@ ORDER BY hour""",
 ),
 tw_t AS (SELECT week, sum(n) AS t FROM tw_p GROUP BY week)
 SELECT p.week, p.event_type, p.n,
-       CAST(p.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS share
+       round(CAST(p.n AS DOUBLE) / CAST(t.t AS DOUBLE), 9) AS share
 FROM tw_p p JOIN tw_t t ON t.week = p.week
 ORDER BY p.week, p.event_type""",
     )
@@ -2208,10 +2210,11 @@ ORDER BY lang, rank""",
                 "lang",
                 "n_vocab",
                 "n_tokens",
-                (
+                F.round(
                     F.col("n_tokens").cast("double")
                     * F.col("n_tokens").cast("double")
-                    / F.col("__sq").cast("double")
+                    / F.col("__sq").cast("double"),
+                    9,
                 ).alias("eff_vocab"),
             )
             .orderBy("lang")
@@ -2224,9 +2227,9 @@ ORDER BY lang, rank""",
     SELECT lang, unnest({T.tokens_sql('text')}) AS tok FROM documents
   ) GROUP BY lang, tok
 )
-SELECT lang, count(*) AS n_vocab, sum(c) AS n_tokens,
-       CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)
-         / CAST(sum(c * c) AS DOUBLE) AS eff_vocab
+SELECT lang, count(*) AS n_vocab, CAST(sum(c) AS BIGINT) AS n_tokens,
+       round(CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)
+         / CAST(sum(c * c) AS DOUBLE), 9) AS eff_vocab
 FROM tc GROUP BY lang
 ORDER BY lang""",
     )
@@ -2772,7 +2775,8 @@ deltas AS (
   ) GROUP BY t
 ),
 curve AS (
-  SELECT t, sum(dd) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS conc
+  SELECT t, CAST(sum(dd) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS conc
   FROM deltas
 )
 SELECT max(conc) AS max_concurrent, min(t) AS first_at_ms
@@ -2912,12 +2916,18 @@ ORDER BY query_id, target_id""",
             "radius_m",
             F.lit(n_pts).alias("n_points"),
             "n_pairs",
-            (
+            # k_hat is ~1e11–1e14 m²: round(x, 9) is NOT cross-engine safe
+            # at that magnitude (DuckDB's x*1e9 exceeds 2^53 and loses
+            # bits where Spark's BigDecimal does not) — so emit the
+            # integer-m² law instead: floor(x + 0.5) of a bit-identical
+            # double is exact on both engines.
+            F.floor(
                 F.lit(area)
                 * F.lit(2.0)
                 * F.col("n_pairs").cast("double")
                 / (F.lit(float(n_pts)) * F.lit(float(n_pts - 1)))
-            ).alias("k_hat"),
+                + F.lit(0.5)
+            ).cast("long").alias("k_hat_m2"),
         ).orderBy("radius_m")
 
     _RIPLEY_HAV = hav.replace("q.", "a.").replace("t.", "b.")
@@ -2939,11 +2949,12 @@ pc AS (
   GROUP BY bd.radius_m
 )
 SELECT pc.radius_m, n.n AS n_points, pc.n_pairs,
-       (CAST(4.0 AS DOUBLE) * CAST(3.141592653589793 AS DOUBLE)
+       CAST(floor((CAST(4.0 AS DOUBLE) * CAST(3.141592653589793 AS DOUBLE)
         * CAST(6371000.0 AS DOUBLE) * CAST(6371000.0 AS DOUBLE))
          * CAST(2.0 AS DOUBLE)
          * CAST(pc.n_pairs AS DOUBLE)
-         / (CAST(n.n AS DOUBLE) * CAST(n.n - 1 AS DOUBLE)) AS k_hat
+         / (CAST(n.n AS DOUBLE) * CAST(n.n - 1 AS DOUBLE))
+         + CAST(0.5 AS DOUBLE)) AS BIGINT) AS k_hat_m2
 FROM pc, n
 ORDER BY pc.radius_m""",
     )
@@ -2954,18 +2965,29 @@ ORDER BY pc.radius_m""",
     # integer mm (order-free min), the mean is an exact ratio of
     # integers, and the final R is one identical double expression.
     def q_clark_evans(spark, sf):
+        # NN-other via the certified-exact adaptive kNN (VERDICT r4 #3):
+        # k=2 top-k at ring-join cost covers the true nearest OTHER point
+        # even with the self-pair (d=0) present; rounding to integer mm is
+        # monotone, so min(round(d)) == round(min(d)) and the result is
+        # bit-equal to the DuckDB brute all-pairs twin below. The old
+        # ia != ib BroadcastNestedLoop all-pairs join (O(n²) candidate
+        # pairs — the r4 scale-killer) is gone; the brute plan survives
+        # only inside the oracle SQL.
+        from .operators.knn import knn_join_adaptive
+
         sub = _pts(spark, sf).filter(F.col("id") % 23 == 0)
-        a = sub.select(F.col("id").alias("ia"), F.col("lat").alias("la"),
-                       F.col("lon").alias("lo"))
-        b = sub.select(F.col("id").alias("ib"), F.col("lat").alias("lb"),
-                       F.col("lon").alias("lob"))
-        d_mm = F.round(
-            _hav_m(F.col("la"), F.col("lo"), F.col("lb"), F.col("lob"))
-            * F.lit(1000.0)
-        ).cast("long")
+        top2 = knn_join_adaptive(
+            sub.select(F.col("id").alias("query_id"), "lat", "lon"),
+            sub.select(F.col("id").alias("target_id"), "lat", "lon"),
+            k=2,
+            res=6,
+        )
         nn = (
-            a.join(b, F.col("ia") != F.col("ib"))
-            .select("ia", d_mm.alias("d"))
+            top2.where(F.col("target_id") != F.col("query_id"))
+            .select(
+                F.col("query_id").alias("ia"),
+                F.round(F.col("dist_m") * F.lit(1000.0)).cast("long").alias("d"),
+            )
             .groupBy("ia")
             .agg(F.min("d").alias("nn_mm"))
         )
@@ -2985,7 +3007,7 @@ ORDER BY pc.radius_m""",
         return agg.select(
             "n_points",
             "sum_nn_mm",
-            (mean_m / expected).alias("clark_evans_r"),
+            F.round(mean_m / expected, 9).alias("clark_evans_r"),
         )
 
     from .functions.geo import haversine_m as _hav_m
@@ -3008,11 +3030,11 @@ ce2_a AS (
   FROM ce2_nn
 )
 SELECT n_points, sum_nn_mm,
-       (CAST(sum_nn_mm AS DOUBLE) / CAST(n_points AS DOUBLE)
+       round((CAST(sum_nn_mm AS DOUBLE) / CAST(n_points AS DOUBLE)
         / CAST(1000.0 AS DOUBLE))
        / (CAST(0.5 AS DOUBLE) / sqrt(CAST(n_points AS DOUBLE)
           / (CAST(4.0 AS DOUBLE) * CAST(3.141592653589793 AS DOUBLE)
-             * CAST(6371000.0 AS DOUBLE) * CAST(6371000.0 AS DOUBLE))))
+             * CAST(6371000.0 AS DOUBLE) * CAST(6371000.0 AS DOUBLE)))), 9)
          AS clark_evans_r
 FROM ce2_a""",
     )
@@ -4875,7 +4897,8 @@ th AS (
   FROM r GROUP BY lang
 )
 SELECT r.lang, count(*) AS n_docs, any_value(th.lo) AS lo, any_value(th.hi) AS hi,
-       sum(least(greatest(r.n_chars, th.lo), th.hi)) AS sum_clipped
+       CAST(sum(least(greatest(r.n_chars, th.lo), th.hi)) AS BIGINT)
+         AS sum_clipped
 FROM r JOIN th ON th.lang = r.lang
 GROUP BY r.lang
 ORDER BY r.lang""",
@@ -4925,7 +4948,7 @@ per_type AS (
   SELECT {{cell4}} AS cell, event_type, count(*) AS c
   FROM pts GROUP BY 1, 2
 )
-SELECT cell, sum(c) AS t,
+SELECT cell, CAST(sum(c) AS BIGINT) AS t,
        (sum(c) * sum(c) - sum(c * c)) / CAST(sum(c) * sum(c) AS DOUBLE)
          AS simpson
 FROM per_type GROUP BY cell ORDER BY cell""".replace(
@@ -5452,7 +5475,8 @@ ORDER BY id_a, id_b""",
 
     q["corpus_rollup_stats"] = (
         q_rollup,
-        """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS chars,
+        """SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars,
        min(doc_id) AS min_id
 FROM documents GROUP BY ROLLUP (lang, source)
 ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""",
@@ -6598,7 +6622,7 @@ FROM events""",
 poi AS (
   SELECT cell, count(*) AS n_dwells,
          count(DISTINCT user_id) AS n_visitors,
-         sum(exit_ms - enter_ms) AS total_dwell_ms
+         CAST(sum(exit_ms - enter_ms) AS BIGINT) AS total_dwell_ms
   FROM sp GROUP BY cell
 )
 SELECT cell, n_dwells, n_visitors, total_dwell_ms,
@@ -7091,7 +7115,8 @@ ORDER BY doc_id""",
   FROM events GROUP BY user_id
 ),
 ab_g AS (
-  SELECT user_id % 2 AS variant, count(*) AS n_users, sum(conv) AS n_conv
+  SELECT user_id % 2 AS variant, count(*) AS n_users,
+         CAST(sum(conv) AS BIGINT) AS n_conv
   FROM ab_u GROUP BY 1
 ),
 ab_j AS (

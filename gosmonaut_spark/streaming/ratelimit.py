@@ -100,9 +100,6 @@ def rate_limit_stream(
                     // 1_000_000
                 )
                 buf.extend(zip(ms.tolist(), pdf[id_col].tolist()))
-        if not buf:
-            state.remove()
-            return
         buf.sort()
         wm = state.getCurrentWatermarkMs()
         ready = [e for e in buf if e[0] <= wm]
@@ -118,8 +115,29 @@ def rate_limit_stream(
                 )
             )
             state.setTimeoutTimestamp(max(waiting[0][0], wm + 1))
-        else:
+        elif last is None or (
+            min(cap_mtok, bucket + max(0, wm - last) * rate) >= cap_mtok
+        ):
+            # no decided frontier, or the bucket has provably refilled by
+            # the watermark (any future event has ms > wm, so it sees a
+            # full bucket either way) — the fresh-key full-bucket
+            # convention reproduces this state exactly, so dropping it
+            # cannot change any later decision.
             state.remove()
+        else:
+            # All buffered events decided but the bucket is NOT full:
+            # dropping (bucket_mtok, last_ms) here would hand the next
+            # event of this key a fresh FULL bucket and diverge from
+            # rate_limit_batch (the determinism law). Keep the frontier
+            # with empty buffers and arm an event-time timeout at the
+            # instant the bucket provably refills; the timed-out
+            # invocation re-enters this branch chain with an empty buffer
+            # and removes the then-full state. rate == 0 never refills —
+            # state is kept with no timeout (bounded: one row per key).
+            state.update((int(bucket), int(last), [], []))
+            if rate > 0:
+                refill_ms = last + -(-(cap_mtok - bucket) // rate)
+                state.setTimeoutTimestamp(max(refill_ms, wm + 1))
         if ready:
             yield pd.DataFrame(
                 {

@@ -24,7 +24,8 @@ def _write_batches(tmp_path, batches):
                 {
                     "key": [x[0] for x in b],
                     "ts": pa.array(
-                        [x[1] * 1_000_000 for x in b], pa.timestamp("us")
+                        [int(round(x[1] * 1_000_000)) for x in b],
+                        pa.timestamp("us"),
                     ),
                     "event_id": pa.array([x[2] for x in b], pa.int64()),
                 }
@@ -63,7 +64,7 @@ def _batch_expected(spark, rows, capacity, rate):
     from gosmonaut_spark.streaming.ratelimit import rate_limit_batch
 
     df = spark.createDataFrame(
-        [(k, t * 1000, i) for (k, t, i) in rows],
+        [(k, int(round(t * 1000)), i) for (k, t, i) in rows],
         "key string, ms long, event_id long",
     )
     return {
@@ -128,3 +129,75 @@ def test_rate_limit_stream_out_of_order_within_watermark(spark, tmp_path):
     assert got == exp
     by_id = {g[1]: g[3] for g in got}
     assert by_id[1] == 1 and by_id[2] == 1 and by_id[3] == 1
+
+
+def test_rate_limit_frontier_survives_decided_batch(spark, tmp_path):
+    """Regression (ADVICE r4, high): a key whose buffered events are ALL
+    decided in one micro-batch must keep its (bucket, last_ms) frontier
+    until the bucket provably refills — removing it hands the next event
+    a fresh FULL bucket and diverges from the batch twin.
+
+    cap 5, rate 1: a 6-event burst at t0 (admit 5, deny 1 → bucket 0).
+    The watermark creeps to t0+1 s (batch 2, no "a" rows — the armed
+    event-time timeout is what invokes the key), deciding the burst with
+    NOTHING waiting and the bucket NOT yet refilled. Then events at
+    t0+2.0/2.1/2.2 s arrive — refills 2000/100/100 mtok, so the batch
+    law says admit, admit, DENY; a stream that dropped the frontier
+    admits all 3. The watermark must move only slightly past the burst:
+    once wm passes t0+5 s a full refill is provable and dropping the
+    frontier becomes legitimately safe."""
+    rows = [("a", _BASE, i) for i in range(6)]
+    later = [
+        ("a", _BASE + 2.0, 20),
+        ("a", _BASE + 2.1, 21),
+        ("a", _BASE + 2.2, 22),
+    ]
+    # wm after batch N is max event time of batches < N minus 30 min:
+    # batch 2 runs with wm = _BASE+1 -> fires a's timeout, decides the
+    # burst, none waiting, bucket 0 of 5000 (not refilled at wm).
+    wm_push = [("w", _BASE + 1801, 900)]
+    wm_push2 = [("w", _BASE + 1802, 901)]
+    flush = [("a", _BASE + 40 * 86400, 999)]
+    src = _write_batches(tmp_path, [rows + wm_push, wm_push2, later, flush])
+    got = _run_stream(spark, tmp_path, src, "rl_frontier", 5, 1)
+    exp = {
+        e
+        for e in _batch_expected(
+            spark, rows + later + wm_push + wm_push2 + flush, 5, 1
+        )
+        if e[1] != 999
+    }
+    assert got == exp
+    by_id = {g[1]: g[3] for g in got}
+    assert by_id[20] == 1 and by_id[21] == 1 and by_id[22] == 0
+
+
+def test_rate_limit_frontier_removed_after_refill(spark, tmp_path):
+    """The refill timeout removes the kept frontier, and a burst arriving
+    AFTER the refill instant still gets the full bucket either way —
+    stream == batch across the remove boundary. cap 2, rate 1: burst of 3
+    at t0 (admit 2, deny 1; refill completes at t0+2s); next burst of 3
+    at t0+3600 s (bucket full again) → admit 2, deny 1. The watermark
+    walks through three stages: wm=t0+1 (burst decided, frontier kept,
+    refill timeout armed at t0+2), wm=t0+2 (refill timeout fires, bucket
+    provably full, state removed), then the second burst on a fresh
+    key."""
+    b1 = [("a", _BASE, i) for i in range(3)]
+    b2 = [("a", _BASE + 3600, 10 + i) for i in range(3)]
+    wm_push = [("w", _BASE + 1801, 900)]   # -> wm t0+1: decides b1
+    wm_push2 = [("w", _BASE + 1802, 901)]  # -> wm t0+2: refill timeout
+    wm_push3 = [("w", _BASE + 1803, 902)]
+    flush = [("a", _BASE + 40 * 86400, 999)]
+    src = _write_batches(
+        tmp_path, [b1 + wm_push, wm_push2, wm_push3, b2, flush]
+    )
+    got = _run_stream(spark, tmp_path, src, "rl_refill", 2, 1)
+    exp = {
+        e
+        for e in _batch_expected(
+            spark, b1 + b2 + wm_push + wm_push2 + wm_push3 + flush, 2, 1
+        )
+        if e[1] != 999
+    }
+    assert got == exp
+    assert sorted(g[3] for g in got if g[1] >= 10 and g[0] == "a") == [0, 1, 1]

@@ -7072,17 +7072,26 @@ ORDER BY doc_id""",
                 ).cast("int")
             ).alias("conv")
         )
-        g = per.groupBy((F.col("user_id") % 2).alias("variant")).agg(
-            F.count(F.lit(1)).alias("n_users"),
-            F.sum("conv").alias("n_conv"),
+        # both variants in ONE scalar aggregate (conditional sums): a
+        # single pass + keys=[] HashAggregate instead of two grouped scans
+        # glued by a nested-loop cross join — same integers, better plan.
+        # The where() reproduces the old inner-join semantics (no row
+        # when either variant is absent).
+        v = (F.col("user_id") % 2).alias("variant")
+        j = (
+            per.select(v, "conv")
+            .agg(
+                F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("na"),
+                F.sum(
+                    F.when(F.col("variant") == 0, F.col("conv")).otherwise(0)
+                ).alias("ca"),
+                F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("nb"),
+                F.sum(
+                    F.when(F.col("variant") == 1, F.col("conv")).otherwise(0)
+                ).alias("cb"),
+            )
+            .where((F.col("na") > 0) & (F.col("nb") > 0))
         )
-        a = g.where(F.col("variant") == 0).select(
-            F.col("n_users").alias("na"), F.col("n_conv").alias("ca")
-        )
-        b = g.where(F.col("variant") == 1).select(
-            F.col("n_users").alias("nb"), F.col("n_conv").alias("cb")
-        )
-        j = a.crossJoin(F.broadcast(b))
         pa = F.col("ca").cast("double") / F.col("na").cast("double")
         pb = F.col("cb").cast("double") / F.col("nb").cast("double")
         pp = (F.col("ca") + F.col("cb")).cast("double") / (

@@ -887,6 +887,15 @@ def metronome_users(
     (flag NULL): too little evidence, and all-identical-timestamp keys
     are a data-quality case, not a cadence.
 
+    Magnitude bound (ADVICE r4): the decisive products live in
+    DECIMAL(38,0), which Spark silently NULLs on overflow with ANSI off
+    — so a key where ``10⁴·n·Σg²`` or ``c²·(Σg)²`` nears 10³⁸ raises
+    loudly (double-approximated guard with a 10× margin) instead of
+    silently un-flagging a bot. For real clocks the bound is unreachable
+    (30-year span ⇒ Σg ≤ ~10¹², Σg² ≤ 10²⁴, so even 10¹² gaps keep
+    n·Σg² ≤ 10³⁶); hitting it means the ms column isn't milliseconds.
+    The DuckDB twin needs no guard: HUGEINT overflow errors loudly.
+
     Scale shape: one per-key lag window (sessionize budget) + one agg.
     """
     from pyspark.sql import Window
@@ -910,6 +919,21 @@ def metronome_users(
     )
     judged = (F.col("n") >= F.lit(int(min_gaps))) & (F.col("sg") > 0)
     c2 = int(cv_threshold_pct) ** 2
+    approx = F.greatest(
+        F.lit(10_000.0)
+        * F.col("n").cast("double")
+        * F.col("sg2").cast("double"),
+        F.lit(float(c2)) * F.col("sg").cast("double") * F.col("sg").cast("double"),
+    )
+    # the guard is woven INTO the selected flag column (a free-standing
+    # unused column would be pruned by the optimizer and never fire)
+    ovf = F.raise_error(
+        F.lit(
+            "metronome_users: gap magnitudes overflow the exact "
+            "DECIMAL(38,0) flag law (10^4*n*sum(g^2) or c^2*sum(g)^2 "
+            "near 1e38) — is the ms column really milliseconds?"
+        )
+    ).cast("int")
     return agg.select(
         F.col("k").alias(key_col),
         F.col("n").alias("n_gaps"),
@@ -920,13 +944,15 @@ def metronome_users(
             judged,
             F.sqrt(var_num.cast("double")) / F.col("sg").cast("double"),
         ).alias("cv"),
-        F.when(
+        F.when(judged & (approx > F.lit(1e37)), ovf)
+        .when(
             judged,
             (
                 F.lit(10_000).cast("decimal(38,0)") * var_num
                 < F.lit(c2).cast("decimal(38,0)") * F.col("sg") * F.col("sg")
             ).cast("int"),
-        ).alias("is_metronome"),
+        )
+        .alias("is_metronome"),
     )
 
 

@@ -535,10 +535,12 @@ def snapshot_diff(
         o = o.withColumnRenamed(c, f"_o_{c}")
         n = n.withColumnRenamed(c, f"_n_{c}")
     j = o.join(n, keys, "full_outer")
-    differs = None
+    # start from lit(False) so an empty compare_cols degrades to a pure
+    # key-presence diff (insert/delete only, no update rows) instead of
+    # crashing F.when(None, ...) — ADVICE r4
+    differs = F.lit(False)
     for c in cmps:
-        d = ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
-        differs = d if differs is None else (differs | d)
+        differs = differs | ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
     change = (
         F.when(F.col("_old").isNull(), F.lit("insert"))
         .when(F.col("_new").isNull(), F.lit("delete"))
@@ -566,17 +568,21 @@ def snapshot_diff_sql(
     cmps = list(compare_cols)
     on = " AND ".join(f"o.{k} = n.{k}" for k in keys)
     key_out = ", ".join(f"coalesce(o.{k}, n.{k}) AS {k}" for k in keys)
-    differs = " OR ".join(f"(o.{c} IS DISTINCT FROM n.{c})" for c in cmps)
-    olds = ", ".join(f"o.{c} AS old_{c}" for c in cmps)
-    news = ", ".join(f"n.{c} AS new_{c}" for c in cmps)
+    # FALSE fallback mirrors the Spark side: empty compare_cols is a
+    # key-presence-only diff (insert/delete, never update)
+    differs = (
+        " OR ".join(f"(o.{c} IS DISTINCT FROM n.{c})" for c in cmps) or "FALSE"
+    )
+    val_cols = "".join(
+        f",\n         o.{c} AS old_{c}" for c in cmps
+    ) + "".join(f",\n         n.{c} AS new_{c}" for c in cmps)
     return f"""WITH sd_old AS (SELECT *, 1 AS _old FROM ({old_sql})),
 sd_new AS (SELECT *, 1 AS _new FROM ({new_sql})),
 sd_j AS (
   SELECT {key_out},
          CASE WHEN o._old IS NULL THEN 'insert'
               WHEN n._new IS NULL THEN 'delete'
-              WHEN {differs} THEN 'update' END AS change,
-         {olds}, {news}
+              WHEN {differs} THEN 'update' END AS change{val_cols}
   FROM sd_old o FULL OUTER JOIN sd_new n ON {on}
 )
 SELECT * FROM sd_j WHERE change IS NOT NULL"""

@@ -302,3 +302,26 @@ def test_snapshot_diff_changelog(spark, tmp_path):
     assert [(r.k, r.change, r.old_v, r.new_v, r.old_s, r.new_s) for r in row] == [
         (1, "update", "x", None, 10, 10)
     ]
+
+
+def test_snapshot_diff_key_only(spark):
+    """Empty compare_cols degrades to a key-presence diff (ADVICE r4):
+    inserts and deletes only, never 'update', no crash — on BOTH the
+    Spark operator and the generated DuckDB twin."""
+    import duckdb
+
+    from gosmonaut_spark.plans.checkpoint import snapshot_diff, snapshot_diff_sql
+
+    old = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    new = spark.createDataFrame([(2,), (3,), (4,)], "k long")
+    got = sorted((r.k, r.change) for r in snapshot_diff(old, new, ["k"], []).collect())
+    assert got == [(1, "delete"), (4, "insert")]
+
+    sql = snapshot_diff_sql(
+        "SELECT * FROM (VALUES (1), (2), (3)) t(k)",
+        "SELECT * FROM (VALUES (2), (3), (4)) t(k)",
+        ["k"],
+        [],
+    )
+    dgot = sorted(duckdb.sql(sql).fetchall())
+    assert dgot == [(1, "delete"), (4, "insert")]

@@ -387,3 +387,21 @@ def test_cusum_hand_sequence(spark):
     assert got["1"]["n_alarms"] == 1 and got["1"]["first_alarm_ms"] == 2000
     assert got["1"]["max_s"] == 300
     assert got["2"]["n_alarms"] == 0 and got["2"]["first_alarm_ms"] == -1
+
+
+def test_metronome_overflow_guard_raises(spark):
+    """Gap magnitudes that would overflow the DECIMAL(38,0) flag law
+    must raise loudly (ADVICE r4) instead of silently NULLing the
+    is_metronome bit: with ANSI off Spark returns NULL for decimal
+    overflow, which reads as 'not judged' — a bot slips through. Gaps
+    of ~9e17 ms across 6 events push 10^4*n*sum(g^2) past 1e38."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from gosmonaut_spark.operators.rolling import metronome_users
+
+    big = 9_000_000_000_000_000_00  # 9e17 ms per gap
+    rows = [(1, big * i, i) for i in range(7)]
+    ev = spark.createDataFrame(rows, "user_id long, ms long, event_id long")
+    with pytest.raises(SparkRuntimeException, match="metronome_users"):
+        metronome_users(ev).collect()

@@ -1038,6 +1038,13 @@ ORDER BY query_id""",
     )
 
     def q_cos_dup(spark, sf):
+        """Oracle twin ONLY — a brute cosine check over a deliberately
+        tiny CHECKED SUBSET (every 50th id + the planted duplicates), so
+        DuckDB can re-derive it exactly. The PRODUCTION near-dup path at
+        scale is :func:`gosmonaut_spark.functions.similarity.
+        cosine_pairs_lsh` (bucketed LSH candidates + verify, no
+        all-pairs); its band algebra is oracled end-to-end by
+        ``ann_lsh_topk`` and unit-tested against this brute law."""
         e = spark.read.parquet(f"{sf}/embeddings.parquet").select("vec_id", "embedding")
         dup = e.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
         both = e.unionByName(dup)

@@ -70,6 +70,13 @@ def clean_corpus(
         .where(F.col(id_col) == F.col("_min_id"))
         .drop("_fp", "_min_id")
     )
+    # the exact survivors feed TWO consumers (the minhash signature pass
+    # and the final left-anti) — materialize once instead of running the
+    # gate + fingerprint window twice. Lazy localCheckpoint: snapshots on
+    # first use, truncates lineage for the CC rounds downstream; at
+    # cluster scale swap for a reliable checkpoint dir (same pass-
+    # snapshot discipline as plans/checkpoint.py).
+    exact = exact.localCheckpoint(eager=False)
     # fuzzy dedup on the exact survivors only
     from ..operators.graph import connected_components
 

@@ -130,9 +130,23 @@ def test_allowlist_entries_are_registered():
     assert not missing, f"allowlist names not in registry: {missing}"
 
 
+_BANNED_SPARK_TYPES = {"decimal", "float"}
+
+
 @pytest.mark.parametrize("name", ALL_QUERIES)
 def test_no_unbounded_loop_joins(spark, name):
     df = entrymod.queries()[name](spark, SF_DIR)
+    # output-type law (same sweep, zero extra cost): the driver's value
+    # hash distinguishes serialized types even when == says equal, so
+    # query outputs stay in the long/double/string/bool/date family —
+    # no DecimalType, no float32
+    bad_types = [
+        (f.name, f.dataType.typeName())
+        for f in df.schema.fields
+        if f.dataType.typeName() in _BANNED_SPARK_TYPES
+        or f.dataType.typeName().startswith("decimal")
+    ]
+    assert not bad_types, f"{name} emits hash-unsafe column types: {bad_types}"
     plan = df._jdf.queryExecution().executedPlan().toString()
     bad = bnlj_violations(plan)
     if name in ALLOWED_BNLJ:

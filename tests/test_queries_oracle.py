@@ -29,10 +29,20 @@ def duck():
 
 
 def _normalize(v):
+    import decimal
+
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return v
+    # the r4 driver-red rows were uncast DuckDB integer sums surfacing as
+    # decimal128 — equal by ==, different under the driver's serializing
+    # hash. Ban the TYPE so the class of defect cannot recur: wrap sums
+    # in CAST(... AS BIGINT) in the oracle SQL.
+    assert not isinstance(v, decimal.Decimal), (
+        f"oracle returned decimal value {v!r} — cast the aggregate to "
+        "BIGINT/DOUBLE in the twin SQL"
+    )
     return v
 
 

@@ -9,12 +9,16 @@ Two jobs in one sweep (VERDICT r4 Next #1 and #5):
    query whose wall exceeds ``--budget`` (default 10 s) is listed under
    ``over_budget`` for plan review.
 
-2. Float-output law audit — for every result column of double/float
-   type, checks that every collected value ``v`` satisfies
-   ``v == round(v, 9)`` (the repo's cross-engine determinism law:
-   unrounded ratio doubles are exactly what made the r4 driver rows
-   ``corpus_lexical_diversity`` / ``text_oov_rate`` hash-red even though
-   the values matched).  Violations are listed under ``unrounded``.
+2. Float-output audit (INFORMATIONAL) — for every result column of
+   double/float type, checks whether every collected value ``v``
+   satisfies ``v == round(v, 9)``.  Adjudication note (r5): the r4
+   driver-red rows turned out to be uncast DuckDB integer sums
+   (decimal128 serialization), NOT unrounded doubles — bit-identical
+   doubles hash fine on the driver, and round(x, 9) is itself lossy in
+   DuckDB above ~9e6, so blanket rounding is WRONG.  The ``unrounded``
+   list is informational; the binding type law (no decimals, no
+   float32) is enforced by tests/test_plan_shapes.py and the oracle
+   sweep's Decimal assert.
 
 Usage::
 
@@ -111,7 +115,7 @@ def main() -> int:
         f"{len(unrounded)} with unrounded float cols; {len(errors)} errors"
     )
     spark.stop()
-    return 1 if (errors or unrounded) else 0
+    return 1 if errors else 0
 
 
 if __name__ == "__main__":

@@ -380,9 +380,14 @@ def run_suite(
     def _knn():
         m = _llm_scale("knn")
         pts = _pts(spark, sf_dir)
+        # repartition the probe side BEFORE the broadcast build: it
+        # derives from a single parquet split, so without this the
+        # broadcast-side job computes the whole derive+filter+ring
+        # explode in ONE task (profiled 6.8s single-task stage at 8
+        # cores — pure serial tax on the big leg)
         qs = pts.filter(F.col("id") % 11 == 0).select(
             F.col("id").alias("query_id"), "lat", "lon"
-        )
+        ).repartition(cpus)
         ts = pts.select(F.col("id").alias("target_id"), "lat", "lon")
         if m > 1:
             # copy i shifts every target by a copy-dependent sub-degree
@@ -398,7 +403,12 @@ def run_suite(
                 (((F.col("lon") + F.lit(180.0) + jit * F.lit(2.0))
                   % F.lit(360.0)) - F.lit(180.0)).alias("lon"),
             ).repartition(cpus * 4)
-        return knn_join(qs, ts, k=5, res=6, ring=1).count()
+        # the probe set is the small side by construction (1/11th of the
+        # base points vs M× replicated targets): broadcast it so the
+        # coordinate-carrying target side never shuffles
+        return knn_join(
+            qs, ts, k=5, res=6, ring=1, broadcast_queries=True
+        ).count()
 
     run("knn_ring", _knn)
 

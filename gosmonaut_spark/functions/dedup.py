@@ -352,8 +352,16 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # verify candidates with exact jaccard (semi-joined shingle tables)
-    sh = _shingle_table(docs, id_col, text_col, n).persist()
+    # verify candidates with exact jaccard (semi-joined shingle tables).
+    # Throughput path (xxhash64): shingle identity for the verify join is
+    # the shingle's 64-bit hash, not the ~30-byte string — the (b, sh)
+    # shuffle carries 8-byte longs and the intersection counts are
+    # unchanged up to 64-bit collisions (~n²/2⁶⁴, vanishing). The md5
+    # path keeps raw strings so the DuckDB oracle twin stays bit-exact.
+    sh = _shingle_table(docs, id_col, text_col, n)
+    if hash_fn != "md5":
+        sh = sh.select("doc_id", F.xxhash64("sh").alias("sh"))
+    sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("a"), "sh")
     sb = sh.select(F.col("doc_id").alias("b"), "sh")

@@ -261,6 +261,7 @@ def cosine_topk_lsh(
     vec: str = "embedding",
     multiprobe: int = 1,
     max_bucket_targets: int | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in >=1 table.
 
@@ -283,6 +284,17 @@ def cosine_topk_lsh(
     bucket — e.g. the all-zeros region — cannot cross-product the join).
     Recall for queries whose true neighbors sat in a dropped bucket
     degrades; prefer raising n_bits first, the cap is the backstop.
+
+    ``broadcast_queries`` (default on): the probe-exploded query side is
+    broadcast into the bucket join, so the TARGET side — the one
+    carrying a ``dim``-float array per row × n_tables — never shuffles
+    at all; the only remaining shuffles are scalar (id, id, cos)
+    triples for dedup/top-k. This is the operator's small-query-batch
+    contract made explicit (a query batch beyond broadcast size should
+    be chunked by the caller); measured 2-vs-8-core scaling of the
+    bench ANN leg was bandwidth-bound on the target shuffle before
+    this. Set False only for huge query sets, where the plan falls back
+    to a symmetric hash join.
     """
     if multiprobe not in (0, 1):
         raise ValueError("multiprobe supports 0 (off) or 1 (single-bit probes)")
@@ -325,6 +337,8 @@ def cosine_topk_lsh(
             ["tbl", "bkt"],
             "left_semi",
         )
+    if broadcast_queries:
+        qb = F.broadcast(qb)
     cand = (
         qb.join(tb, ["tbl", "bkt"])
         .select(

@@ -39,12 +39,22 @@ def knn_join(
     ring: int = 1,
     query_id: str = "query_id",
     target_id: str = "target_id",
+    broadcast_queries: bool = False,
 ) -> DataFrame:
     """Approximate kNN: candidates restricted to the k-ring neighborhood.
 
     Inputs: ``queries(query_id, lat, lon)``, ``targets(target_id, lat, lon)``.
     Output: ``(query_id, target_id, dist_m)``, ties broken by target_id —
     deterministic across runs and engines.
+
+    ``broadcast_queries``: when the query side is known small (a probe
+    batch against a large target corpus), broadcasting the ring-exploded
+    queries turns the cell equi-join into a broadcast hash join — the
+    target side (one coordinate row per target) never shuffles, and the
+    only shuffle left is the per-query top-k window on candidate scalars.
+    Default off: in self-join shapes (e.g. ``knn_join_adaptive`` over a
+    full point set) both sides are large and the symmetric shuffle is
+    correct.
     """
     q = queries.select(
         F.col(query_id).alias("query_id"),
@@ -58,6 +68,8 @@ def knn_join(
         F.col("lon").alias("t_lon"),
         cell_expr("lat", "lon", res).alias("cell"),
     )
+    if broadcast_queries:
+        q = F.broadcast(q)
     cand = q.join(t, "cell", "inner").select(
         "query_id",
         "target_id",

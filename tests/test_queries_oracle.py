@@ -80,6 +80,30 @@ def test_query_vs_oracle(spark, duck, name):
         f"{name}: {len(mism)} mismatched rows; first: "
         f"{s_set[mism[0]]} vs {d_set[mism[0]]}"
     )
+    # driver-style TYPE-SENSITIVE hash: a serializing hasher distinguishes
+    # int 5 / float 5.0 / Decimal('5') / True even where == does not (the
+    # exact mechanism behind the r4 hash-red rows). repr() is the
+    # cheapest type-tagged canonical form; bit-identical same-type values
+    # repr identically.
+    import hashlib
+
+    def _h(rows):
+        m = hashlib.md5()
+        for r in rows:
+            m.update(repr(r).encode())
+        return m.hexdigest()
+
+    t_mism = [
+        i
+        for i, (a, b) in enumerate(zip(s_set, d_set))
+        if repr(a) != repr(b)
+    ]
+    assert _h(s_set) == _h(d_set), (
+        f"{name}: values equal but serialized types differ; first: "
+        f"{s_set[t_mism[0]]!r} vs {d_set[t_mism[0]]!r}"
+        if t_mism
+        else f"{name}: hash mismatch"
+    )
 
 
 def test_rows_only_queries_run(spark):

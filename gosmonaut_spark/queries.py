@@ -1074,6 +1074,74 @@ WHERE x.vec_id < y.vec_id
 ORDER BY a, b""",
     )
 
+    # ---- LSH-path embedding near-dup (the PRODUCTION dedup path, fully
+    # oracled — VERDICT r4 #7's optional row): cosine_pairs_lsh with a
+    # DuckDB twin re-deriving the WHOLE band algebra like ann_lsh_topk —
+    # deterministic hyperplanes (seed 42), per-table buckets, single-bit
+    # multiprobe on the probe side only, bucket self-join a < b, exact
+    # cosine verify (left-to-right folds) — bit-for-bit. Planted exact
+    # duplicates (vec_id + 1e6) guarantee recall targets exist.
+    _ND_BITS, _ND_TABLES = 8, 4
+
+    def q_near_dup_lsh(spark, sf):
+        e = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        dup = e.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+        return S.cosine_pairs_lsh(
+            e.unionByName(dup),
+            threshold=0.99,
+            n_bits=_ND_BITS,
+            n_tables=_ND_TABLES,
+            dim=64,
+            multiprobe=1,
+        ).orderBy("a", "b")
+
+    _nd_branches = []
+    for _tbl in range(_ND_TABLES):
+        _planes = S._hyperplanes(64, _ND_BITS, _tbl)
+        _nd_branches.append(
+            f"  SELECT vec_id, {_tbl} AS tbl,"
+            f" {_bucket_sql('embedding', _planes)} AS bkt FROM nd_src"
+        )
+    _nd_flips = "[" + ", ".join(
+        str(v) for v in [0] + [1 << j for j in range(_ND_BITS)]
+    ) + "]"
+    _nd_cos = (
+        "list_reduce(list_transform(list_zip(va.v, vb.v), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)"
+        " / (va.vn * vb.vn)"
+    )
+    _nd_union = "\n  UNION ALL\n".join(_nd_branches)
+    q["embedding_near_dup_lsh"] = (
+        q_near_dup_lsh,
+        f"""WITH nd_src AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings
+),
+nd_v AS (
+  SELECT vec_id, embedding AS v, {_norm_sql('embedding')} AS vn FROM nd_src
+),
+nd_b AS (
+{_nd_union}
+),
+nd_probe AS (
+  SELECT vec_id, tbl, xor(bkt, f) AS bkt
+  FROM nd_b, (SELECT unnest({_nd_flips}) AS f)
+),
+nd_cand AS (
+  SELECT DISTINCT p.vec_id AS a, t.vec_id AS b
+  FROM nd_probe p JOIN nd_b t USING (tbl, bkt)
+  WHERE p.vec_id < t.vec_id
+)
+SELECT c.a, c.b, {_nd_cos} AS cos_sim
+FROM nd_cand c
+JOIN nd_v va ON va.vec_id = c.a
+JOIN nd_v vb ON vb.vec_id = c.b
+WHERE {_nd_cos} >= 0.99
+ORDER BY a, b""",
+    )
+
     # ---- event-time sessionization (streaming-shaped batch op) ----------------
     def q_sessions(spark, sf):
         # parquet yields TIMESTAMP_NTZ; DuckDB's epoch_ms treats the naive

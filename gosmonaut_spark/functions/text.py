@@ -976,3 +976,199 @@ SELECT id AS {id_expr}, n_bigrams,
        round(-s / CAST(n_bigrams AS DOUBLE), 9) AS avg_nll,
        round(exp(-s / CAST(n_bigrams AS DOUBLE)), 9) AS ppl
 FROM bp2_agg"""
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (tokenizer training kernel)
+# ---------------------------------------------------------------------------
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    n_merges: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges over the corpus →
+    ``(merge_rank, lhs, rhs, pair_count)``.
+
+    The actual LLM-preprocessing kernel (Sennrich et al. 2016): words
+    (whitespace tokens) weighted by corpus frequency start as character
+    sequences; each round counts every ADJACENT symbol pair occurrence
+    (overlapping positions count, the reference convention), picks the
+    most frequent pair — ties broken (count DESC, lhs ASC, rhs ASC), a
+    total order, so the learned merge table is deterministic across
+    engines and runs — and rewrites every word by the greedy
+    LEFT-TO-RIGHT NON-OVERLAPPING merge.
+
+    The greedy rewrite is pure Column algebra (no UDF): match positions
+    ``ps = [i : seq[i]=lhs ∧ seq[i+1]=rhs]``; within a maximal run of
+    CONSECUTIVE positions (which only arises for lhs == rhs, e.g. "aaaa")
+    greedy applies every other match starting with the first. Two
+    positions of ``ps`` belong to the same run iff ``p - index_in_ps(p)``
+    is equal (ps is strictly increasing), so
+    ``applied(p) ⟺ |{q ∈ ps : q < p ∧ same run}|`` is even — a nested
+    array lambda, exactly mirrored by the DuckDB twin's ``list_filter``
+    algebra (all integer/string ops: cross-engine exact by value, no
+    float law needed).
+
+    Scale shape (100 TB lens): the corpus collapses to the WORD VOCAB
+    (one row per distinct token) after one hash aggregate — every round
+    then works on vocab-sized data: one explode + hash-agg for pair
+    counts, a driver-side 1-row argmax (the merge decision is inherently
+    global and sequential — same bounded-driver-loop discipline as
+    k-means/CC rounds), and a narrow per-row rewrite. ``n_merges`` is
+    the round bound; lineage is truncated per round.
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .select(F.split("w", "").alias("seq"), "wc")
+    )
+    merges: list[tuple] = []
+    for r in range(int(n_merges)):
+        # Spark sequence(1, 0) counts DOWN — guard 1-symbol words to an
+        # empty pair-index list instead
+        pair_idx = F.when(
+            F.size("seq") >= 2, F.sequence(F.lit(1), F.size("seq") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pr = (
+            words.select(
+                "wc",
+                F.explode(
+                    F.transform(
+                        pair_idx,
+                        lambda i: F.struct(
+                            F.element_at(F.col("seq"), i).alias("x"),
+                            F.element_at(F.col("seq"), i + 1).alias("y"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+            .agg(F.sum("wc").alias("c"))
+        )
+        best = (
+            pr.orderBy(F.col("c").desc(), F.col("x").asc(), F.col("y").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        bx, by, bc = best[0]["x"], best[0]["y"], int(best[0]["c"])
+        merges.append((r + 1, bx, by, bc))
+        x, y = F.lit(bx), F.lit(by)
+        ps = F.filter(
+            F.when(
+                F.size("seq") >= 2, F.sequence(F.lit(1), F.size("seq") - 1)
+            ).otherwise(F.array().cast("array<int>")),
+            lambda i: (F.element_at(F.col("seq"), i) == x)
+            & (F.element_at(F.col("seq"), i + 1) == y),
+        )
+        words = words.withColumn("ps", ps)
+        applied = F.filter(
+            F.col("ps"),
+            lambda p: F.size(
+                F.filter(
+                    F.col("ps"),
+                    lambda q: (q < p)
+                    & (
+                        (q - F.array_position(F.col("ps"), q))
+                        == (p - F.array_position(F.col("ps"), p))
+                    ),
+                )
+            )
+            % 2
+            == 0,
+        )
+        words = words.withColumn("ap", applied)
+        out = F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.size("seq")),
+                lambda i: F.when(
+                    F.exists(F.col("ap"), lambda a: a == i),
+                    F.concat(
+                        F.element_at(F.col("seq"), i),
+                        F.element_at(F.col("seq"), i + 1),
+                    ),
+                )
+                .when(F.exists(F.col("ap"), lambda a: a == i - 1), F.lit(None))
+                .otherwise(F.element_at(F.col("seq"), i)),
+            ),
+            lambda s: s.isNotNull(),
+        )
+        words = (
+            words.withColumn("seq", out)
+            .drop("ps", "ap")
+            .localCheckpoint(eager=False)
+        )
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_count long"
+    )
+
+
+def bpe_learn_merges_sql(
+    docs_sql: str,
+    n_merges: int = 4,
+    text_expr: str = "text",
+) -> str:
+    """DuckDB twin — the identical pair-count / argmax / greedy-rewrite
+    law with the rounds unrolled as MATERIALIZED CTEs (each round's word
+    table is referenced twice: pair counting and the next rewrite)."""
+    ctes = [
+        f"""bp_w0 AS MATERIALIZED (
+  SELECT string_split(w, '') AS seq, count(*) AS wc FROM (
+    SELECT unnest({tokens_sql(text_expr)}) AS w FROM bp_src
+  ) GROUP BY w
+)"""
+    ]
+    rounds = []
+    w = "bp_w0"
+    for r in range(int(n_merges)):
+        a = f"bp_a{r}"
+        wn = f"bp_w{r + 1}"
+        ctes.append(
+            f"""{a} AS MATERIALIZED (
+  SELECT x, y, CAST(sum(wc) AS BIGINT) AS c FROM (
+    SELECT seq[i] AS x, seq[i + 1] AS y, wc
+    FROM {w}, LATERAL (SELECT unnest(range(1, len(seq))) AS i) ix
+  ) GROUP BY x, y ORDER BY c DESC, x ASC, y ASC LIMIT 1
+)"""
+        )
+        ctes.append(
+            f"""{wn} AS MATERIALIZED (
+  SELECT list_filter(
+           list_transform(range(1, len(seq) + 1),
+             i -> CASE WHEN len(list_filter(ap, a -> a = i)) > 0
+                       THEN seq[i] || seq[i + 1]
+                       WHEN len(list_filter(ap, a -> a = i - 1)) > 0
+                       THEN NULL
+                       ELSE seq[i] END),
+           s -> s IS NOT NULL) AS seq,
+         wc
+  FROM (
+    SELECT seq, wc,
+           list_filter(ps, p -> len(list_filter(ps,
+             q -> q < p AND q - list_position(ps, q) = p - list_position(ps, p)
+           )) % 2 = 0) AS ap
+    FROM (
+      SELECT seq, wc,
+             list_filter(range(1, len(seq)),
+               i -> seq[i] = mm.x AND seq[i + 1] = mm.y) AS ps
+      FROM {w}, {a} mm
+    )
+  )
+)"""
+        )
+        rounds.append(
+            f"SELECT {r + 1} AS merge_rank, x AS lhs, y AS rhs,"
+            f" c AS pair_count FROM {a}"
+        )
+        w = wn
+    body = "\n  UNION ALL ".join(rounds)
+    return (
+        f"WITH bp_src AS ({docs_sql}),\n"
+        + ",\n".join(ctes)
+        + f"\n{body}\nORDER BY merge_rank"
+    )

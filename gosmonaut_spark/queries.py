@@ -1142,6 +1142,88 @@ WHERE {_nd_cos} >= 0.99
 ORDER BY a, b""",
     )
 
+    # ---- semantic-dedup clusters: the full production composite ---------------
+    # LSH near-dup pairs (scale path above) -> connected components ->
+    # cluster roster (min-id representative = the component label, exact
+    # member count). The embedding-side mirror of dedup_cluster_reps;
+    # DuckDB twin = the same band algebra + recursive-CTE reachability.
+    def q_emb_clusters(spark, sf):
+        from .operators.graph import connected_components
+
+        e = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        dup = e.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+        # lean LSH config for the composite: exact duplicates collide in
+        # EVERY table, so 2 tables / no multiprobe already has full
+        # recall on the planted clusters — the recall-path configuration
+        # (4 tables + single-bit probes) is exercised by
+        # embedding_near_dup_lsh above
+        pairs = S.cosine_pairs_lsh(
+            e.unionByName(dup),
+            threshold=0.99,
+            n_bits=_ND_BITS,
+            n_tables=2,
+            dim=64,
+            multiprobe=0,
+        )
+        # materialize the verified pair table once before the CC rounds
+        # (the LSH bucket pass + cosine verify would otherwise re-derive
+        # under each round's lineage)
+        cc = connected_components(
+            pairs.select("a", "b").localCheckpoint(eager=False), "a", "b"
+        )
+        return (
+            cc.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("n_members"))
+            .orderBy("component")
+        )
+
+    _ndc_union = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {_tbl} AS tbl,"
+        f" {_bucket_sql('embedding', S._hyperplanes(64, _ND_BITS, _tbl))} AS bkt"
+        f" FROM nd_src"
+        for _tbl in range(2)
+    )
+    q["embedding_dedup_clusters"] = (
+        q_emb_clusters,
+        f"""WITH RECURSIVE nd_src AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings
+),
+nd_v AS (
+  SELECT vec_id, embedding AS v, {_norm_sql('embedding')} AS vn FROM nd_src
+),
+nd_b AS (
+{_ndc_union}
+),
+nd_cand AS (
+  SELECT DISTINCT p.vec_id AS a, t.vec_id AS b
+  FROM nd_b p JOIN nd_b t USING (tbl, bkt)
+  WHERE p.vec_id < t.vec_id
+),
+nd_pairs AS (
+  SELECT c.a, c.b
+  FROM nd_cand c
+  JOIN nd_v va ON va.vec_id = c.a
+  JOIN nd_v vb ON vb.vec_id = c.b
+  WHERE {_nd_cos} >= 0.99
+),
+nd_edges AS (
+  SELECT a AS u, b AS v FROM nd_pairs UNION SELECT b, a FROM nd_pairs
+),
+nd_reach AS (
+  SELECT u AS id, u AS lbl FROM nd_edges
+  UNION
+  SELECT e.v AS id, r.lbl FROM nd_reach r JOIN nd_edges e ON e.u = r.id
+  WHERE r.lbl < e.v
+),
+nd_comp AS (SELECT id, min(lbl) AS component FROM nd_reach GROUP BY id)
+SELECT component, count(*) AS n_members
+FROM nd_comp GROUP BY component
+ORDER BY component""",
+    )
+
     # ---- event-time sessionization (streaming-shaped batch op) ----------------
     def q_sessions(spark, sf):
         # parquet yields TIMESTAMP_NTZ; DuckDB's epoch_ms treats the naive
@@ -2493,6 +2575,21 @@ FROM documents WHERE doc_id % 10 = 7""",
         q_bpe,
         T.bpe_pair_counts_sql("SELECT text FROM documents")
         + "\nORDER BY pair",
+    )
+
+    # ---- BPE merge LEARNING (tokenizer-training kernel) -----------------------
+    # the full iterative loop, not just one round's statistic: k rounds of
+    # corpus-weighted pair argmax + greedy left-to-right non-overlapping
+    # rewrite over the word vocabulary. Deterministic total order on the
+    # merge choice; DuckDB twin unrolls the rounds as MATERIALIZED CTEs
+    # with the identical position-run-parity greedy algebra.
+    def q_bpe_learn(spark, sf):
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        return T.bpe_learn_merges(d, n_merges=4).orderBy("merge_rank")
+
+    q["text_bpe_learn_merges"] = (
+        q_bpe_learn,
+        T.bpe_learn_merges_sql("SELECT text FROM documents", n_merges=4),
     )
 
     # ---- corpus stats: exact rank-based quantiles per language ---------------

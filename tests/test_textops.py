@@ -1701,3 +1701,21 @@ def test_bigram_ppl_novelty_ordering(spark):
     assert got[1]["avg_nll"] < got[3]["avg_nll"]
     assert got[1]["ppl"] < got[3]["ppl"] < float("inf")
     assert got[1]["n_bigrams"] == 5 and got[3]["n_bigrams"] == 5
+
+
+def test_bpe_learn_merges_hand_example(spark):
+    """Classic hand-computed trainer walk: corpus 'aaab aaab ab' —
+    round 1 counts (a,a)=4 via OVERLAPPING adjacent positions and merges
+    it greedily left-to-right NON-overlapping ('aaab' -> [aa, a, b]);
+    round 2 picks (a,b)=3; round 3 merges the merged symbols (aa,ab)=2.
+    Exercises run-parity greedy, multi-char symbols, and tie order."""
+    from gosmonaut_spark.functions.text import bpe_learn_merges
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab ab")], "doc_id long, text string"
+    )
+    got = [
+        (r.merge_rank, r.lhs, r.rhs, r.pair_count)
+        for r in bpe_learn_merges(docs, n_merges=3).orderBy("merge_rank").collect()
+    ]
+    assert got == [(1, "a", "a", 4), (2, "a", "b", 3), (3, "aa", "ab", 2)]

@@ -379,3 +379,28 @@ SELECT k AS {key_expr}, n_points, path_mm,
                  / CAST(CAST(round(({endpoint_hav}) * 1000.0) AS BIGINT) AS DOUBLE)
        END AS sinuosity
 FROM sin_agg WHERE n_points >= 2"""
+
+
+def ring_orientation(lats: Column | str, lons: Column | str) -> Column:
+    """Winding order of a CLOSED ring (first vertex repeated last):
+    ``'ccw'`` / ``'cw'`` / ``'degenerate'`` by the sign of the planar
+    shoelace sum Σ xᵢ·yᵢ₊₁ − xᵢ₊₁·yᵢ, folded left-to-right (the
+    established Spark ``aggregate`` == DuckDB ``list_reduce`` pairing,
+    so the sign — the only thing emitted — is cross-engine exact; ±0.0
+    both read degenerate). OSM convention: outer rings ccw."""
+    la = F.col(lats) if isinstance(lats, str) else lats
+    lo = F.col(lons) if isinstance(lons, str) else lons
+    sh = F.aggregate(
+        F.sequence(F.lit(1), F.size(la) - 1),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + (
+            F.element_at(lo, i) * F.element_at(la, i + 1)
+            - F.element_at(lo, i + 1) * F.element_at(la, i)
+        ),
+    )
+    return (
+        F.when(sh > 0, F.lit("ccw"))
+        .when(sh < 0, F.lit("cw"))
+        .otherwise(F.lit("degenerate"))
+    )

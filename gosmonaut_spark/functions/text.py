@@ -983,11 +983,11 @@ FROM bp2_agg"""
 # ---------------------------------------------------------------------------
 
 
-def bpe_learn_merges(
+def _bpe_rounds(
     docs: DataFrame,
-    n_merges: int = 4,
-    text_col: str = "text",
-) -> DataFrame:
+    n_merges: int,
+    text_col: str,
+):
     """Learn the first ``n_merges`` BPE merges over the corpus →
     ``(merge_rank, lhs, rhs, pair_count)``.
 
@@ -1103,19 +1103,49 @@ def bpe_learn_merges(
             .drop("ps", "ap")
             .localCheckpoint(eager=False)
         )
+    return words, merges
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    n_merges: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """See :func:`_bpe_rounds` — returns the learned merge table
+    ``(merge_rank, lhs, rhs, pair_count)``."""
+    spark = docs.sparkSession
+    _, merges = _bpe_rounds(docs, n_merges, text_col)
     return spark.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, pair_count long"
     )
 
 
-def bpe_learn_merges_sql(
-    docs_sql: str,
+def bpe_encode_stats(
+    docs: DataFrame,
     n_merges: int = 4,
-    text_expr: str = "text",
-) -> str:
-    """DuckDB twin — the identical pair-count / argmax / greedy-rewrite
-    law with the rounds unrolled as MATERIALIZED CTEs (each round's word
-    table is referenced twice: pair counting and the next rewrite)."""
+    text_col: str = "text",
+) -> DataFrame:
+    """The APPLY side of the tokenizer kernel: run the same ``n_merges``
+    learned rewrites, then report the post-merge segmentation histogram —
+    ``(n_symbols, n_words, n_occurrences)``: how many distinct words
+    (and corpus occurrences, weighted by frequency) tokenize into k
+    symbols after the learned merges. The compression curve every
+    tokenizer-training run watches; same exact integer law as the
+    learner (the words table IS the learner's final state)."""
+    words, _ = _bpe_rounds(docs, n_merges, text_col)
+    return (
+        words.groupBy(F.size("seq").cast("long").alias("n_symbols"))
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("wc").alias("n_occurrences"),
+        )
+        .orderBy("n_symbols")
+    )
+
+
+def _bpe_sql_parts(docs_sql: str, n_merges: int, text_expr: str):
+    """Shared CTE chain for the BPE twins: returns (with_clause,
+    per-round merge selects, name of the final word table)."""
     ctes = [
         f"""bp_w0 AS MATERIALIZED (
   SELECT string_split(w, '') AS seq, count(*) AS wc FROM (
@@ -1166,9 +1196,33 @@ def bpe_learn_merges_sql(
             f" c AS pair_count FROM {a}"
         )
         w = wn
+    with_clause = f"WITH bp_src AS ({docs_sql}),\n" + ",\n".join(ctes)
+    return with_clause, rounds, w
+
+
+def bpe_learn_merges_sql(
+    docs_sql: str,
+    n_merges: int = 4,
+    text_expr: str = "text",
+) -> str:
+    """DuckDB twin — the identical pair-count / argmax / greedy-rewrite
+    law with the rounds unrolled as MATERIALIZED CTEs (each round's word
+    table is referenced twice: pair counting and the next rewrite)."""
+    with_clause, rounds, _w = _bpe_sql_parts(docs_sql, int(n_merges), text_expr)
     body = "\n  UNION ALL ".join(rounds)
-    return (
-        f"WITH bp_src AS ({docs_sql}),\n"
-        + ",\n".join(ctes)
-        + f"\n{body}\nORDER BY merge_rank"
-    )
+    return f"{with_clause}\n{body}\nORDER BY merge_rank"
+
+
+def bpe_encode_stats_sql(
+    docs_sql: str,
+    n_merges: int = 4,
+    text_expr: str = "text",
+) -> str:
+    """DuckDB twin of :func:`bpe_encode_stats` — the final word table of
+    the same unrolled chain, aggregated to the segmentation histogram."""
+    with_clause, _rounds, w = _bpe_sql_parts(docs_sql, int(n_merges), text_expr)
+    return f"""{with_clause}
+SELECT CAST(len(seq) AS BIGINT) AS n_symbols, count(*) AS n_words,
+       CAST(sum(wc) AS BIGINT) AS n_occurrences
+FROM {w} GROUP BY 1
+ORDER BY n_symbols"""

@@ -2592,6 +2592,17 @@ FROM documents WHERE doc_id % 10 = 7""",
         T.bpe_learn_merges_sql("SELECT text FROM documents", n_merges=4),
     )
 
+    # the APPLY side: post-merge segmentation histogram (the compression
+    # curve a tokenizer-training run watches) over the same learned state
+    def q_bpe_encode(spark, sf):
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        return T.bpe_encode_stats(d, n_merges=4).orderBy("n_symbols")
+
+    q["text_bpe_encode_stats"] = (
+        q_bpe_encode,
+        T.bpe_encode_stats_sql("SELECT text FROM documents", n_merges=4),
+    )
+
     # ---- corpus stats: exact rank-based quantiles per language ---------------
     # approx_percentile has no cross-engine twin; exact quantiles via
     # row_number picking are bit-identical (pure integer arithmetic) and
@@ -4435,6 +4446,63 @@ par AS (
 SELECT way_id AS polygon_id, count(*) AS n_inside
 FROM par WHERE k % 2 = 1
 GROUP BY way_id ORDER BY polygon_id""",
+    )
+
+    # ---- ring winding order (polygon orientation validation) ------------------
+    # the geometry-sanity gate in front of every area/PIP consumer: per
+    # closed assembled ring, the SIGN of the planar shoelace sum (ccw /
+    # cw / degenerate). The sum is a left-to-right fold of doubles — the
+    # established Spark aggregate == DuckDB list_reduce pairing — so the
+    # sign (the only thing emitted) is exact; the OSM convention wants
+    # outer rings ccw, so this is the validator a polygon ingest runs.
+    def q_winding(spark, sf):
+        from .operators.assembly import SKIP_MISSING
+        from .operators.pip import polygons_from_ways
+        from .plans.pipeline import run_pipeline
+
+        res = run_pipeline(
+            _pages_for(spark, sf), {"node", "way"}, None, mode=SKIP_MISSING
+        )
+        from .functions.geo import ring_orientation
+
+        polys = polygons_from_ways(res.ways)
+        return polys.select(
+            F.col("polygon_id").alias("id"),
+            F.size("lats").cast("long").alias("n_points"),
+            ring_orientation("lats", "lons").alias("orientation"),
+        ).orderBy("id")
+
+    _WD_SH = (
+        "list_reduce(list_transform(range(1, len(lats)), "
+        "i -> lons[i] * lats[i + 1] - lons[i + 1] * lats[i]), "
+        "(acc, v) -> acc + v)"
+    )
+    q["pages_ring_winding"] = (
+        q_winding,
+        f"""WITH nodes AS (
+  SELECT id, lat, lon FROM read_parquet('{tp["nodes"]}')
+),
+resolved AS (
+  SELECT r.way_id, r.pos, n.id, n.lat, n.lon
+  FROM read_parquet('{tp["way_refs"]}') r JOIN nodes n ON r.ref = n.id
+),
+ring_stat AS (
+  SELECT way_id
+  FROM resolved GROUP BY way_id
+  HAVING count(*) >= 4 AND arg_min(id, pos) = arg_max(id, pos)
+),
+verts AS (
+  SELECT s.way_id, list(s.lat ORDER BY s.pos) AS lats,
+         list(s.lon ORDER BY s.pos) AS lons
+  FROM resolved s JOIN ring_stat USING (way_id)
+  GROUP BY s.way_id
+)
+SELECT way_id AS id, CAST(len(lats) AS BIGINT) AS n_points,
+       CASE WHEN {_WD_SH} > 0 THEN 'ccw'
+            WHEN {_WD_SH} < 0 THEN 'cw'
+            ELSE 'degenerate' END AS orientation
+FROM verts
+ORDER BY id""",
     )
 
     # ---- polygon polyfill (rasterize assembled areas to res-15 cells) --------

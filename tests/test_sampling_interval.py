@@ -405,3 +405,24 @@ def test_metronome_overflow_guard_raises(spark):
     ev = spark.createDataFrame(rows, "user_id long, ms long, event_id long")
     with pytest.raises(SparkRuntimeException, match="metronome_users"):
         metronome_users(ev).collect()
+
+
+def test_ring_orientation_signs(spark):
+    """Hand rings: ccw unit square, the same square reversed (cw), and a
+    flat 3-point degenerate 'ring' — the synthetic pages world only
+    generates ccw rings, so the sign branches need explicit coverage."""
+    from gosmonaut_spark.functions.geo import ring_orientation
+
+    rows = [
+        (1, [0.0, 0.0, 1.0, 1.0, 0.0], [0.0, 1.0, 1.0, 0.0, 0.0]),  # ccw
+        (2, [0.0, 1.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 1.0, 0.0]),  # cw
+        (3, [0.0, 0.0, 0.0], [0.0, 5.0, 0.0]),                      # flat
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, lats array<double>, lons array<double>"
+    )
+    got = {
+        r.id: r.o
+        for r in df.select("id", ring_orientation("lats", "lons").alias("o")).collect()
+    }
+    assert got == {1: "ccw", 2: "cw", 3: "degenerate"}

@@ -404,3 +404,178 @@ def ring_orientation(lats: Column | str, lons: Column | str) -> Column:
         .when(sh < 0, F.lit("cw"))
         .otherwise(F.lit("degenerate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# rectangle clipping (Sutherland–Hodgman as pure array algebra)
+# ---------------------------------------------------------------------------
+
+
+def _clip_halfplane(la: Column, lo: Column, axis: str, bound: float, keep_ge: bool):
+    """One Sutherland–Hodgman half-plane pass over a CLOSED ring.
+
+    Per edge (v₁→v₂): emit the boundary intersection when the edge
+    crosses, then v₂ when v₂ is inside — flatten over edges in order,
+    re-close. Pure per-edge local algebra (``flatten ∘ transform``, no
+    fold), so the DuckDB twin is the identical expression shape and the
+    interpolation ``o₁ + t·(o₂−o₁)`` with ``t = (b−a₁)/(a₂−a₁)`` is
+    bit-identical cross-engine. Inside test is INCLUSIVE (boundary
+    vertices kept); a₁ == a₂ implies both endpoints on the same side, so
+    the crossing branch never divides by zero."""
+    b = F.lit(float(bound))
+
+    def a_of(i):
+        return F.element_at(la if axis == "lat" else lo, i)
+
+    def o_of(i):
+        return F.element_at(lo if axis == "lat" else la, i)
+
+    def inside(i):
+        return a_of(i) >= b if keep_ge else a_of(i) <= b
+
+    def pt(a_val, o_val):
+        lat_v = a_val if axis == "lat" else o_val
+        lon_v = o_val if axis == "lat" else a_val
+        return F.struct(lat_v.alias("la"), lon_v.alias("lo"))
+
+    def cross(i):
+        t = (b - a_of(i)) / (a_of(i + 1) - a_of(i))
+        return pt(b, o_of(i) + t * (o_of(i + 1) - o_of(i)))
+
+    def v2(i):
+        return pt(a_of(i + 1), o_of(i + 1))
+
+    def per_edge(i):
+        return (
+            F.when(inside(i) & inside(i + 1), F.array(v2(i)))
+            .when(inside(i) & ~inside(i + 1), F.array(cross(i)))
+            .when(~inside(i) & inside(i + 1), F.array(cross(i), v2(i)))
+            .otherwise(F.array().cast("array<struct<la:double,lo:double>>"))
+        )
+
+    pts = F.when(
+        F.size(la) >= 2,
+        F.flatten(F.transform(F.sequence(F.lit(1), F.size(la) - 1), per_edge)),
+    ).otherwise(F.array().cast("array<struct<la:double,lo:double>>"))
+    closed = F.when(
+        F.size(pts) > 0, F.concat(pts, F.slice(pts, 1, 1))
+    ).otherwise(pts)
+    return closed
+
+
+def clip_rings_rect(
+    df,
+    lat0: float,
+    lat1: float,
+    lon0: float,
+    lon1: float,
+    lats: str = "lats",
+    lons: str = "lons",
+):
+    """Clip every closed ring to the axis-aligned rectangle
+    ``[lat0, lat1] × [lon0, lon1]`` — four successive half-plane passes
+    with a LINEAGE BARRIER (lazy localCheckpoint) between them: each
+    pass references the ring arrays ~36 times, and Catalyst's
+    CollapseProject would fold the four projections back into one
+    expression with 36⁴ leaf copies — measured driver OOM during
+    canonicalization (the same class as the kNN ring-expansion lesson).
+    The barrier caps every plan at one pass; at cluster scale swap for a
+    reliable checkpoint if the ring table is too large for executor
+    storage. Replaces the ``lats``/``lons`` columns with the clipped
+    ring (empty arrays when the ring lies outside). The building block
+    of area-weighted raster↔vector rollups: clip to each covering cell,
+    then the integer-micro shoelace (``polygon_stats``) per piece."""
+    stages = [
+        ("lat", float(lat0), True),
+        ("lat", float(lat1), False),
+        ("lon", float(lon0), True),
+        ("lon", float(lon1), False),
+    ]
+    out = df
+    for axis, bound, keep_ge in stages:
+        closed = _clip_halfplane(F.col(lats), F.col(lons), axis, bound, keep_ge)
+        out = (
+            out.withColumn("__clip", closed)
+            .select(
+                *[c for c in out.columns if c not in (lats, lons)],
+                F.transform(F.col("__clip"), lambda p: p["la"]).alias(lats),
+                F.transform(F.col("__clip"), lambda p: p["lo"]).alias(lons),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return out
+
+
+def clip_rings_rect_sql(
+    src_sql: str,
+    lat0: float,
+    lat1: float,
+    lon0: float,
+    lon1: float,
+    lats: str = "lats",
+    lons: str = "lons",
+    extra_cols: str = "",
+) -> str:
+    """DuckDB twin — the identical four half-plane passes, each stage a
+    MATERIALIZED CTE: DuckDB fuses chained projections exactly like
+    Catalyst's CollapseProject, so without the boundaries a downstream
+    consumer referencing the ring arrays k times re-expands the whole
+    chain k·36ⁿ-fold (measured: the clipped-area query went from >10 min
+    to sub-second). ``src_sql`` must yield ``{extra_cols...}, lats,
+    lons``; ``extra_cols`` is a leading ``"col1, col2,"`` prefix passed
+    through. The result is a complete ``WITH … SELECT`` — embed it as a
+    derived table."""
+
+    def one(axis: str, bound: float, keep_ge: bool, src: str) -> str:
+        b = repr(float(bound))
+        a = lats if axis == "lat" else lons
+        o = lons if axis == "lat" else lats
+        op = ">=" if keep_ge else "<="
+
+        # struct fields: la/lo in ring order regardless of axis
+        def pt_cross():
+            t = f"(({b}) - {a}[i]) / ({a}[i + 1] - {a}[i])"
+            o_val = f"{o}[i] + ({t}) * ({o}[i + 1] - {o}[i])"
+            lat_v = b if axis == "lat" else o_val
+            lon_v = o_val if axis == "lat" else b
+            return f"{{'la': CAST({lat_v} AS DOUBLE), 'lo': CAST({lon_v} AS DOUBLE)}}"
+
+        v2 = f"{{'la': {lats}[i + 1], 'lo': {lons}[i + 1]}}"
+        per_edge = f"""CASE
+      WHEN {a}[i] {op} ({b}) AND {a}[i + 1] {op} ({b}) THEN [{v2}]
+      WHEN {a}[i] {op} ({b}) THEN [{pt_cross()}]
+      WHEN {a}[i + 1] {op} ({b}) THEN [{pt_cross()}, {v2}]
+      ELSE CAST([] AS STRUCT(la DOUBLE, lo DOUBLE)[]) END"""
+        return f"""SELECT {extra_cols}
+       list_transform(__cl, p -> p.la) AS {lats},
+       list_transform(__cl, p -> p.lo) AS {lons}
+FROM (
+  SELECT {extra_cols}
+         CASE WHEN len(__p) > 0 THEN list_append(__p, __p[1]) ELSE __p END AS __cl
+  FROM (
+    SELECT {extra_cols}
+           CASE WHEN len({lats}) >= 2 THEN flatten(list_transform(
+             range(1, len({lats})), i -> {per_edge}))
+           ELSE CAST([] AS STRUCT(la DOUBLE, lo DOUBLE)[]) END AS __p
+    FROM ({src})
+  )
+)"""
+
+    ctes = [f"__cr_s0 AS MATERIALIZED ({src_sql})"]
+    prev = "__cr_s0"
+    for k, (axis, bound, keep_ge) in enumerate(
+        [
+            ("lat", lat0, True),
+            ("lat", lat1, False),
+            ("lon", lon0, True),
+            ("lon", lon1, False),
+        ],
+        start=1,
+    ):
+        name = f"__cr_s{k}"
+        stage = one(axis, float(bound), keep_ge, f"SELECT * FROM {prev}")
+        ctes.append(f"{name} AS MATERIALIZED (\n{stage}\n)")
+        prev = name
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM {prev}"
+    )

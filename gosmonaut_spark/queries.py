@@ -4505,6 +4505,67 @@ FROM verts
 ORDER BY id""",
     )
 
+    # ---- rectangle clip + clipped area (Sutherland–Hodgman) -------------------
+    # the viewport/tile-boundary primitive: every assembled ring clipped
+    # to a fixed window, clipped area in integer micro-units. Four
+    # half-plane passes of pure per-edge array algebra (flatten∘transform,
+    # no fold) — interpolated crossing points are bit-identical
+    # cross-engine, the area then rides the established micro-shoelace
+    # integer law. Fully-outside rings clip to empty and drop; boundary
+    # slivers survive with area 0.
+    _CLIP = (-10.0, 25.0, -40.0, 60.0)
+
+    def q_clip_area(spark, sf):
+        from .functions.geo import clip_rings_rect, polygon_stats
+        from .operators.assembly import SKIP_MISSING
+        from .operators.pip import polygons_from_ways
+        from .plans.pipeline import run_pipeline
+
+        res = run_pipeline(
+            _pages_for(spark, sf), {"node", "way"}, None, mode=SKIP_MISSING
+        )
+        polys = polygons_from_ways(res.ways).select("polygon_id", "lats", "lons")
+        clipped = clip_rings_rect(polys, *_CLIP).where(F.size("lats") > 0)
+        st = polygon_stats("lats", "lons")
+        return clipped.select(
+            F.col("polygon_id").alias("id"),
+            F.size("lats").cast("long").alias("n_clip_points"),
+            st["area2x_micro"].alias("area2x_micro"),
+        ).orderBy("id")
+
+    from .functions.geo import clip_rings_rect_sql as _crs
+    from .functions.geo import polygon_stats_sql as _psql
+
+    _CA_VERTS = f"""SELECT s.way_id AS polygon_id,
+       list(s.lat ORDER BY s.pos) AS lats,
+       list(s.lon ORDER BY s.pos) AS lons
+FROM (
+  SELECT r.way_id, r.pos, n.id, n.lat, n.lon
+  FROM read_parquet('{tp["way_refs"]}') r
+  JOIN read_parquet('{tp["nodes"]}') n ON r.ref = n.id
+) s
+JOIN (
+  SELECT way_id FROM (
+    SELECT r.way_id, r.pos, n.id
+    FROM read_parquet('{tp["way_refs"]}') r
+    JOIN read_parquet('{tp["nodes"]}') n ON r.ref = n.id
+  ) GROUP BY way_id
+  HAVING count(*) >= 4 AND arg_min(id, pos) = arg_max(id, pos)
+) rs USING (way_id)
+GROUP BY s.way_id"""
+    _ca_pst = _psql("lats", "lons")
+    q["pages_clip_area"] = (
+        q_clip_area,
+        f"""SELECT polygon_id AS id,
+       CAST(len(lats) AS BIGINT) AS n_clip_points,
+       {_ca_pst['area2x_micro']} AS area2x_micro
+FROM (
+{_crs(_CA_VERTS, *_CLIP, extra_cols="polygon_id,")}
+)
+WHERE len(lats) > 0
+ORDER BY id""",
+    )
+
     # ---- polygon polyfill (rasterize assembled areas to res-15 cells) --------
     # the H3-polyfill primitive: enumerate the bbox span per ring, keep the
     # cells whose CENTER passes the same bit-exact PNPOLY as the pip joins.

@@ -426,3 +426,54 @@ def test_ring_orientation_signs(spark):
         for r in df.select("id", ring_orientation("lats", "lons").alias("o")).collect()
     }
     assert got == {1: "ccw", 2: "cw", 3: "degenerate"}
+
+
+def test_clip_rings_rect_hand_triangle(spark):
+    """Sutherland–Hodgman vs hand geometry on BOTH engines: triangle
+    (0,0),(2,0),(0,2) clipped to [0,1]² is the unit square (the corner
+    (1,1) lies ON the hypotenuse and survives the inclusive inside
+    test): 2·area = 2.0 → 2,000,000 micro-units; a fully-outside ring
+    clips to empty."""
+    import duckdb
+
+    from gosmonaut_spark.functions.geo import (
+        clip_rings_rect,
+        clip_rings_rect_sql,
+        polygon_stats,
+        polygon_stats_sql,
+    )
+
+    rows = [
+        (1, [0.0, 0.0, 2.0, 0.0], [0.0, 2.0, 0.0, 0.0]),
+        (2, [5.0, 5.0, 6.0, 5.0], [5.0, 6.0, 5.0, 5.0]),  # outside
+    ]
+    df = spark.createDataFrame(
+        rows, "polygon_id long, lats array<double>, lons array<double>"
+    )
+    c = clip_rings_rect(df, 0.0, 1.0, 0.0, 1.0)
+    st = polygon_stats("lats", "lons")
+    got = {
+        r.polygon_id: (r.nv, r.a2)
+        for r in c.where(F.size("lats") > 0)
+        .select(
+            "polygon_id",
+            F.size("lats").alias("nv"),
+            st["area2x_micro"].alias("a2"),
+        )
+        .collect()
+    }
+    assert got == {1: (6, 2_000_000)}
+
+    src = (
+        "SELECT * FROM (VALUES "
+        "(1, [0.0, 0.0, 2.0, 0.0], [0.0, 2.0, 0.0, 0.0]), "
+        "(2, [5.0, 5.0, 6.0, 5.0], [5.0, 6.0, 5.0, 5.0])"
+        ") t(polygon_id, lats, lons)"
+    )
+    pst = polygon_stats_sql("lats", "lons")
+    dgot = duckdb.sql(
+        f"SELECT polygon_id, len(lats) AS nv, {pst['area2x_micro']} AS a2 "
+        f"FROM ({clip_rings_rect_sql(src, 0.0, 1.0, 0.0, 1.0, extra_cols='polygon_id,')}) "
+        f"WHERE len(lats) > 0"
+    ).fetchall()
+    assert dgot == [(1, 6, 2_000_000)]

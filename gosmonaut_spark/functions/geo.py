@@ -421,8 +421,10 @@ def _clip_halfplane(la: Column, lo: Column, axis: str, bound: float, keep_ge: bo
     interpolation ``o₁ + t·(o₂−o₁)`` with ``t = (b−a₁)/(a₂−a₁)`` is
     bit-identical cross-engine. Inside test is INCLUSIVE (boundary
     vertices kept); a₁ == a₂ implies both endpoints on the same side, so
-    the crossing branch never divides by zero."""
-    b = F.lit(float(bound))
+    the crossing branch never divides by zero. ``bound`` may be a float
+    (fixed window) or a Column (per-row window, e.g. a covering cell's
+    bbox edge)."""
+    b = bound if isinstance(bound, Column) else F.lit(float(bound))
 
     def a_of(i):
         return F.element_at(la if axis == "lat" else lo, i)
@@ -486,10 +488,10 @@ def clip_rings_rect(
     of area-weighted raster↔vector rollups: clip to each covering cell,
     then the integer-micro shoelace (``polygon_stats``) per piece."""
     stages = [
-        ("lat", float(lat0), True),
-        ("lat", float(lat1), False),
-        ("lon", float(lon0), True),
-        ("lon", float(lon1), False),
+        ("lat", lat0 if isinstance(lat0, Column) else float(lat0), True),
+        ("lat", lat1 if isinstance(lat1, Column) else float(lat1), False),
+        ("lon", lon0 if isinstance(lon0, Column) else float(lon0), True),
+        ("lon", lon1 if isinstance(lon1, Column) else float(lon1), False),
     ]
     out = df
     for axis, bound, keep_ge in stages:
@@ -526,8 +528,10 @@ def clip_rings_rect_sql(
     through. The result is a complete ``WITH … SELECT`` — embed it as a
     derived table."""
 
-    def one(axis: str, bound: float, keep_ge: bool, src: str) -> str:
-        b = repr(float(bound))
+    def one(axis: str, bound, keep_ge: bool, src: str) -> str:
+        # float literal (fixed window) or SQL expression string (per-row
+        # window carried through extra_cols)
+        b = bound if isinstance(bound, str) else repr(float(bound))
         a = lats if axis == "lat" else lons
         o = lons if axis == "lat" else lats
         op = ">=" if keep_ge else "<="
@@ -573,7 +577,7 @@ FROM (
         start=1,
     ):
         name = f"__cr_s{k}"
-        stage = one(axis, float(bound), keep_ge, f"SELECT * FROM {prev}")
+        stage = one(axis, bound, keep_ge, f"SELECT * FROM {prev}")
         ctes.append(f"{name} AS MATERIALIZED (\n{stage}\n)")
         prev = name
     return (

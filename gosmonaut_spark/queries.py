@@ -4566,6 +4566,155 @@ WHERE len(lats) > 0
 ORDER BY id""",
     )
 
+    # ---- AREA-WEIGHTED raster↔vector rollup -----------------------------------
+    # B9 deepened: not point-in-cell counts but the true per-cell AREA of
+    # every polygon — each assembled ring is clipped (Sutherland–Hodgman,
+    # per-row cell bbox bounds) to every covering grid cell and the
+    # integer-micro shoelace of each piece is summed per cell. Exact
+    # conservation by construction: the clip pieces partition the ring.
+    _AR_RES = 4
+
+    def q_area_rollup(spark, sf):
+        from .functions.cells import cell_from_xy, cell_x, cell_y
+        from .functions.geo import clip_rings_rect, polygon_stats
+        from .operators.assembly import SKIP_MISSING
+        from .operators.pip import polygons_from_ways
+        from .plans.pipeline import run_pipeline
+
+        n = 1 << _AR_RES
+        res_p = run_pipeline(
+            _pages_for(spark, sf), {"node", "way"}, None, mode=SKIP_MISSING
+        )
+        polys = polygons_from_ways(res_p.ways).select(
+            "polygon_id", "lats", "lons"
+        )
+        b = polys.select(
+            "polygon_id",
+            "lats",
+            "lons",
+            F.array_min("lats").alias("mnla"),
+            F.array_max("lats").alias("mxla"),
+            F.array_min("lons").alias("mnlo"),
+            F.array_max("lons").alias("mxlo"),
+        )
+        pairs = (
+            b.withColumn(
+                "cx",
+                F.explode(
+                    F.sequence(
+                        cell_x(F.col("mnlo"), _AR_RES),
+                        cell_x(F.col("mxlo"), _AR_RES),
+                    )
+                ),
+            )
+            .withColumn(
+                "cy",
+                F.explode(
+                    F.sequence(
+                        cell_y(F.col("mxla"), _AR_RES),
+                        cell_y(F.col("mnla"), _AR_RES),
+                    )
+                ),
+            )
+        )
+        nd = F.lit(float(n))
+        pairs = (
+            pairs.withColumn(
+                "cell", cell_from_xy(F.col("cx"), F.col("cy"), _AR_RES)
+            )
+            .withColumn(
+                "la0",
+                F.lit(90.0)
+                - (F.col("cy").cast("double") + F.lit(1.0))
+                / nd
+                * F.lit(180.0),
+            )
+            .withColumn(
+                "la1",
+                F.lit(90.0) - F.col("cy").cast("double") / nd * F.lit(180.0),
+            )
+            .withColumn(
+                "lo0",
+                F.col("cx").cast("double") / nd * F.lit(360.0) - F.lit(180.0),
+            )
+            .withColumn(
+                "lo1",
+                (F.col("cx").cast("double") + F.lit(1.0)) / nd * F.lit(360.0)
+                - F.lit(180.0),
+            )
+        )
+        clipped = clip_rings_rect(
+            pairs,
+            F.col("la0"),
+            F.col("la1"),
+            F.col("lo0"),
+            F.col("lo1"),
+        )
+        st = polygon_stats("lats", "lons")
+        per = clipped.select(
+            "cell", st["area2x_micro"].alias("a2")
+        ).where(F.col("a2") != 0)
+        return (
+            per.groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("n_polygons"),
+                F.sum("a2").alias("area2x_micro_sum"),
+            )
+            .orderBy("cell")
+        )
+
+    _arn = 1 << _AR_RES
+    _ar_cellx = (
+        f"CAST(least(greatest(floor((mnlo + 180.0) / 360.0 * {float(_arn)!r}),"
+        f" 0), {_arn - 1}) AS BIGINT)"
+    )
+    _ar_cellx1 = (
+        f"CAST(least(greatest(floor((mxlo + 180.0) / 360.0 * {float(_arn)!r}),"
+        f" 0), {_arn - 1}) AS BIGINT)"
+    )
+    _ar_celly = (
+        f"CAST(least(greatest(floor((90.0 - mxla) / 180.0 * {float(_arn)!r}),"
+        f" 0), {_arn - 1}) AS BIGINT)"
+    )
+    _ar_celly1 = (
+        f"CAST(least(greatest(floor((90.0 - mnla) / 180.0 * {float(_arn)!r}),"
+        f" 0), {_arn - 1}) AS BIGINT)"
+    )
+    _AR_PAIRS = f"""SELECT polygon_id, lats, lons,
+       ({1 << (2 * _AR_RES)} + cx * {_arn} + cy) AS cell,
+       90.0 - (CAST(cy AS DOUBLE) + 1.0) / {float(_arn)!r} * 180.0 AS la0,
+       90.0 - CAST(cy AS DOUBLE) / {float(_arn)!r} * 180.0 AS la1,
+       CAST(cx AS DOUBLE) / {float(_arn)!r} * 360.0 - 180.0 AS lo0,
+       (CAST(cx AS DOUBLE) + 1.0) / {float(_arn)!r} * 360.0 - 180.0 AS lo1
+FROM (
+  SELECT polygon_id, lats, lons, mnlo, mxlo, mnla, mxla, ix.cx, iy.cy
+  FROM (
+    SELECT polygon_id, lats, lons,
+           list_aggregate(lats, 'min') AS mnla,
+           list_aggregate(lats, 'max') AS mxla,
+           list_aggregate(lons, 'min') AS mnlo,
+           list_aggregate(lons, 'max') AS mxlo
+    FROM (
+{_CA_VERTS}
+    )
+  ),
+  LATERAL (SELECT unnest(range({_ar_cellx}, {_ar_cellx1} + 1)) AS cx) ix,
+  LATERAL (SELECT unnest(range({_ar_celly}, {_ar_celly1} + 1)) AS cy) iy
+)"""
+    q["tiles_area_rollup"] = (
+        q_area_rollup,
+        f"""SELECT cell, count(*) AS n_polygons,
+       CAST(sum(a2) AS BIGINT) AS area2x_micro_sum
+FROM (
+  SELECT cell, {_ca_pst['area2x_micro']} AS a2
+  FROM (
+{_crs(_AR_PAIRS, "la0", "la1", "lo0", "lo1", extra_cols="polygon_id, cell, la0, la1, lo0, lo1,")}
+  )
+) WHERE a2 != 0
+GROUP BY cell
+ORDER BY cell""",
+    )
+
     # ---- polygon polyfill (rasterize assembled areas to res-15 cells) --------
     # the H3-polyfill primitive: enumerate the bbox span per ring, keep the
     # cells whose CENTER passes the same bit-exact PNPOLY as the pip joins.

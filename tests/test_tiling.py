@@ -1193,3 +1193,71 @@ def test_slippy_known_tiles_and_clamps(spark):
     assert got[1] == (0, 0) and got[2] == (1, 1)
     assert got[3][1] == 0 and got[4] == (1, 1)
     assert got[5] == (1, 1)
+
+
+def test_area_rollup_conserves_total_area(spark):
+    """The clip pieces PARTITION each ring, and the micro-shoelace of a
+    piece sums edge terms that either coincide with original edges or
+    cancel along shared cell boundaries — so summing the per-cell rollup
+    must reproduce each ring's own area EXACTLY in exact integer micro
+    units... up to the per-edge rounding: clipping introduces boundary
+    edges rounded independently, so equality is asserted within a
+    few-micro tolerance per ring while the TOTALS must agree to ~1e-6
+    relative. Guards the clip+rollup composition end to end."""
+    import pyspark.sql.functions as F
+
+    from gosmonaut_spark.functions.cells import cell_from_xy, cell_x, cell_y
+    from gosmonaut_spark.functions.geo import clip_rings_rect, polygon_stats
+
+    res = 3
+    n = 1 << res
+    rows = [
+        # triangle spanning several res-3 cells
+        (1, [10.0, 10.0, 40.0, 10.0], [-20.0, 30.0, -20.0, -20.0]),
+        # small square inside one cell
+        (2, [1.0, 1.0, 2.0, 2.0, 1.0], [1.0, 2.0, 2.0, 1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "polygon_id long, lats array<double>, lons array<double>"
+    )
+    st = polygon_stats("lats", "lons")
+    whole = {
+        r.polygon_id: r.a2
+        for r in df.select("polygon_id", st["area2x_micro"].alias("a2")).collect()
+    }
+    b = df.select(
+        "*",
+        F.array_min("lats").alias("mnla"),
+        F.array_max("lats").alias("mxla"),
+        F.array_min("lons").alias("mnlo"),
+        F.array_max("lons").alias("mxlo"),
+    )
+    pairs = b.withColumn(
+        "cx", F.explode(F.sequence(cell_x(F.col("mnlo"), res), cell_x(F.col("mxlo"), res)))
+    ).withColumn(
+        "cy", F.explode(F.sequence(cell_y(F.col("mxla"), res), cell_y(F.col("mnla"), res)))
+    )
+    nd = F.lit(float(n))
+    pairs = pairs.withColumn(
+        "la0", F.lit(90.0) - (F.col("cy").cast("double") + 1.0) / nd * 180.0
+    ).withColumn(
+        "la1", F.lit(90.0) - F.col("cy").cast("double") / nd * 180.0
+    ).withColumn(
+        "lo0", F.col("cx").cast("double") / nd * 360.0 - 180.0
+    ).withColumn(
+        "lo1", (F.col("cx").cast("double") + 1.0) / nd * 360.0 - 180.0
+    )
+    clipped = clip_rings_rect(
+        pairs, F.col("la0"), F.col("la1"), F.col("lo0"), F.col("lo1")
+    )
+    got = {
+        r.polygon_id: r.s
+        for r in clipped.select("polygon_id", st["area2x_micro"].alias("a2"))
+        .groupBy("polygon_id")
+        .agg(F.sum("a2").alias("s"))
+        .collect()
+    }
+    for pid, total in whole.items():
+        assert abs(got[pid] - total) <= 64, (pid, got[pid], total)
+    # the one-cell square is exactly conserved (no synthetic boundary edges)
+    assert got[2] == whole[2] == 2 * 1_000_000

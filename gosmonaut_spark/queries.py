@@ -4566,6 +4566,42 @@ WHERE len(lats) > 0
 ORDER BY id""",
     )
 
+    # ---- polygon centroids over the assembled world ---------------------------
+    # the label-placement / cluster-anchor metric: per closed ring, the
+    # exact integer-micro shoelace area and centroid NUMERATORS (centroid
+    # = num / (3·area2x) for consumers wanting the float — kept integer
+    # here so the oracle is exact, same law as geo_polygon_stats but over
+    # the decode→assembly pipeline output instead of synthetic rects).
+    def q_pages_centroids(spark, sf):
+        from .functions.geo import polygon_stats
+        from .operators.assembly import SKIP_MISSING
+        from .operators.pip import polygons_from_ways
+        from .plans.pipeline import run_pipeline
+
+        res_p = run_pipeline(
+            _pages_for(spark, sf), {"node", "way"}, None, mode=SKIP_MISSING
+        )
+        polys = polygons_from_ways(res_p.ways)
+        st = polygon_stats("lats", "lons")
+        return polys.select(
+            F.col("polygon_id").alias("id"),
+            st["area2x_micro"].alias("area2x_micro"),
+            st["cx_num_micro"].alias("cx_num_micro"),
+            st["cy_num_micro"].alias("cy_num_micro"),
+        ).orderBy("id")
+
+    q["pages_polygon_centroids"] = (
+        q_pages_centroids,
+        f"""SELECT polygon_id AS id,
+       {_ca_pst['area2x_micro']} AS area2x_micro,
+       {_ca_pst['cx_num_micro']} AS cx_num_micro,
+       {_ca_pst['cy_num_micro']} AS cy_num_micro
+FROM (
+{_CA_VERTS}
+)
+ORDER BY id""",
+    )
+
     # ---- AREA-WEIGHTED raster↔vector rollup -----------------------------------
     # B9 deepened: not point-in-cell counts but the true per-cell AREA of
     # every polygon — each assembled ring is clipped (Sutherland–Hodgman,

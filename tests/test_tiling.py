@@ -1261,3 +1261,85 @@ def test_area_rollup_conserves_total_area(spark):
         assert abs(got[pid] - total) <= 64, (pid, got[pid], total)
     # the one-cell square is exactly conserved (no synthetic boundary edges)
     assert got[2] == whole[2] == 2 * 1_000_000
+
+
+def _py_clip_halfplane(pts, axis, b, keep_ge):
+    """Pure-python mirror of geo._clip_halfplane: same formulas, same
+    IEEE double ops, same inclusive inside test — an independent oracle
+    for the Column implementation (python floats are IEEE doubles, so
+    identical expression order gives bit-identical results)."""
+    if len(pts) < 2:
+        return []
+    out = []
+    ax = 0 if axis == "lat" else 1
+
+    def inside(p):
+        return p[ax] >= b if keep_ge else p[ax] <= b
+
+    def cross(p1, p2):
+        t = (b - p1[ax]) / (p2[ax] - p1[ax])
+        o = p1[1 - ax] + t * (p2[1 - ax] - p1[1 - ax])
+        return (b, o) if ax == 0 else (o, b)
+
+    for i in range(len(pts) - 1):
+        p1, p2 = pts[i], pts[i + 1]
+        if inside(p1) and inside(p2):
+            out.append(p2)
+        elif inside(p1):
+            out.append(cross(p1, p2))
+        elif inside(p2):
+            out.append(cross(p1, p2))
+            out.append(p2)
+    if out:
+        out = out + [out[0]]
+    return out
+
+
+def _py_clip_rect(pts, lat0, lat1, lon0, lon1):
+    for axis, b, keep in [
+        ("lat", lat0, True),
+        ("lat", lat1, False),
+        ("lon", lon0, True),
+        ("lon", lon1, False),
+    ]:
+        pts = _py_clip_halfplane(pts, axis, b, keep)
+    return pts
+
+
+def test_clip_rings_rect_random_vs_python_oracle(spark):
+    """120 random closed rings (including degenerate, collinear, and
+    boundary-touching shapes) clipped to [0,1]² must match the
+    pure-python Sutherland–Hodgman mirror BIT-FOR-BIT — vertex arrays,
+    not just areas (the formulas are written in the same IEEE order)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from gosmonaut_spark.functions.geo import clip_rings_rect
+
+    rng = random.Random(20260820)
+    rows, expect = [], {}
+    for rid in range(120):
+        n = rng.randrange(3, 9)
+        # quantized coords hit cell boundaries / vertices-on-edge often
+        pts = [
+            (rng.randrange(-12, 13) / 4.0, rng.randrange(-12, 13) / 4.0)
+            for _ in range(n)
+        ]
+        pts.append(pts[0])
+        rows.append(
+            (rid, [p[0] for p in pts], [p[1] for p in pts])
+        )
+        expect[rid] = _py_clip_rect(pts, 0.0, 1.0, 0.0, 1.0)
+    df = spark.createDataFrame(
+        rows, "rid long, lats array<double>, lons array<double>"
+    )
+    got = {
+        r.rid: list(zip(r.lats, r.lons))
+        for r in clip_rings_rect(df, 0.0, 1.0, 0.0, 1.0).collect()
+    }
+    n_nonempty = 0
+    for rid, want in expect.items():
+        assert got[rid] == want, (rid, got[rid], want)
+        n_nonempty += bool(want)
+    assert n_nonempty > 20  # the sample genuinely exercises the clipper

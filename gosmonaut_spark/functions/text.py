@@ -1024,7 +1024,7 @@ def _bpe_rounds(
         docs.select(F.explode(tokens(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wc"))
-        .select(F.split("w", "").alias("seq"), "wc")
+        .select("w", F.split("w", "").alias("seq"), "wc")
     )
     merges: list[tuple] = []
     for r in range(int(n_merges)):
@@ -1148,7 +1148,7 @@ def _bpe_sql_parts(docs_sql: str, n_merges: int, text_expr: str):
     per-round merge selects, name of the final word table)."""
     ctes = [
         f"""bp_w0 AS MATERIALIZED (
-  SELECT string_split(w, '') AS seq, count(*) AS wc FROM (
+  SELECT w, string_split(w, '') AS seq, count(*) AS wc FROM (
     SELECT unnest({tokens_sql(text_expr)}) AS w FROM bp_src
   ) GROUP BY w
 )"""
@@ -1168,7 +1168,8 @@ def _bpe_sql_parts(docs_sql: str, n_merges: int, text_expr: str):
         )
         ctes.append(
             f"""{wn} AS MATERIALIZED (
-  SELECT list_filter(
+  SELECT w,
+         list_filter(
            list_transform(range(1, len(seq) + 1),
              i -> CASE WHEN len(list_filter(ap, a -> a = i)) > 0
                        THEN seq[i] || seq[i + 1]
@@ -1178,12 +1179,12 @@ def _bpe_sql_parts(docs_sql: str, n_merges: int, text_expr: str):
            s -> s IS NOT NULL) AS seq,
          wc
   FROM (
-    SELECT seq, wc,
+    SELECT w, seq, wc,
            list_filter(ps, p -> len(list_filter(ps,
              q -> q < p AND q - list_position(ps, q) = p - list_position(ps, p)
            )) % 2 = 0) AS ap
     FROM (
-      SELECT seq, wc,
+      SELECT w, seq, wc,
              list_filter(range(1, len(seq)),
                i -> seq[i] = mm.x AND seq[i + 1] = mm.y) AS ps
       FROM {w}, {a} mm
@@ -1226,3 +1227,66 @@ SELECT CAST(len(seq) AS BIGINT) AS n_symbols, count(*) AS n_words,
        CAST(sum(wc) AS BIGINT) AS n_occurrences
 FROM {w} GROUP BY 1
 ORDER BY n_symbols"""
+
+
+def bpe_fertility(
+    docs: DataFrame,
+    n_merges: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document tokenizer fertility after the learned merges →
+    ``(id, n_words, n_symbols, fertility)``.
+
+    Fertility = symbols emitted per word — THE efficiency number a
+    tokenizer-training run optimizes (lower = cheaper context). The doc's
+    word stream joins the learned vocabulary's final segmentation (one
+    broadcast-sized table: |vocab| rows), symbols sum exactly, and the
+    single ratio is rounded to 9 decimals on both engines. Docs with no
+    words are dropped (no defined fertility)."""
+    spark = docs.sparkSession
+    words, _ = _bpe_rounds(docs, n_merges, text_col)
+    seg = words.select("w", F.size("seq").cast("long").alias("n_sym"))
+    per = docs.select(
+        F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("w")
+    )
+    return (
+        per.join(F.broadcast(seg), "w")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_symbols"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_words",
+            "n_symbols",
+            F.round(
+                F.col("n_symbols").cast("double")
+                / F.col("n_words").cast("double"),
+                9,
+            ).alias("fertility"),
+        )
+    )
+
+
+def bpe_fertility_sql(
+    docs_sql: str,
+    n_merges: int = 4,
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    """DuckDB twin — same vocabulary join over the unrolled chain's final
+    word table."""
+    with_clause, _rounds, w = _bpe_sql_parts(docs_sql, int(n_merges), text_expr)
+    return f"""{with_clause},
+bp_seg AS (SELECT w, CAST(len(seq) AS BIGINT) AS n_sym FROM {w}),
+bp_doc AS (
+  SELECT {id_expr} AS did, unnest({tokens_sql(text_expr)}) AS w FROM bp_src
+)
+SELECT d.did AS {id_expr}, count(*) AS n_words,
+       CAST(sum(s.n_sym) AS BIGINT) AS n_symbols,
+       round(CAST(sum(s.n_sym) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)
+         AS fertility
+FROM bp_doc d JOIN bp_seg s USING (w)
+GROUP BY d.did"""

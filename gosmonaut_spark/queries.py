@@ -2603,6 +2603,18 @@ FROM documents WHERE doc_id % 10 = 7""",
         T.bpe_encode_stats_sql("SELECT text FROM documents", n_merges=4),
     )
 
+    # per-doc fertility (symbols/word) under the learned merges — the
+    # context-cost number a tokenizer run optimizes
+    def q_bpe_fertility(spark, sf):
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        return T.bpe_fertility(d, n_merges=4).orderBy("doc_id")
+
+    q["text_bpe_fertility"] = (
+        q_bpe_fertility,
+        T.bpe_fertility_sql("SELECT doc_id, text FROM documents", n_merges=4)
+        + "\nORDER BY doc_id",
+    )
+
     # ---- corpus stats: exact rank-based quantiles per language ---------------
     # approx_percentile has no cross-engine twin; exact quantiles via
     # row_number picking are bit-identical (pure integer arithmetic) and

@@ -59,6 +59,7 @@ def ordered_collect_rows(
     out_name: str,
     keep: Column | None = None,
     order: str = "permute",
+    carry: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Order-preserving re-agg in ONE aggregation, no duplication, and —
     unlike its two predecessors — correct under ANY aggregation mode, so it
@@ -97,6 +98,16 @@ def ordered_collect_rows(
     zero-ref / all-missing way appear with ``nodes = []`` without a
     post-agg outer join.
 
+    ``carry``: optional per-key payload columns aggregated with
+    ``first(col, ignorenulls=True)`` — the caller guarantees each key has
+    exactly one row where the carry columns are non-null (e.g. the pos-0
+    exploded row, or a sentinel row excluded from the collect via
+    ``keep``). This rides the SAME SortAggregate as the collect, so
+    group-level metadata (tags, url) reaches the output without the
+    separate exchange + sort + join of the key table that a post-agg
+    equi-join costs (measured: one full exchange+SMJ removed from each
+    assembly pass).
+
     ``order``: what stage 2 does about element order.
 
     * ``"permute"`` (default — correct in ANY session): the native
@@ -127,7 +138,14 @@ def ordered_collect_rows(
     # relied upon; the groupBy sees its distribution already satisfied
     # (no second exchange)
     df2 = df.repartition(F.col(key)).sortWithinPartitions(key, pos)
-    agg = df2.groupBy(key).agg(F.collect_list(elem).alias("_arr"))
+    carry_aggs = [
+        F.first(c, ignorenulls=True).alias(name)
+        for name, c in (carry or {}).items()
+    ]
+    carry_names = list((carry or {}).keys())
+    agg = df2.groupBy(key).agg(
+        F.collect_list(elem).alias("_arr"), *carry_aggs
+    )
     if order == "verify":
         ps = F.transform("_arr", lambda s: s["_p"])
         sorted_ok = F.array_sort(ps) == ps  # longs: native ordering, no lambda
@@ -146,7 +164,7 @@ def ordered_collect_rows(
         ).isNull()
         gathered = F.transform("_arr", lambda s: s["_v"])
         out = F.when(check | (F.rand() < F.lit(-1.0)), gathered)
-        return agg.select(key, out.alias(out_name))
+        return agg.select(key, *carry_names, out.alias(out_name))
     perm = F.array_sort(
         F.zip_with(
             F.transform("_arr", lambda s: s["_p"]),
@@ -160,7 +178,7 @@ def ordered_collect_rows(
     # sequence(0, -1) on an empty group would yield [0, -1] and zip_with
     # would null-pad — guard the degenerate case explicitly
     out = F.when(F.size("_arr") > 0, gathered).otherwise(F.array())
-    return agg.select(key, out.alias(out_name))
+    return agg.select(key, *carry_names, out.alias(out_name))
 
 
 @dataclass
@@ -239,8 +257,28 @@ def assemble_ways(
 
     Returns ``(id, tags, url, nodes array<struct<id,lat,lon,tags>>)``.
     """
+    # carry the way's (tags, url) on its FIRST exploded row only (pos 0,
+    # or the null-pos row posexplode_outer emits for zero-ref ways): the
+    # re-agg below recovers them with first(ignorenulls) — one
+    # (tags, url) per way crosses the stitch shuffle, the same bytes the
+    # removed ways_sel exchange used to move, without the exchange, its
+    # sort, or the final SMJ. Way ids are globally unique per the OSM data
+    # model (the reference keys its way cache by id,
+    # /root/reference/gosmonaut.go:350-403), so the grouped output is one
+    # row per input way, exactly as the join produced.
     refs = ways_sel.select(
-        F.col("id").alias("way_id"), F.posexplode_outer("refs").alias("pos", "node_id")
+        F.col("id").alias("way_id"),
+        "tags",
+        "url",
+        F.posexplode_outer("refs").alias("pos", "node_id"),
+    ).select(
+        "way_id",
+        "pos",
+        "node_id",
+        F.when(
+            F.col("pos").isNull() | (F.col("pos") == 0),
+            F.struct("tags", "url"),
+        ).alias("__meta"),
     )
     node_side = nodes.select(
         F.col("id").alias("node_id"),
@@ -298,9 +336,13 @@ def assemble_ways(
         "nodes",
         keep=F.col("node_id").isNotNull() & F.col("node").isNotNull(),
         order=order,
+        carry={"__meta": F.col("__meta")},
     )
-    return ways_sel.select("id", "tags", "url").join(
-        stitched.withColumnRenamed("way_id", "id").hint("merge"), "id", "inner"
+    return stitched.select(
+        F.col("way_id").alias("id"),
+        F.col("__meta")["tags"].alias("tags"),
+        F.col("__meta")["url"].alias("url"),
+        "nodes",
     )
 
 
@@ -316,6 +358,7 @@ def assemble_relations(
     nodes: DataFrame,
     metrics: AssemblyMetrics | None = None,
     order: str = "permute",
+    broadcast_members_max_rows: int = 20_000_000,
 ) -> DataFrame:
     """Resolve each needed relation's members against assembled ways and
     nodes (reference scanRelations, /root/reference/gosmonaut.go:405-472).
@@ -324,6 +367,15 @@ def assemble_relations(
     count, never an error (gosmonaut.go:445-465). Member order is restored
     from the carried ``pos``. Returns
     ``(id, tags, url, members array<struct<role,type,node,way>>)``.
+
+    ``broadcast_members_max_rows``: when the (skinny) member table fits
+    this row bound, each typed resolve runs as a broadcast hash join with
+    the MEMBER side as the build — the heavy entity sides (assembled ways
+    carrying full node arrays; node structs) are never shuffled or sorted
+    for the resolve, and the only shuffle that moves them is the single
+    per-relation re-agg. Above the bound (planet-scale member tables) the
+    resolve falls back to the symmetric sort-merge join. 20M rows ≈ ~1 GB
+    hashed relation — comfortably inside the 8 GiB broadcast cap.
     """
     mem = members.join(
         rels_sel.select(F.col("id").alias("rel_id")), "rel_id", "left_semi"
@@ -339,7 +391,34 @@ def assemble_relations(
     # without it each consumer re-runs the relation scan + member explode
     # (measured ~8s per recompute at the bench scale fixture). The handle
     # rides the returned DataFrame (release_cached / cached_scope).
-    mem = mem.filter(F.col("member_type") != RELATION_TYPE).persist()
+    # coalesce first: the member table inherits the upstream snapshot's
+    # file-grained partitioning (one tiny file per decode task — 128 blocks
+    # of ~5k rows each at the bench fixture), and every one of the five
+    # consumer jobs then schedules 128 tasks over near-empty cached blocks
+    # — measured ~8s of pure per-task overhead across the concurrent
+    # consumers. A narrow coalesce keeps the scan parallel enough for the
+    # skinny explode while giving consumers sensibly-sized blocks; sized
+    # from defaultParallelism so a real cluster keeps one block per ~4
+    # cores rather than a constant tuned to this box.
+    n_coalesce = max(
+        members.sparkSession.sparkContext.defaultParallelism // 4, 8
+    )
+    mem = (
+        mem.filter(F.col("member_type") != RELATION_TYPE)
+        .coalesce(n_coalesce)
+        .persist()
+    )
+    # materialize the cache EAGERLY, before the plan fans out: AQE executes
+    # the four consumers as CONCURRENT stage jobs, and with a cold cache
+    # they race on the same uncomputed blocks — every task of every
+    # consumer blocks on (or duplicates) the block computation. Measured on
+    # the bench fixture (32 cores): four concurrent ~25s jobs whose task
+    # run-time was 3.5x their CPU time (pure cache-lock wait) collapsed to
+    # one sub-second count + fast consumers; the relations pass fell from
+    # ~51-56s to ~22s. The count is one pass over the skinny cached table —
+    # the standard materialize-before-fanout step — and its result doubles
+    # as the broadcast-bound decision below.
+    n_mem = mem.count()
 
     # Prune BOTH build sides to ids actually referenced by a member BEFORE
     # their heavy shuffle — the relational form of the reference's bitset
@@ -370,16 +449,39 @@ def assemble_relations(
         F.struct("id", "lat", "lon", "tags").alias("node"),
     )
 
-    w = (
-        mem.filter(F.col("member_type") == WAY_TYPE)
-        .join(way_side.hint("merge"), "member_id", "inner")  # arrays: no broadcast
-        .withColumn("node", F.lit(None).cast(NODE_STRUCT))
-    )
-    n = (
-        mem.filter(F.col("member_type") == NODE_TYPE)
-        .join(node_side, "member_id", "inner")
-        .withColumn("way", F.lit(None).cast(w.schema["way"].dataType.simpleString()))
-    )
+    mem_w = mem.filter(F.col("member_type") == WAY_TYPE)
+    mem_n = mem.filter(F.col("member_type") == NODE_TYPE)
+    if n_mem <= broadcast_members_max_rows:
+        # broadcast the SKINNY member side (bounded by the measured count
+        # above): the heavy way/node structs stream through the join in
+        # their scan partitioning — no shuffle, no sort of nested arrays.
+        # The entity side is NEVER the build side (arrays are
+        # memory-hostile in a hashed relation; the old merge hint existed
+        # to prevent exactly that), and the heavy bytes now move only once:
+        # in the per-relation re-agg below.
+        w = (
+            way_side.join(F.broadcast(mem_w), "member_id", "inner")
+            .withColumn("node", F.lit(None).cast(NODE_STRUCT))
+        )
+        n = (
+            node_side.join(F.broadcast(mem_n), "member_id", "inner")
+            .withColumn(
+                "way", F.lit(None).cast(w.schema["way"].dataType.simpleString())
+            )
+        )
+    else:
+        w = (
+            mem_w
+            .join(way_side.hint("merge"), "member_id", "inner")  # arrays: no broadcast
+            .withColumn("node", F.lit(None).cast(NODE_STRUCT))
+        )
+        n = (
+            mem_n
+            .join(node_side, "member_id", "inner")
+            .withColumn(
+                "way", F.lit(None).cast(w.schema["way"].dataType.simpleString())
+            )
+        )
     resolved = w.select("rel_id", "pos", "role", "member_type", "node", "way").unionByName(
         n.select("rel_id", "pos", "role", "member_type", "node", "way")
     )
@@ -388,6 +490,30 @@ def assemble_relations(
         wanted = mem.count()
         got = resolved.count()
         metrics.dropped_rel_members = wanted - got
+
+    # one sentinel row per relation, unioned into the resolve output: it
+    # carries the relation's (tags, url) through the re-agg (recovered via
+    # first(ignorenulls)) and keeps all-members-dropped relations alive as
+    # empty groups — replacing the post-agg LEFT join with rels_sel, whose
+    # exchange + sort of the heavy members arrays was a full extra pass
+    # over the assembled payload. The ``keep`` mask (member_type NOT NULL)
+    # excludes sentinels from the collected array, so an unresolvable
+    # relation still emits members = []. Relation ids are globally unique
+    # per the OSM data model (the reference keys relations by id).
+    meta_t = "struct<tags:map<string,string>,url:string>"
+    way_t = w.schema["way"].dataType.simpleString()
+    sentinel = rels_sel.select(
+        F.col("id").alias("rel_id"),
+        F.lit(None).cast("int").alias("pos"),
+        F.lit(None).cast("string").alias("role"),
+        F.lit(None).cast("int").alias("member_type"),
+        F.lit(None).cast(NODE_STRUCT).alias("node"),
+        F.lit(None).cast(way_t).alias("way"),
+        F.struct("tags", "url").alias("__meta"),
+    )
+    resolved = resolved.withColumn("__meta", F.lit(None).cast(meta_t)).unionByName(
+        sentinel
+    )
 
     member_struct = F.struct(
         F.col("role"),
@@ -398,16 +524,21 @@ def assemble_relations(
         F.col("way"),
     )
     agg = ordered_collect_rows(
-        resolved, "rel_id", "pos", member_struct, "members", order=order
+        resolved,
+        "rel_id",
+        "pos",
+        member_struct,
+        "members",
+        keep=F.col("member_type").isNotNull(),
+        order=order,
+        carry={"__meta": F.col("__meta")},
     )
-    out = (
-        rels_sel.select("id", "tags", "url")
-        # merge hint for the same reason as way assembly: members arrays
-        # are heavy — never broadcast them
-        .join(agg.withColumnRenamed("rel_id", "id").hint("merge"), "id", "left")
+    out = agg.select(
+        F.col("rel_id").alias("id"),
+        F.col("__meta")["tags"].alias("tags"),
+        F.col("__meta")["url"].alias("url"),
+        "members",
     )
-    empty = F.array().cast(agg.schema["members"].dataType.simpleString())
-    out = out.withColumn("members", F.coalesce(F.col("members"), empty))
     from ..functions.caching import attach_cached
 
     return attach_cached(out, [mem])

@@ -1,149 +1,143 @@
-"""Adjacent 2-vs-8-core profile of the decode+assembly passes only.
-
-Runs the checkpointed pipeline (no PIP/tiles) in a fresh pinned
-interpreter per leg with event logs on, prints per-pass walls and the
-per-stage run/cpu/gc totals — the evidence for WHY a pass stops scaling
-(wave tail vs per-core throughput collapse vs GC).
-
-Usage: python tools/profile_assembly.py [small_cpus big_cpus]
-Child:  python tools/profile_assembly.py --child <cpus> <evdir>
-"""
-
+#!/usr/bin/env python3
+"""Stage-isolated profiling of the decode_assemble passes (guide §1.4):
+noop-sink timings for each sub-stage of the relations/ways assembly so the
+optimization targets the stage that actually burns the wall, not the pass
+total. NOT part of the frozen bench contract — numbers are cited in
+OPTIMIZATION_r06.md only."""
 from __future__ import annotations
 
-import json
 import os
-import subprocess
 import sys
 import tempfile
+import time
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def child(cpus: int, evdir: str) -> None:
-    sys.path.insert(0, REPO)
-    import time
+def noop(df):
+    df.write.format("noop").mode("overwrite").save()
 
-    from gosmonaut_spark.operators.assembly import SKIP_MISSING
-    from gosmonaut_spark.plans.checkpoint import run_pipeline_checkpointed
-    from gosmonaut_spark.session import build_session
-    from gosmonaut_spark.sources.pages import read_pages
 
-    os.environ["SPARK_GRAFT_EVENTLOG"] = evdir
-    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
-    extra = {}
-    for kv in os.environ.get("PROF_EXTRA_CONF", "").split(";"):
-        if "=" in kv:
-            k, v = kv.split("=", 1)
-            extra[k] = v
-    spark = build_session(
-        master=f"local[{cpus}]", shuffle_partitions=max(cpus * 4, 16), extra=extra
+def main():
+    import pyspark.sql.functions as F
+
+    from gosmonaut_spark.operators.assembly import (
+        SKIP_MISSING,
+        assemble_relations,
+        assemble_ways,
     )
+    from gosmonaut_spark.session import build_session
+    from gosmonaut_spark.sources import pages as src
+    from gosmonaut_spark.plans.checkpoint import CheckpointStore
     from gosmonaut_spark.fixtures.pages import ensure_pages_parquet
 
-    pages_path = ensure_pages_parquet(
-        os.environ.get("SPARK_GRAFT_PAGES_PROFILE", "scale")
-    )
-    pages = read_pages(spark, pages_path).repartition(cpus * 4)
-    ck_dir = tempfile.mkdtemp(
-        prefix="prof_ck_", dir=os.environ.get("SPARK_GRAFT_CK_PARENT")
-    )
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = build_session(master=f"local[{cpus}]", shuffle_partitions=cpus * 4)
+    sc = spark.sparkContext
+    pages_path = ensure_pages_parquet(os.environ.get("SPARK_GRAFT_PAGES_PROFILE", "bench"))
+    pages = src.read_pages(spark, pages_path).repartition(cpus * 4)
 
-    def hygiene(_):
+    ck_dir = tempfile.mkdtemp(prefix="prof_ck_")
+    ck = CheckpointStore(spark, ck_dir)
+
+    timings = {}
+
+    def t(name, fn):
+        spark.catalog.clearCache()
         try:
-            spark.catalog.clearCache()
-            spark.sparkContext._jvm.System.gc()
+            sc._jvm.System.gc()
         except Exception:
             pass
+        sc.setJobDescription(name)
+        t0 = time.perf_counter()
+        r = fn()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        print(f"[prof] {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        sc.setJobDescription(None)
+        return r
 
-    t0 = time.perf_counter()
-    ck, dfs = run_pipeline_checkpointed(
-        spark, pages, ck_dir, mode=SKIP_MISSING, post_pass=hygiene
-    )
-    wall = time.perf_counter() - t0
-    passes = {e["pass"]: round(e["wall_ms"] / 1000, 1) for e in ck.lineage()}
-    print(json.dumps({"cpus": cpus, "wall": round(wall, 1), "passes": passes}))
+    # pass 1: entities snapshot (as the pipeline does)
+    ents = t("pass:entities(write)", lambda: ck.run_pass(
+        "entities", lambda: src.extract_entities(pages), partition_by=["etype"]))
+    nodes = src.entities_nodes(ents)
+    ways_raw = src.entities_ways_raw(ents)
+    rels_raw = src.entities_relations_raw(ents)
+
+    # entities sub-stages
+    t("entities:decode->noop", lambda: noop(src.extract_entities(pages)))
+
+    # pass 2: ways — sub-stages first (from the snapshot, like the real pass)
+    refs = ways_raw.select(
+        F.col("id").alias("way_id"), F.posexplode_outer("refs").alias("pos", "node_id"))
+    node_side = nodes.select(
+        F.col("id").alias("node_id"),
+        F.struct(F.col("id"), F.col("lat"), F.col("lon"), F.col("tags")).alias("node"))
+    t("ways:ref-join->noop", lambda: noop(refs.join(node_side, "node_id", "left")))
+    t("ways:full-assemble->noop", lambda: noop(
+        assemble_ways(ways_raw, nodes, mode=SKIP_MISSING, order="verify")))
+    aw = t("pass:assembled_ways(write)", lambda: ck.run_pass(
+        "assembled_ways",
+        lambda: assemble_ways(ways_raw, nodes, mode=SKIP_MISSING, order="verify")))
+
+    # pass 3: relations — sub-stages
+    members = src.rel_members(rels_raw)
+    from gosmonaut_spark.format.gpb import NODE_TYPE, RELATION_TYPE, WAY_TYPE
+
+    mem = members.join(
+        rels_raw.select(F.col("id").alias("rel_id")), "rel_id", "left_semi"
+    ).filter(F.col("member_type") != RELATION_TYPE)
+    t("rels:members->noop", lambda: noop(mem))
+
+    mem_p = mem.persist()
+    mem_p.count()
+    way_member_ids = mem_p.filter(F.col("member_type") == WAY_TYPE).select(
+        F.col("member_id").alias("id")).distinct()
+    node_member_ids = mem_p.filter(F.col("member_type") == NODE_TYPE).select(
+        F.col("member_id").alias("id")).distinct()
+    way_side = aw.join(way_member_ids, "id", "left_semi").select(
+        F.col("id").alias("member_id"), F.struct("id", "tags", "nodes").alias("way"))
+    node_side2 = nodes.join(node_member_ids, "id", "left_semi").select(
+        F.col("id").alias("member_id"), F.struct("id", "lat", "lon", "tags").alias("node"))
+    NODE_STRUCT = "struct<id:bigint,lat:double,lon:double,tags:map<string,string>>"
+    w = (mem_p.filter(F.col("member_type") == WAY_TYPE)
+         .join(way_side.hint("merge"), "member_id", "inner")
+         .withColumn("node", F.lit(None).cast(NODE_STRUCT)))
+    t("rels:way-resolve->noop", lambda: noop(w))
+    n2 = (mem_p.filter(F.col("member_type") == NODE_TYPE)
+          .join(node_side2, "member_id", "inner")
+          .withColumn("way", F.lit(None).cast(w.schema["way"].dataType.simpleString())))
+    t("rels:node-resolve->noop", lambda: noop(n2))
+
+    resolved = w.select("rel_id", "pos", "role", "member_type", "node", "way").unionByName(
+        n2.select("rel_id", "pos", "role", "member_type", "node", "way"))
+    from gosmonaut_spark.operators.assembly import ordered_collect_rows
+    member_struct = F.struct(
+        F.col("role"),
+        F.when(F.col("member_type") == WAY_TYPE, F.lit("way")).otherwise(F.lit("node")).alias("type"),
+        F.col("node"), F.col("way"))
+    agg = ordered_collect_rows(resolved, "rel_id", "pos", member_struct, "members", order="verify")
+    t("rels:agg->noop", lambda: noop(agg))
+
+    out = rels_raw.select("id", "tags", "url").join(
+        agg.withColumnRenamed("rel_id", "id").hint("merge"), "id", "left")
+    empty = F.array().cast(agg.schema["members"].dataType.simpleString())
+    out = out.withColumn("members", F.coalesce(F.col("members"), empty))
+    t("rels:full->noop", lambda: noop(out))
+    mem_p.unpersist()
+
+    t("pass:relations(write)", lambda: ck.run_pass(
+        "relations",
+        lambda: assemble_relations(rels_raw, members, aw, nodes, order="verify")))
+
+    print(timings)
+    # snapshot sizes
+    for p in ("entities", "assembled_ways", "relations"):
+        d = os.path.join(ck_dir, p)
+        sz = sum(os.path.getsize(os.path.join(r, f)) for r, _, fs in os.walk(d) for f in fs)
+        print(f"[prof] snapshot {p}: {sz/1e6:.1f} MB", file=sys.stderr)
+    import shutil
     spark.stop()
-
-
-def stage_table(evdir: str) -> list[dict]:
-    import collections
-    import glob
-
-    import pyarrow as pa
-
-    runt: dict = collections.Counter()
-    cpu: dict = collections.Counter()
-    gc: dict = collections.Counter()
-    ntask: dict = collections.Counter()
-    for f in glob.glob(f"{evdir}/*/events_*.zstd") + [
-        p for p in glob.glob(f"{evdir}/*") if os.path.isfile(p)
-    ]:
-        try:
-            if f.endswith(".zstd"):
-                with pa.CompressedInputStream(pa.OSFile(f, "rb"), "zstd") as fh:
-                    data = fh.read().decode("utf-8", "ignore")
-            else:
-                data = open(f, "rb").read().decode("utf-8", "ignore")
-        except Exception:
-            continue
-        for line in data.splitlines():
-            if '"Event":"SparkListenerTaskEnd"' not in line:
-                continue
-            e = json.loads(line)
-            sid = e["Stage ID"]
-            m = e.get("Task Metrics") or {}
-            runt[sid] += m.get("Executor Run Time", 0)
-            cpu[sid] += m.get("Executor CPU Time", 0) / 1e6  # ns -> ms
-            gc[sid] += m.get("JVM GC Time", 0)
-            ntask[sid] += 1
-    return [
-        {
-            "stage": sid,
-            "run_s": round(runt[sid] / 1000, 1),
-            "cpu_s": round(cpu[sid] / 1000, 1),
-            "gc_s": round(gc[sid] / 1000, 1),
-            "n_tasks": ntask[sid],
-        }
-        for sid in sorted(runt, key=lambda s: -runt[s])[:10]
-    ]
-
-
-def main() -> None:
-    if sys.argv[1:2] == ["--child"]:
-        child(int(sys.argv[2]), sys.argv[3])
-        return
-    small = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    big = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    n_host = os.cpu_count() or big
-    for cpus in (big, small):
-        evdir = tempfile.mkdtemp(prefix=f"prof_ev_{cpus}_")
-        ram = tempfile.mkdtemp(prefix="prof_leg_", dir="/dev/shm")
-        env = dict(
-            os.environ,
-            SPARK_GRAFT_CPUS=str(cpus),
-            SPARK_GRAFT_CK_PARENT=ram,
-            SPARK_LOCAL_DIRS=ram,
-        )
-        lo = max(0, n_host - cpus)
-        args = [
-            "taskset",
-            "-c",
-            f"{lo}-{n_host - 1}",
-            sys.executable,
-            os.path.abspath(__file__),
-            "--child",
-            str(cpus),
-            evdir,
-        ]
-        out = subprocess.run(args, env=env, stdout=subprocess.PIPE, text=True)
-        import shutil
-
-        shutil.rmtree(ram, ignore_errors=True)
-        head = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else "{}"
-        print(f"=== cpus={cpus}: {head}")
-        for row in stage_table(evdir):
-            print("   ", row)
+    shutil.rmtree(ck_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -47,6 +47,7 @@ def polygon_cover_cells(
     res: int,
     res_min: int | None = None,
     max_cells: int = 64,
+    levels: list[int] | None = None,
 ) -> DataFrame:
     """Explode each polygon to the cells its bbox covers — pure native
     expressions (sequence over the x/y cell ranges).
@@ -57,6 +58,15 @@ def polygon_cover_cells(
     at res 11 — the cover count is bounded per polygon by construction).
     Cell ids are self-describing (res embedded in the flag bit), so a
     mixed-resolution cover table still joins on one ``cell`` column.
+
+    ``levels``: optional pre-measured set of resolutions the adaptive rule
+    actually picks for THIS polygon table (e.g. from a collect_set over
+    the identical ``chosen`` expression, as the edges PIP engine already
+    computes). The when-chain is then built only over those levels — the
+    selection rule is unchanged for every row (a level outside the
+    observed set can never be chosen for these rows), but the expression
+    tree, its py4j construction cost and its codegen size shrink from
+    O(res - res_min) branches to O(|levels|).
     """
     if res_min is None:
         res_min = max(0, res - 6)
@@ -84,8 +94,9 @@ def polygon_cover_cells(
         )
 
     # finest res whose cover is small enough; res_min is the fallback
-    cells = cells_at(res_min)
-    for r in range(res_min + 1, res + 1):
+    lvl = sorted(set(levels)) if levels else list(range(res_min, res + 1))
+    cells = cells_at(lvl[0])
+    for r in lvl[1:]:
         cells = F.when(span(r)[4] <= F.lit(max_cells), cells_at(r)).otherwise(cells)
 
     return p.select("polygon_id", "lats", "lons", F.explode(cells).alias("cell"))
@@ -308,7 +319,9 @@ def point_in_polygon_join(
         n_chunks_max = -(-max_ne // cap)  # ceil: chunks of the largest ring
 
         cover = F.broadcast(
-            polygon_cover_cells(polys_slim, res, res_min=res_min).select(
+            polygon_cover_cells(
+                polys_slim, res, res_min=res_min, levels=used_res
+            ).select(
                 "polygon_id",
                 "cell",
                 F.array_min("lats").alias("__pg_min_lat"),
@@ -348,8 +361,18 @@ def point_in_polygon_join(
         )
 
         # round-robin the points before explode+join — see the skew note on
-        # the vectorized path below (B10: spread before the skew exists)
-        ptsr_rr = ptsr.repartition(n_shuffle)
+        # the vectorized path below (B10: spread before the skew exists).
+        # SKIPPED when the scan already arrives in >= half the session's
+        # shuffle partitions: the probe stage is map-side-only (both join
+        # sides are broadcast), so input splits that are already numerous
+        # and size-bounded parallelize identically and the round-robin
+        # exchange (a full extra pass + local sort over every point row —
+        # measured ~3-4s of the bench PIP leg) buys nothing. Single-file /
+        # coalesced inputs still get spread.
+        if ptsr.rdd.getNumPartitions() >= max(n_shuffle // 2, 2):
+            ptsr_rr = ptsr
+        else:
+            ptsr_rr = ptsr.repartition(n_shuffle)
         pts = ptsr_rr.withColumn(
             "cell",
             F.explode(

@@ -90,15 +90,21 @@ def tile_pyramid(
     for an L-level pyramid — measured as the whole cost of the operator).
     The cached layer is tiles, not points: tiny at any input scale. In a
     long-lived session, release it with ``caching.release_cached(result)``
-    after the pyramid is consumed."""
+    after the pyramid is consumed.
+
+    Coarser layers roll up from the cached finest DIRECTLY (multi-level
+    ``cell_parent`` is one integer expression), not through a chained
+    level-by-level re-agg: the chain made union branch k re-run k
+    exchanges+aggregates from the cache (an L-level pyramid executed
+    O(L^2) tiny shuffles — measured as most of the operator's wall at the
+    bench fixture), where the direct form runs exactly one per layer.
+    Integer sums are associative, so the layer contents are identical."""
     from ..functions.caching import attach_cached
 
     finest = points_to_tiles(points, max_res, lat, lon).persist()
     layers = [finest]
-    cur = finest
-    for r in range(max_res, min_res, -1):
-        cur = rollup_tiles(cur, r, r - 1)
-        layers.append(cur)
+    for r in range(max_res - 1, min_res - 1, -1):
+        layers.append(rollup_tiles(finest, max_res, r))
     out = layers[0]
     for l in layers[1:]:
         out = out.unionByName(l)

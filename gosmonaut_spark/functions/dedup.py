@@ -323,25 +323,30 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(
         docs, n_hashes, n, id_col=id_col, text_col=text_col, hash_fn=hash_fn
     ).persist()
+    # materialize the cache eagerly: the banded self-join's AQE stage jobs
+    # consume sig from BOTH join sides concurrently, and with a cold cache
+    # they race on (block on / duplicate) the same uncomputed blocks —
+    # the same measured pathology as the relation-assembly member table.
+    # One count over the signature table (one row per doc) pays the
+    # signature computation exactly once.
+    sig.count()
 
-    bands = []
+    # all band keys in ONE projection + posexplode: the previous per-band
+    # union scanned the signature cache once per band per join side (8
+    # scans at n_bands=4) and planned 2x n_bands codegen stages; this is
+    # one scan per join side and one generator — identical (doc_id, band,
+    # bkey) rows.
+    band_keys = []
     for b in range(n_bands):
         cols = [F.col(f"mh_{b * r + j}") for j in range(r)]
-        bkey = (
+        band_keys.append(
             F.md5(F.concat_ws("|", *cols))
             if hash_fn == "md5"
             else F.xxhash64(*cols).cast("string")
         )
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                bkey.alias("bkey"),
-            )
-        )
-    banded = bands[0]
-    for x in bands[1:]:
-        banded = banded.unionByName(x)
+    banded = sig.select(
+        "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "bkey")
+    )
 
     a = banded.select(F.col("doc_id").alias("a"), "band", "bkey")
     b2 = banded.select(F.col("doc_id").alias("b"), "band", "bkey")
@@ -362,6 +367,8 @@ def minhash_lsh_pairs(
     if hash_fn != "md5":
         sh = sh.select("doc_id", F.xxhash64("sh").alias("sh"))
     sh = sh.persist()
+    sh.count()  # eager: consumed by three plan branches (sizes + both
+    # verify-join sides) — cold-cache races cost more than one pass
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("a"), "sh")
     sb = sh.select(F.col("doc_id").alias("b"), "sh")

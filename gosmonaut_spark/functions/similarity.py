@@ -307,6 +307,17 @@ def cosine_topk_lsh(
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(vec).alias("qv")
     )
+    if broadcast_queries:
+        # bounded-batch contract (see below): the probe side is small, but
+        # it inherits the caller's input partitioning — its Arrow bucket
+        # pass then demands one python worker per input split for a
+        # handful of rows each (measured: the concurrent qb/tb bucket
+        # stages spawned 2x`cores` workers; worker startup, not compute,
+        # dominated the broadcast-build job). A narrow coalesce keeps the
+        # batch's pass to a few workers without touching the target side.
+        q = q.coalesce(
+            max(q.sparkSession.sparkContext.defaultParallelism // 8, 2)
+        )
     t = targets.select(
         F.col(target_id).alias("target_id"), F.col(vec).alias("tv")
     )
@@ -339,6 +350,15 @@ def cosine_topk_lsh(
         )
     if broadcast_queries:
         qb = F.broadcast(qb)
+    # per-pair dedup via groupBy on the LONG pair key + max(cos): cos_sim
+    # is functionally determined by the pair (the dot/norm expression is a
+    # fixed IEEE sequence over the pair's vectors), so every duplicate row
+    # carries the identical value and max() returns exactly the value
+    # distinct() kept — but a distinct whose grouping key includes the
+    # DOUBLE column defeats the codegen'd fast hash map (floating keys get
+    # NaN/-0.0 normalization), measured 6x the aggregate's wall at the
+    # bench ANN leg (523k candidates: distinct 6-8.6s, long-key groupBy
+    # 1.1s).
     cand = (
         qb.join(tb, ["tbl", "bkt"])
         .select(
@@ -349,7 +369,8 @@ def cosine_topk_lsh(
                 / (F.col("qn") * F.col("tn"))
             ).alias("cos_sim"),
         )
-        .distinct()
+        .groupBy("query_id", "target_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
     )
     out = _topk(cand, k)
     if handles:
@@ -537,7 +558,11 @@ def cosine_pairs_lsh(
                 / (F.col("na") * F.col("nb"))
             ).alias("cos_sim"),
         )
-        .distinct()
+        # long-pair groupBy + max instead of a distinct keyed on the
+        # double (same rows: cos_sim is functionally determined by the
+        # pair — see cosine_topk_lsh for the measured 6x)
+        .groupBy("a", "b")
+        .agg(F.max("cos_sim").alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
     if handles:

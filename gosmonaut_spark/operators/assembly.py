@@ -359,6 +359,7 @@ def assemble_relations(
     metrics: AssemblyMetrics | None = None,
     order: str = "permute",
     broadcast_members_max_rows: int = 20_000_000,
+    materialize_members: bool = False,
 ) -> DataFrame:
     """Resolve each needed relation's members against assembled ways and
     nodes (reference scanRelations, /root/reference/gosmonaut.go:405-472).
@@ -376,6 +377,17 @@ def assemble_relations(
     per-relation re-agg. Above the bound (planet-scale member tables) the
     resolve falls back to the symmetric sort-merge join. 20M rows ≈ ~1 GB
     hashed relation — comfortably inside the 8 GiB broadcast cap.
+
+    ``materialize_members``: eagerly count the persisted member table
+    before the plan fans out. ON for pipelines whose member table derives
+    from a cheap re-scannable source (the checkpointed pipeline's parquet
+    snapshot): AQE's concurrent consumer stage-jobs otherwise race on the
+    cold cache blocks (measured 3.5x task run-vs-CPU lock-wait at the
+    bench fixture), and the count doubles as the broadcast-bound
+    decision. OFF by default: in the lazy single-query pipeline the
+    member lineage includes the full page decode, so an up-front count
+    pays one extra decode pass (measured +2-3s on tag-histogram-shaped
+    consumers) — there the resolve keeps the merge-hinted SMJ.
     """
     mem = members.join(
         rels_sel.select(F.col("id").alias("rel_id")), "rel_id", "left_semi"
@@ -403,11 +415,10 @@ def assemble_relations(
     n_coalesce = max(
         members.sparkSession.sparkContext.defaultParallelism // 4, 8
     )
-    mem = (
-        mem.filter(F.col("member_type") != RELATION_TYPE)
-        .coalesce(n_coalesce)
-        .persist()
-    )
+    mem = mem.filter(F.col("member_type") != RELATION_TYPE)
+    if materialize_members:
+        mem = mem.coalesce(n_coalesce)
+    mem = mem.persist()
     # materialize the cache EAGERLY, before the plan fans out: AQE executes
     # the four consumers as CONCURRENT stage jobs, and with a cold cache
     # they race on the same uncomputed blocks — every task of every
@@ -417,8 +428,9 @@ def assemble_relations(
     # one sub-second count + fast consumers; the relations pass fell from
     # ~51-56s to ~22s. The count is one pass over the skinny cached table —
     # the standard materialize-before-fanout step — and its result doubles
-    # as the broadcast-bound decision below.
-    n_mem = mem.count()
+    # as the broadcast-bound decision below. (Skipped in the lazy
+    # single-query pipeline — see the docstring.)
+    n_mem = mem.count() if materialize_members else None
 
     # Prune BOTH build sides to ids actually referenced by a member BEFORE
     # their heavy shuffle — the relational form of the reference's bitset
@@ -451,7 +463,7 @@ def assemble_relations(
 
     mem_w = mem.filter(F.col("member_type") == WAY_TYPE)
     mem_n = mem.filter(F.col("member_type") == NODE_TYPE)
-    if n_mem <= broadcast_members_max_rows:
+    if n_mem is not None and n_mem <= broadcast_members_max_rows:
         # broadcast the SKINNY member side (bounded by the measured count
         # above): the heavy way/node structs stream through the join in
         # their scan partitioning — no shuffle, no sort of nested arrays.

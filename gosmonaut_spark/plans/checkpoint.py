@@ -518,7 +518,15 @@ def run_pipeline_checkpointed(
     relations = ck.run_pass(
         "relations",
         lambda: assemble_relations(
-            rels_raw, members, assembled_ways, nodes, order=order
+            rels_raw,
+            members,
+            assembled_ways,
+            nodes,
+            order=order,
+            # the member table derives from the entities parquet snapshot
+            # here — cheap to materialize eagerly, and the count enables
+            # the bounded-broadcast resolve (see assemble_relations)
+            materialize_members=True,
         ),
     )
     return ck, {

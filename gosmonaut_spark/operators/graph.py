@@ -124,7 +124,12 @@ def connected_components(
     )
     n_before = edges.count()
     for _ in range(max_iter):
-        grown = _large_star(edges).localCheckpoint()
+        # only the round RESULT is checkpointed: the large-star
+        # intermediate is consumed exactly once by small-star within the
+        # same round, so its eager checkpoint job (one per round) bought
+        # nothing — lineage between round boundaries stays two
+        # aggregations deep either way
+        grown = _large_star(edges)
         shrunk = _small_star(grown).localCheckpoint()
         # converged iff the oriented edge set is a fixpoint: compare as
         # canonical (min, max) sets — exact, not a hash fingerprint.
@@ -160,7 +165,13 @@ def connected_components(
         edges.select(F.col("u").alias("v")).distinct(), "v", "left_semi"
     )
     multi_root = edges.groupBy("u").count().where(F.col("count") > 1)
-    if two_level.limit(1).count() or multi_root.limit(1).count():
+    # ONE probe job for both invariants (was two)
+    violation = (
+        two_level.select(F.lit(1).alias("x"))
+        .unionByName(multi_root.select(F.lit(1).alias("x")))
+        .limit(1)
+    )
+    if violation.count():
         raise AssertionError(
             "connected_components converged to a non-star edge set"
         )

@@ -120,6 +120,7 @@ def knn_join_adaptive(
     min_res: int = 3,
     query_id: str = "query_id",
     target_id: str = "target_id",
+    brute_tail_max: int = 256,
 ) -> DataFrame:
     """EXACT kNN at ring-join cost: coarsening escalation + brute tail.
 
@@ -141,6 +142,17 @@ def knn_join_adaptive(
     mirrors the reference's conditional pass skipping
     (/root/reference/gosmonaut.go:147-216: passes launch only when the
     dependency tracker is non-empty).
+
+    ``brute_tail_max``: once the uncertified tail shrinks to at most this
+    many queries, jump straight to :func:`knn_brute` instead of walking
+    every remaining coarser level. Both paths are EXACT, so the result is
+    identical for any cut-over point; the trade is |pending| x |targets|
+    distance terms (broadcast-NL, one extra scan of targets) against one
+    full ring join + certification round per remaining level — measured
+    at the sf0.01 fixture as 4 rounds of fixed per-round job cost spent
+    certifying a tail of a few dozen queries. 256 pending x the per-row
+    haversine is cheaper than even one extra pass over any target table
+    the ring join itself was worth running on.
     """
     pending = queries.select(
         F.col(query_id).alias("query_id"),
@@ -181,7 +193,25 @@ def knn_join_adaptive(
         # materialization is cheap; at cluster scale use a reliable
         # checkpoint dir instead (same pass-snapshot discipline as B11).
         pending = pending.join(certified, "query_id", "left_anti").localCheckpoint()
-        if pending.isEmpty():
+        n_pending = pending.count()
+        if n_pending == 0:
+            break
+        if n_pending <= brute_tail_max and cur_res > min_res:
+            # small tail: one exact brute round replaces every remaining
+            # ring level (identical rows — see docstring)
+            parts.append(
+                knn_brute(
+                    pending.select(F.col("query_id").alias(query_id), "lat", "lon"),
+                    targets,
+                    k,
+                    query_id=query_id,
+                    target_id=target_id,
+                ).select(
+                    F.col(query_id).alias("query_id"),
+                    F.col(target_id).alias("target_id"),
+                    "dist_m",
+                )
+            )
             break
     else:
         parts.append(

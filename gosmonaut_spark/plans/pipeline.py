@@ -52,41 +52,71 @@ class PipelineResult:
         counting rule (/root/reference/gosmonaut_test.go:138-181):
         way members add their node counts, relations add member ways/nodes.
         """
-        nc = wc = rc = 0
+        # ONE action for all three entity tables: each branch aggregates to
+        # a single (nc, wc, rc) row, the branches union, and one final sum
+        # collects — the per-table collect()s were three serial driver
+        # round-trips (three jobs) for numbers the scheduler can compute
+        # concurrently in one (the branches are independent subtrees, so
+        # AQE overlaps their stages). Totals are bit-identical.
+        zero = F.lit(0).cast("long")
+        parts = []
         if self.nodes is not None:
-            nc += self.nodes.count()
+            parts.append(
+                self.nodes.agg(F.count("*").alias("nc")).select(
+                    "nc", zero.alias("wc"), zero.alias("rc")
+                )
+            )
         if self.ways is not None:
-            agg = self.ways.agg(
-                F.count("*").alias("w"), F.coalesce(F.sum(F.size("nodes")), F.lit(0)).alias("n")
-            ).collect()[0]
-            wc += agg.w
-            nc += agg.n
+            parts.append(
+                self.ways.agg(
+                    F.count("*").alias("w"),
+                    F.coalesce(F.sum(F.size("nodes")), F.lit(0)).alias("n"),
+                ).select(
+                    F.col("n").cast("long").alias("nc"),
+                    F.col("w").cast("long").alias("wc"),
+                    zero.alias("rc"),
+                )
+            )
         if self.relations is not None:
-            # one action: member stats folded over the array columns —
-            # no explode, no second count() job
+            # member stats folded over the array columns — no explode
             way_members = F.filter("members", lambda m: m["type"] == "way")
-            agg = self.relations.agg(
-                F.count(F.lit(1)).alias("r"),
-                F.coalesce(
-                    F.sum(F.size(F.filter("members", lambda m: m["type"] == "node"))),
-                    F.lit(0),
-                ).alias("n"),
-                F.coalesce(F.sum(F.size(way_members)), F.lit(0)).alias("w"),
-                F.coalesce(
-                    F.sum(
-                        F.aggregate(
-                            way_members,
-                            F.lit(0),
-                            lambda acc, m: acc + F.size(m["way"]["nodes"]),
-                        )
-                    ),
-                    F.lit(0),
-                ).alias("wn"),
-            ).collect()[0]
-            rc += agg.r
-            nc += agg.n + agg.wn
-            wc += agg.w
-        return {"nodes": int(nc), "ways": int(wc), "relations": int(rc)}
+            parts.append(
+                self.relations.agg(
+                    F.count(F.lit(1)).alias("r"),
+                    F.coalesce(
+                        F.sum(F.size(F.filter("members", lambda m: m["type"] == "node"))),
+                        F.lit(0),
+                    ).alias("n"),
+                    F.coalesce(F.sum(F.size(way_members)), F.lit(0)).alias("w"),
+                    F.coalesce(
+                        F.sum(
+                            F.aggregate(
+                                way_members,
+                                F.lit(0),
+                                lambda acc, m: acc + F.size(m["way"]["nodes"]),
+                            )
+                        ),
+                        F.lit(0),
+                    ).alias("wn"),
+                ).select(
+                    (F.col("n") + F.col("wn")).cast("long").alias("nc"),
+                    F.col("w").cast("long").alias("wc"),
+                    F.col("r").cast("long").alias("rc"),
+                )
+            )
+        if not parts:
+            return {"nodes": 0, "ways": 0, "relations": 0}
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        tot = u.agg(
+            F.sum("nc").alias("nc"), F.sum("wc").alias("wc"), F.sum("rc").alias("rc")
+        ).collect()[0]
+        return {
+            "nodes": int(tot.nc),
+            "ways": int(tot.wc),
+            "relations": int(tot.rc),
+        }
 
 
 def run_pipeline(

@@ -107,7 +107,10 @@ def build_session(
         # shuffle partitions; pinning the floor to shuffle_partitions
         # reproduces that geometry — AQE still merges sub-1MB fragments,
         # it just can't erase wave-level parallelism.
-        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config(
+            "spark.default.parallelism",
+            os.environ.get("SPARK_GRAFT_DP", str(shuffle_partitions)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")

@@ -295,9 +295,9 @@ def assemble_ways(
         # found no node raises from inside the join stage, so the check
         # costs zero extra jobs (the previous formulation ran a full
         # anti-join count() before the real join even started). A filter
-        # (unlike a projection) cannot be column-pruned away, and the
-        # final join below is INNER, which the optimizer can never
-        # eliminate — so even a bare count() runs the validation. The
+        # (unlike a projection) cannot be column-pruned away, and its
+        # nondeterministic guard keeps the optimizer from collapsing it —
+        # so even a bare count() over the re-agg runs the validation. The
         # rand() guard marks the predicate nondeterministic so the
         # optimizer neither pushes it below the left join nor probes it
         # with a null row (EliminateOuterJoin evaluates deterministic
@@ -322,12 +322,7 @@ def assemble_ways(
     # every way keeps its group (posexplode_outer emits a null-ref row for
     # zero-ref ways; unmatched refs in skip mode just contribute no
     # element via the keep mask), so a zero-ref / all-missing way appears
-    # with nodes = [] — the reference emits those too (gosmonaut.go:388-397)
-    # — and the final join is a plain INNER equi-join (also what makes the
-    # STRICT validation un-prunable). merge hint: the stitched side
-    # carries the full node arrays — broadcasting it is slow and
-    # memory-hostile at scale, and AQE's size estimate undercounts nested
-    # arrays, so pin SMJ.
+    # with nodes = [] — the reference emits those too (gosmonaut.go:388-397).
     stitched = ordered_collect_rows(
         joined,
         "way_id",
